@@ -1,38 +1,218 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 run
+over the driver's parquet tables (or deterministic views derived from
+them — see eo_tools_spark/sources/derived.py); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Spatial operators use the engine's real physical
+plans (broadcast cell joins, mapInPandas kNN) — the oracles recompute the
+same semantics relationally.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CELL_RES = 12  # fixed resolution for the cell_index query
+
+
+def _scenes(spark: SparkSession, sf_dir: str):
+    from eo_tools_spark.sources.derived import scenes_view
+
+    return scenes_view(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point → hierarchical cell id (JVM-side Catalyst arithmetic).
+
+    SURVEY §2.8 geo scalar (h3.latlng_to_cell analog)."""
+    from eo_tools_spark.functions.spatial import cell_col
+
+    scenes = _scenes(spark, sf_dir)
+    return scenes.select(
+        "scene_id", cell_col("lon", "lat", CELL_RES).alias("cell")
+    )
+
+
+def q_pip_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: AOI × scenes broadcast cell spatial join with exact PIP
+    refine (SURVEY §2.3 row 1; process.py:321-323 semantics)."""
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+    from eo_tools_spark.sources.derived import aoi_rings
+
+    scenes = _scenes(spark, sf_dir)
+    return aoi_point_join(scenes, aoi_rings()).select(
+        "scene_id", "lon", "lat", "aoi_id"
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector tile assignment: scene → 1°×1° DEM tile name +
+    per-tile counts (SURVEY §2.3 burst/DEM-tile assignment)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.functions.spatial import tile_id_col
+
+    scenes = _scenes(spark, sf_dir)
+    return (
+        scenes.withColumn("dem_tile_id", tile_id_col("lon", "lat"))
+        .groupBy("dem_tile_id")
+        .agg(F.count(F.lit(1)).alias("n_scenes"))
+    )
+
+
+def _tile_catalog_pdf():
+    """10×10 1° tile catalog over [5,15]×[35,45] — matches the SQL
+    range()-generated catalog in the kNN oracle exactly."""
+    import pandas as pd
+
+    rows = [
+        (f"T{ix:02d}{iy:02d}", 5.5 + ix, 35.5 + iy)
+        for ix in range(10)
+        for iy in range(10)
+    ]
+    return pd.DataFrame(rows, columns=["dem_tile_id", "cx", "cy"])
+
+
+def q_knn_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN scene→DEM-tile (k=3) via broadcast grid-bucket index +
+    cell-ring expansion in mapInPandas (SURVEY §2.3 kNN variant)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.knn import knn_join
+
+    scenes = _scenes(spark, sf_dir).where(F.expr("scene_id % 2 = 0"))
+    out = knn_join(scenes, _tile_catalog_pdf(), k=3)
+    return out.select("scene_id", "dem_tile_id", "knn_rank")
+
+
+def q_burst_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOI join → per (product, subswath) consecutive burst range +
+    partial-product line-window arithmetic (SURVEY §2.3/§2.4;
+    process.py:389-393 + download.py:414-415)."""
+    from eo_tools_spark.operators.pairing import burst_range, line_range
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+    from eo_tools_spark.sources.derived import aoi_rings
+
+    scenes = _scenes(spark, sf_dir)
+    rings = {k: v for k, v in aoi_rings().items() if k == "aoi_mid"}
+    joined = aoi_point_join(scenes, rings)
+    return line_range(burst_range(joined), 1507).select(
+        "product_id", "subswath", "min_burst", "max_burst",
+        "line_start", "number_of_lines",
+    )
+
+
+def q_esd_phase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESD phase-difference mean: associative complex mean via
+    groupBy(sum re, sum im) (SURVEY §2.4; core.py:1009-1014).
+
+    The hash-compared output carries the EXACT complex sums (integers in
+    doubles — associative, order-independent); the final atan2 is a
+    deterministic scalar on top, pinned against numpy in pytest instead
+    of here because JVM StrictMath and DuckDB libm atan2 differ by 1 ulp.
+    """
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        "l_returnflag",
+        (F.col("l_partkey") % 13 - 6).cast("double").alias("re"),
+        (F.col("l_suppkey") % 7 - 3).cast("double").alias("im"),
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.sum("re").alias("sum_re"),
+        F.sum("im").alias("sum_im"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship spatial join + tile assignment at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.functions.spatial import tile_id_col
+
+    out = q_pip_aoi_join(spark, "/root/testdata/sf0.001")
+    return out.withColumn("dem_tile_id", tile_id_col("lon", "lat"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_index": q_cell_index,
+        "pip_aoi_join": q_pip_aoi_join,
+        "tile_assign": q_tile_assign,
+        "knn_tile": q_knn_tile,
+        "burst_range": q_burst_range,
+        "esd_phase_mean": q_esd_phase_mean,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eo_tools_spark.geo.cells import cell_id_sql
+    from eo_tools_spark.functions.spatial import tile_id_sql
+    from eo_tools_spark.sources.derived import (
+        AOI_BOXES,
+        SCENES_SQL_BODY,
+        aoi_pip_oracle_sql,
+    )
+
+    scenes_cte = f"WITH scenes AS ({SCENES_SQL_BODY})"
+
+    x0, y0, x1, y1 = AOI_BOXES["aoi_mid"]
+    burst_range_sql = (
+        f"{scenes_cte} "
+        "SELECT product_id, subswath, "
+        "MIN(burst) AS min_burst, MAX(burst) AS max_burst, "
+        "1507 * (MIN(burst) - 1) AS line_start, "
+        "1507 * (MAX(burst) - MIN(burst) + 1) AS number_of_lines "
+        "FROM scenes "
+        f"WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1} "
+        "GROUP BY product_id, subswath"
+    )
+
+    knn_sql = (
+        f"{scenes_cte}, "
+        "tiles AS (SELECT 'T' || lpad(CAST(ix AS VARCHAR), 2, '0') || "
+        "lpad(CAST(iy AS VARCHAR), 2, '0') AS dem_tile_id, "
+        "5.5 + ix AS cx, 35.5 + iy AS cy "
+        "FROM (SELECT range AS ix FROM range(10)), "
+        "(SELECT range AS iy FROM range(10))), "
+        "d AS (SELECT scene_id, dem_tile_id, "
+        "(cx - lon) * (cx - lon) + (cy - lat) * (cy - lat) AS dist2 "
+        "FROM scenes, tiles WHERE scene_id % 2 = 0), "
+        "r AS (SELECT scene_id, dem_tile_id, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY scene_id ORDER BY dist2, dem_tile_id) AS INT) AS knn_rank "
+        "FROM d) "
+        "SELECT scene_id, dem_tile_id, knn_rank FROM r WHERE knn_rank <= 3"
+    )
+
+    return {
+        "cell_index": (
+            f"{scenes_cte} SELECT scene_id, "
+            f"{cell_id_sql('lon', 'lat', CELL_RES)} AS cell FROM scenes"
+        ),
+        "pip_aoi_join": aoi_pip_oracle_sql(),
+        "tile_assign": (
+            f"{scenes_cte} SELECT {tile_id_sql('lon', 'lat')} AS dem_tile_id, "
+            "COUNT(*) AS n_scenes FROM scenes GROUP BY 1"
+        ),
+        "knn_tile": knn_sql,
+        "burst_range": burst_range_sql,
+        "esd_phase_mean": (
+            "SELECT l_returnflag, "
+            "SUM(CAST(l_partkey % 13 - 6 AS DOUBLE)) AS sum_re, "
+            "SUM(CAST(l_suppkey % 7 - 3 AS DOUBLE)) AS sum_im, "
+            "COUNT(*) AS n_samples "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+    }

@@ -1,0 +1,136 @@
+"""Spatial column functions.
+
+Design rule: anything expressible as Catalyst expressions stays JVM-side
+(whole-stage codegen, no Python) — point→cell id, bbox predicates, tile
+naming. Only geometry-shape work (polygon covers, exact PIP/intersects on
+WKB) crosses into Arrow-batched pandas UDFs. Never per-row Python.
+
+Reference semantics carried over:
+- ``intersects`` predicate of the AOI×burst join
+  (/root/reference/eo_tools/S1/process.py:321-323, download.py:390).
+- buffer-by-arc-seconds bbox expansion for DEM selection
+  (/root/reference/eo_tools/S1/core.py:302-317).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, BooleanType, DoubleType, LongType
+
+from eo_tools_spark.geo import cells as C
+from eo_tools_spark.geo import geom as G
+from eo_tools_spark.geo import wkb as W
+
+
+def cell_col(lon: str | Column, lat: str | Column, res: int) -> Column:
+    """Point → cell id as a pure Catalyst expression (codegen'd JVM-side).
+
+    Bit-identical to geo.cells.cell_of_points and to the DuckDB oracle
+    expression (geo.cells.cell_id_sql).
+    """
+    lon_e = lon if isinstance(lon, str) else None
+    if lon_e is None:
+        raise TypeError("pass column NAMES so the expr stays SQL-parseable")
+    return F.expr(C.cell_id_sql(lon, lat, res)).cast("long")
+
+
+def cell_parent_col(cell: str | Column, parent_res: int) -> Column:
+    """Parent cell id as Catalyst arithmetic (for salting/rollup keys)."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    res = (c / (1 << 58)).cast("long")
+    ix = ((c / (1 << 29)).cast("long")) % (1 << 29)
+    iy = c % (1 << 29)
+    shift = F.pow(F.lit(2.0), (res - parent_res).cast("double")).cast("long")
+    return (
+        F.lit(parent_res).cast("long") * F.lit(1 << 58).cast("long")
+        + (ix / shift).cast("long") * F.lit(1 << 29).cast("long")
+        + (iy / shift).cast("long")
+    )
+
+
+def tile_id_col(lon: str | Column, lat: str | Column) -> Column:
+    """1°×1° DEM-style tile name, e.g. 'N31W009' — mirrors the Copernicus
+    DEM tile naming the reference's DEM catalog uses
+    (/root/reference/eo_tools/dem.py:39-47 fetches such tiles)."""
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    lat_i = F.floor(lat_c).cast("int")
+    lon_i = F.floor(lon_c).cast("int")
+    return F.concat(
+        F.when(lat_i >= 0, F.lit("N")).otherwise(F.lit("S")),
+        F.lpad(F.abs(lat_i).cast("string"), 2, "0"),
+        F.when(lon_i >= 0, F.lit("E")).otherwise(F.lit("W")),
+        F.lpad(F.abs(lon_i).cast("string"), 3, "0"),
+    )
+
+
+def tile_id_sql(lon_expr: str, lat_expr: str) -> str:
+    """DuckDB-compatible SQL mirroring tile_id_col."""
+    return (
+        f"concat(CASE WHEN FLOOR({lat_expr}) >= 0 THEN 'N' ELSE 'S' END, "
+        f"lpad(CAST(CAST(ABS(FLOOR({lat_expr})) AS BIGINT) AS VARCHAR), 2, '0'), "
+        f"CASE WHEN FLOOR({lon_expr}) >= 0 THEN 'E' ELSE 'W' END, "
+        f"lpad(CAST(CAST(ABS(FLOOR({lon_expr})) AS BIGINT) AS VARCHAR), 3, '0'))"
+    )
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def cover_cells_udf(wkb_s: pd.Series, res_s: pd.Series) -> pd.Series:
+    """Polygon WKB → covering cell ids (Arrow-batched).
+
+    Used when footprints live in a *large* table (burst quads per image);
+    for small AOI tables the cover is computed driver-side instead.
+    """
+    out = []
+    for wkb, res in zip(wkb_s, res_s):
+        ring = W.wkb_to_coords(bytes(wkb))[0]
+        out.append(C.cover_polygon(ring, int(res)).tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def wkb_bounds_udf(wkb_s: pd.Series) -> pd.Series:
+    out = []
+    for wkb in wkb_s:
+        out.append(list(W.wkb_bounds(bytes(wkb))))
+    return pd.Series(out)
+
+
+def make_pip_refine_udf(rings_by_id: dict):
+    """Exact PIP refine against a driver-broadcast {aoi_id: ring} dict.
+
+    Vectorized per (batch × aoi): rows are grouped by aoi_id inside each
+    Arrow batch and tested with the numpy ray-casting kernel — replaces
+    shapely STRtree refine (reference gdf.intersects at process.py:321).
+    """
+
+    @F.pandas_udf(BooleanType())
+    def pip_refine(aoi_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        res = np.zeros(len(aoi_id), dtype=bool)
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        ids = aoi_id.to_numpy()
+        for aid in pd.unique(aoi_id):
+            mask = ids == aid
+            res[mask] = G.points_in_polygon(lon_v[mask], lat_v[mask], rings_by_id[aid])
+        return pd.Series(res)
+
+    return pip_refine
+
+
+def make_poly_intersects_udf(rings_by_id: dict):
+    """Exact polygon×polygon intersects refine (footprint WKB vs AOI)."""
+
+    @F.pandas_udf(BooleanType())
+    def poly_refine(aoi_id: pd.Series, fp_wkb: pd.Series) -> pd.Series:
+        out = np.zeros(len(aoi_id), dtype=bool)
+        for i, (aid, wkb) in enumerate(zip(aoi_id, fp_wkb)):
+            ring = W.wkb_to_coords(bytes(wkb))[0]
+            out[i] = G.polygon_intersects(ring, rings_by_id[aid])
+        return pd.Series(out)
+
+    return poly_refine

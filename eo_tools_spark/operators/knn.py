@@ -1,0 +1,158 @@
+"""kNN scene→DEM-tile matching via cell-ring expansion.
+
+The reference selects DEM tiles by *window covering* (geometry_window per
+burst, /root/reference/eo_tools/S1/process.py:2308-2327; union-bbox cache
+key core.py:302-317). The north rule generalizes this to kNN matching of
+scenes to DEM tiles by centroid distance.
+
+Physical shape: the tile catalog (≤ ~100k rows: global 1° grid is 64800)
+is indexed driver-side into a cell→tile-index bucket map at a coarse
+resolution and BROADCAST; scenes stream through ``mapInPandas`` where
+each Arrow batch is grouped by its coarse cell (numpy ``unique``) and the
+ring-expansion search runs once per distinct cell, fully vectorized over
+that cell's points — no per-row Python, no shuffle of the scene side.
+
+Metric: planar Euclidean in degrees on centroids (deterministic, matches
+the SQL oracle exactly); tie-break on tile_id ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from eo_tools_spark.geo import cells as C
+
+
+class TileIndex:
+    """Driver-built, broadcastable grid-bucket index over tile centers."""
+
+    def __init__(self, tile_ids: np.ndarray, cx: np.ndarray, cy: np.ndarray, res: int = 6):
+        order = np.argsort(tile_ids, kind="stable")
+        self.ids = np.asarray(tile_ids)[order]
+        self.cx = np.asarray(cx, dtype=np.float64)[order]
+        self.cy = np.asarray(cy, dtype=np.float64)[order]
+        self.res = res
+        cells = C.cell_of_points(self.cx, self.cy, res)
+        self.buckets: dict[int, np.ndarray] = {}
+        srt = np.argsort(cells, kind="stable")
+        cs = cells[srt]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        for cell, idx in zip(
+            np.concatenate([[cs[0]], cs[bounds]]) if len(cs) else [],
+            np.split(srt, bounds),
+        ):
+            self.buckets[int(cell)] = idx
+        n = np.int64(1) << res
+        self.cell_w = 360.0 / float(n)
+        self.cell_h = 180.0 / float(n)
+
+    def _candidates(self, cell: int, ring: int) -> np.ndarray:
+        cells = C.cell_ring(cell, ring)
+        parts = [self.buckets[int(c)] for c in cells if int(c) in self.buckets]
+        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+    def query_group(self, cell: int, qx: np.ndarray, qy: np.ndarray, k: int):
+        """kNN for all points sharing one coarse cell. Returns
+        (idx (m,k), dist2 (m,k)). Vectorized across the group."""
+        ring = 1
+        cand = self._candidates(cell, ring)
+        max_ring = max(
+            int(360.0 / self.cell_w), int(180.0 / self.cell_h)
+        )
+        while len(cand) < k and ring < max_ring:
+            ring += 1
+            cand = self._candidates(cell, ring)
+        # expand until the guaranteed-covered radius exceeds the worst kth
+        # distance in the group: points sit inside the center cell, so
+        # ring r guarantees coverage of radius (r-1)*min(cell_w, cell_h).
+        while ring < max_ring:
+            dx = self.cx[cand][None, :] - qx[:, None]
+            dy = self.cy[cand][None, :] - qy[:, None]
+            d2 = dx * dx + dy * dy
+            kth_worst = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1].max())
+            guaranteed = (ring - 1) * min(self.cell_w, self.cell_h)
+            if guaranteed >= kth_worst:
+                break
+            ring += 1
+            cand = self._candidates(cell, ring)
+        dx = self.cx[cand][None, :] - qx[:, None]
+        dy = self.cy[cand][None, :] - qy[:, None]
+        d2 = dx * dx + dy * dy
+        # deterministic order: distance, then tile_id (ids pre-sorted so
+        # stable argsort on d2 tie-breaks by id)
+        topk = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        rows = np.arange(len(qx))[:, None]
+        return cand[topk], d2[rows, topk]
+
+
+def knn_join(
+    scenes: DataFrame,
+    tiles_pdf: pd.DataFrame,
+    k: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "scene_id",
+    tile_id_col: str = "dem_tile_id",
+    index_res: int = 6,
+) -> DataFrame:
+    """For each scene, the k nearest tiles. Output columns:
+    (id_col, tile_id, knn_rank 1-based, dist2)."""
+    spark = scenes.sparkSession
+    index = TileIndex(
+        tiles_pdf[tile_id_col].to_numpy(),
+        tiles_pdf["cx"].to_numpy(),
+        tiles_pdf["cy"].to_numpy(),
+        res=index_res,
+    )
+    bc = spark.sparkContext.broadcast(index)
+    id_field = scenes.schema[id_col]
+
+    from pyspark.sql.types import LongType, StringType
+
+    tile_id_type = (
+        StringType() if tiles_pdf[tile_id_col].dtype == object else LongType()
+    )
+    out_schema = StructType(
+        [
+            id_field,
+            StructField(tile_id_col, tile_id_type),
+            StructField("knn_rank", IntegerType()),
+            StructField("dist2", DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        for pdf in batches:
+            qx = pdf[lon].to_numpy(dtype=np.float64)
+            qy = pdf[lat].to_numpy(dtype=np.float64)
+            cells = C.cell_of_points(qx, qy, idx.res)
+            ids_out, tiles_out, rank_out, d2_out = [], [], [], []
+            for cell in np.unique(cells):
+                m = cells == cell
+                ti, d2 = idx.query_group(int(cell), qx[m], qy[m], k)
+                kk = ti.shape[1]
+                ids_out.append(np.repeat(pdf[id_col].to_numpy()[m], kk))
+                tiles_out.append(idx.ids[ti].ravel())
+                rank_out.append(np.tile(np.arange(1, kk + 1), m.sum()))
+                d2_out.append(d2.ravel())
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids_out) if ids_out else [],
+                    tile_id_col: np.concatenate(tiles_out) if tiles_out else [],
+                    "knn_rank": np.concatenate(rank_out) if rank_out else [],
+                    "dist2": np.concatenate(d2_out) if d2_out else [],
+                }
+            )
+
+    return scenes.select(id_col, lon, lat).mapInPandas(compute, schema=out_schema)
