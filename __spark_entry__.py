@@ -134,6 +134,46 @@ def q_esd_phase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- text / dedup / vectors
+
+_DUAL_QUERIES: dict[str, tuple[str, list[str]]] = {}
+
+
+def _register_dual_queries() -> None:
+    """Text/dedup/similarity/window queries built once as dual-dialect
+    SQL (see eo_tools_spark/operators/text_queries.py)."""
+    if _DUAL_QUERIES:
+        return
+    from eo_tools_spark.operators import text_queries as TQ
+
+    specs = {
+        "dedup_exact": (TQ.dedup_exact(), ["documents"]),
+        "minhash_lsh_pairs": (TQ.minhash_lsh_pairs(), ["documents"]),
+        "ngram_jaccard_pairs": (TQ.ngram_jaccard_pairs(), ["documents"]),
+        "langid": (TQ.langid(), ["documents"]),
+        "quality_score": (TQ.quality_score(), ["documents"]),
+        "ann_topk": (TQ.ann_topk(), ["embeddings"]),
+        "neardup_embedding": (TQ.neardup_embedding(), ["embeddings"]),
+        "events_hourly": (TQ.events_hourly(), ["events"]),
+        "sessionize": (TQ.sessionize(), ["events"]),
+    }
+    for name, ((spark_sql, duck_sql), tables) in specs.items():
+        _DUAL_QUERIES[name] = (duck_sql, tables)
+
+        def make(sql: str, tbls: list[str]):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                for t in tbls:
+                    spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+                return spark.sql(sql)
+
+            return run
+
+        globals()[f"_dual_{name}"] = make(spark_sql, tables)
+
+
+_register_dual_queries()
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -147,7 +187,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cell_index": q_cell_index,
         "pip_aoi_join": q_pip_aoi_join,
         "tile_assign": q_tile_assign,
@@ -155,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_range": q_burst_range,
         "esd_phase_mean": q_esd_phase_mean,
     }
+    for name in _DUAL_QUERIES:
+        out[name] = globals()[f"_dual_{name}"]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -196,7 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT scene_id, dem_tile_id, knn_rank FROM r WHERE knn_rank <= 3"
     )
 
-    return {
+    out = {
         "cell_index": (
             f"{scenes_cte} SELECT scene_id, "
             f"{cell_id_sql('lon', 'lat', CELL_RES)} AS cell FROM scenes"
@@ -216,3 +259,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag"
         ),
     }
+    for name, (duck_sql, _tables) in _DUAL_QUERIES.items():
+        out[name] = duck_sql
+    return out

@@ -1,0 +1,303 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design (100 TB): signatures are computed map-side (one pass, Arrow
+batches, one md5 per UNIQUE token per batch then a uint64 affine hash
+family — not H hashes per token); the only shuffles are (a) the band-key
+groupBy whose key cardinality ≈ corpus size / dup rate, and (b) the
+candidate-pair self-join, whose volume LSH keeps near-linear. Exact
+verification touches only candidate pairs.
+
+Operators:
+- exact_dedup          hash-groupBy canonicalization
+- minhash_signatures   H=64 minhash over word tokens (mapInPandas)
+- lsh_pairs            banded LSH candidate pairs + exact-jaccard verify
+- simhash_signatures   64-bit simhash (mapInPandas)
+- simhash_pairs        hamming≤k near-dup pairs via chunk banding
+- embedding_neardup    cosine≥τ pairs via random-hyperplane LSH buckets
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# deterministic affine family over uint64 (odd multipliers)
+_RNG = np.random.default_rng(0xE0705)
+_A = (_RNG.integers(1, 2**63, size=256, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_B = _RNG.integers(0, 2**63, size=256, dtype=np.uint64)
+
+
+def _token_base_hash(unique_tokens: np.ndarray) -> np.ndarray:
+    """md5-derived uint64 per unique token (vector of python-level md5
+    calls on uniques only — the dominant cost is O(unique tokens), not
+    O(tokens × H))."""
+    out = np.empty(len(unique_tokens), dtype=np.uint64)
+    for i, t in enumerate(unique_tokens):
+        out[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-groupBy; output one row per distinct content with
+    the canonical (min) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig:array<long>) — minhash over word tokens."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
+    A, B = _A[:num_hashes], _B[:num_hashes]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            tok_lists = [t.split(" ") for t in texts]
+            flat = np.array(
+                [t for toks in tok_lists for t in toks], dtype=object
+            )
+            doc_idx = np.repeat(
+                np.arange(len(texts)), [len(t) for t in tok_lists]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            base = _token_base_hash(uniq)[inv]  # uint64 per token instance
+            sigs = np.full((len(texts), len(A)), np.iinfo(np.uint64).max, dtype=np.uint64)
+            for h in range(len(A)):
+                vals = base * A[h] + B[h]  # wraps mod 2^64 — intended
+                np.minimum.at(sigs[:, h], doc_idx, vals)
+            # to signed int64 for Spark LongType (bit pattern preserved)
+            sigs_signed = sigs.view(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sig": list(sigs_signed)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def lsh_pairs(
+    sig_df: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, distinct).
+
+    sig length must be divisible by ``bands``. Band keys are xxhash64 of
+    the band slice (engine-internal key — no cross-engine parity needed).
+    """
+    r = F.expr(f"CAST(size(sig) / {bands} AS INT)")
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), "
+                f"b -> xxhash64(b, slice(sig, b * CAST(size(sig)/{bands} AS INT) + 1, "
+                f"CAST(size(sig)/{bands} AS INT))))"
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact distinct-token jaccard on candidate pairs; keeps ≥ threshold.
+    Token-set ops are native Catalyst array functions (JVM-side)."""
+    t = docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+    out = (
+        pairs.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(t.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / (
+                F.size("toks_a") + F.size("toks_b")
+                - F.size(F.array_intersect("toks_a", "toks_b"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash over word tokens (sign of per-bit weighted sums)."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("simhash", LongType())])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            tok_lists = [t.split(" ") for t in texts]
+            flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
+            doc_idx = np.repeat(np.arange(len(texts)), [len(t) for t in tok_lists])
+            uniq, inv = np.unique(flat, return_inverse=True)
+            base = _token_base_hash(uniq)[inv]
+            # ±1 per bit, accumulated per doc: bits (n_tok, 64)
+            bits = ((base[:, None] & bit_cols[None, :]) != 0).astype(np.int32) * 2 - 1
+            acc = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(acc, doc_idx, bits)
+            sig = (acc > 0) @ bit_cols.astype(object)  # python ints avoid overflow
+            sig64 = np.array([int(s) for s in sig], dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": sig64})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def simhash_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
+    pair within distance k agrees exactly on ≥1 chunk → candidates from
+    chunk-equality groupBy join, then exact popcount verify (JVM bit ops).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    chunks = sim_df.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {nchunks - 1}), "
+                f"c -> (simhash >> (c * {width})) & {(1 << width) - 1})"
+            )
+        ).alias("chunk", "ckey"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup(
+    emb_df: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine≥τ near-dup pairs via random-hyperplane LSH.
+
+    Sign-pattern bucket join (multi-probe: 4 rotations of plane subsets)
+    → exact cosine verify on candidates. Recall is probabilistic (LSH);
+    precision is exact.
+    """
+    rng = np.random.default_rng(7)
+    planes = rng.normal(size=(num_planes, dim))
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    sig_schema = StructType(
+        [emb_df.schema[id_col], StructField("bucket", ArrayType(LongType()))]
+    )
+
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        nb = 4
+        per = num_planes // nb
+        for pdf in batches:
+            V = np.vstack(pdf[emb_col].to_numpy())
+            signs = (V @ P.T) > 0  # (n, planes)
+            keys = []
+            for g in range(nb):
+                chunk = signs[:, g * per : (g + 1) * per]
+                key = chunk @ (1 << np.arange(per, dtype=np.int64))
+                keys.append(key + (g << 32))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "bucket": list(np.stack(keys, axis=1))}
+            )
+
+    sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
+    exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    e = emb_df.select(id_col, emb_col)
+    joined = cand.join(
+        e.withColumnRenamed(id_col, "id_a").withColumnRenamed(emb_col, "emb_a"), "id_a"
+    ).join(
+        e.withColumnRenamed(id_col, "id_b").withColumnRenamed(emb_col, "emb_b"), "id_b"
+    )
+    dot = (
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    na = (
+        "sqrt(aggregate(transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
+    )
+    nb_ = (
+        "sqrt(aggregate(transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
+    )
+    return (
+        joined.withColumn("cosine", F.expr(f"{dot} / ({na} * {nb_})"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,253 @@
+"""Dual-dialect (Spark SQL / DuckDB) query builders for the text, dedup
+and similarity driver queries.
+
+Each builder returns ``(spark_sql, duck_sql)`` computing bit-identical
+results. The Spark string is real engine code — it compiles to native
+Catalyst expressions (whole-stage codegen, zero Python); the DuckDB
+string is the independent oracle. The probabilistic/scale variants of the
+same operators (numpy minhash H=64, hyperplane LSH, IVF) live in
+operators/dedup.py and operators/similarity.py and are pinned by pytest
+oracles instead (they are not bit-reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+from eo_tools_spark.functions import text as T
+
+
+def _docs_aug(dialect: str) -> str:
+    return f"docs AS ({T.DOCS_AUG_SQL})"
+
+
+def dedup_exact() -> tuple[str, str]:
+    q = (
+        "WITH {docs} "
+        "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        "FROM docs GROUP BY md5(text)"
+    )
+    return q.format(docs=_docs_aug("spark")), q.format(docs=_docs_aug("duck"))
+
+
+def _bigrams(d: str) -> str:
+    """Distinct word-bigram shingle set from a precomputed ``toks``
+    array column. Word bigrams (not unigrams) so random docs over the
+    tiny shared vocabulary don't all look similar."""
+    if d == "spark":
+        return (
+            "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 1)), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+        )
+    return (
+        "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+        "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))"
+    )
+
+
+def _set_jaccard(d: str, a: str = "a.sh", b: str = "b.sh") -> str:
+    """Jaccard of two precomputed distinct-element array columns."""
+    if d == "spark":
+        inter = f"size(array_intersect({a}, {b}))"
+        union = f"(size({a}) + size({b}) - {inter})"
+    else:
+        inter = f"len(list_intersect({a}, {b}))"
+        union = f"(len({a}) + len({b}) - {inter})"
+    return f"CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE)"
+
+
+def minhash_lsh_pairs(bands: int = 4, rows_per_band: int = 2, threshold: float = 0.5) -> tuple[str, str]:
+    """Banded minhash-LSH candidate pairs + exact jaccard verify, fully
+    in SQL (H = bands×rows_per_band md5-family minhashes over word-bigram
+    shingles; shingle arrays precomputed once per doc in a CTE)."""
+
+    def build(d: str) -> str:
+        split = "split(text, ' ')" if d == "spark" else "string_split(text, ' ')"
+        mh = []
+        for b in range(bands):
+            rows = []
+            for r in range(rows_per_band):
+                seed = b * rows_per_band + r
+                seeded = f"concat('s{seed}_', t)" if d == "spark" else f"'s{seed}_' || t"
+                lam = f"t -> {T.md5_bigint(seeded, d)}"
+                arr = (
+                    f"transform(sh, {lam})" if d == "spark" else f"list_transform(sh, {lam})"
+                )
+                amin = f"array_min({arr})" if d == "spark" else f"list_min({arr})"
+                cast = "STRING" if d == "spark" else "VARCHAR"
+                rows.append(f"CAST({amin} AS {cast})")
+            joiner = ", '_', ".join(rows) if d == "spark" else " || '_' || ".join(rows)
+            key = f"md5(concat({joiner}))" if d == "spark" else f"md5({joiner})"
+            mh.append(f"{key} AS bk{b}")
+        if d == "spark":
+            # single equi-join on exploded (band, key) — Spark inlines
+            # CTEs, so UNION-per-band would recompute the md5 signature
+            # CTE once per branch; posexplode keeps it to one pass/side
+            keys = ", ".join(f"bk{b}" for b in range(bands))
+            cand = (
+                f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+                f"(SELECT doc_id, band, bk FROM sigs "
+                f"LATERAL VIEW posexplode(array({keys})) pe AS band, bk) a JOIN "
+                f"(SELECT doc_id, band, bk FROM sigs "
+                f"LATERAL VIEW posexplode(array({keys})) pe AS band, bk) b "
+                f"ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"
+            )
+        else:
+            cand = " UNION ".join(
+                f"SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+                f"FROM sigs a JOIN sigs b ON a.bk{b} = b.bk{b} AND a.doc_id < b.doc_id"
+                for b in range(bands)
+            )
+        jac = _set_jaccard(d, "ta.sh", "tb.sh")
+        return (
+            f"WITH {_docs_aug(d)}, "
+            f"tokd AS (SELECT doc_id, {split} AS toks FROM docs), "
+            f"shd AS (SELECT doc_id, {_bigrams(d)} AS sh FROM tokd), "
+            f"sigs AS (SELECT doc_id, {', '.join(mh)} FROM shd), "
+            f"cand AS ({cand}) "
+            f"SELECT cand.id_a, cand.id_b, {jac} AS jaccard "
+            f"FROM cand JOIN shd ta ON ta.doc_id = cand.id_a "
+            f"JOIN shd tb ON tb.doc_id = cand.id_b "
+            f"WHERE {jac} >= {threshold}"
+        )
+
+    return build("spark"), build("duck")
+
+
+def ngram_jaccard_pairs(n: int = 3, threshold: float = 0.3) -> tuple[str, str]:
+    """Character-n-gram jaccard near-dup pairs; candidates bucketed by
+    length band (length//16) — same pruning both engines."""
+
+    def build(d: str) -> str:
+        ln = "length(text)" if d == "spark" else "len(text)"
+        jac = _set_jaccard(d)
+        return (
+            f"WITH {_docs_aug(d)}, "
+            f"b AS (SELECT doc_id, {T.shingles('text', n, d)} AS sh, "
+            f"CAST(FLOOR({ln} / 16) AS BIGINT) AS lb FROM docs) "
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard "
+            f"FROM b a JOIN b b ON a.doc_id < b.doc_id AND a.lb = b.lb "
+            f"WHERE {jac} >= {threshold}"
+        )
+
+    return build("spark"), build("duck")
+
+
+def langid() -> tuple[str, str]:
+    def build(d: str) -> str:
+        hits = ", ".join(
+            f"CAST({T.stopword_hits('text', lang, d)} AS BIGINT) AS hits_{lang}"
+            for lang in T.STOPWORDS
+        )
+        return (
+            f"SELECT doc_id, {T.langid_case('text', d)} AS lang_pred, {hits} "
+            f"FROM documents"
+        )
+
+    return build("spark"), build("duck")
+
+
+def quality_score() -> tuple[str, str]:
+    def build(d: str) -> str:
+        cols = ", ".join(
+            f"{expr} AS {name}" for name, expr in T.quality_columns("text", d).items()
+        )
+        return (
+            f"SELECT doc_id, {cols}, {T.fingerprint('text', d)} AS fingerprint "
+            f"FROM documents"
+        )
+
+    return build("spark"), build("duck")
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), "
+    "(acc, z) -> acc + z)"
+)
+
+
+def _cosine(d: str, a: str, b: str) -> str:
+    dot = (_DOT if d == "spark" else _DUCK_DOT)
+    return (
+        f"({dot.format(a=a, b=b)}) / "
+        f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)}))"
+    )
+
+
+def ann_topk(k: int = 10, n_queries: int = 5) -> tuple[str, str]:
+    """Exact top-k cosine per query (queries = first n_queries vec_ids)
+    via identical left-fold arithmetic → identical doubles → identical
+    ranks in both engines."""
+
+    def build(d: str) -> str:
+        cos = _cosine(d, "q.embedding", "v.embedding")
+        return (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            f"WHERE vec_id < {n_queries}), "
+            f"s AS (SELECT q.query_id, v.vec_id, {cos} AS cosine "
+            f"FROM q, embeddings v), "
+            f"r AS (SELECT query_id, vec_id, cosine, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+            f"FROM s) "
+            f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}"
+        )
+
+    return build("spark"), build("duck")
+
+
+def neardup_embedding(threshold: float = 0.4) -> tuple[str, str]:
+    """All-pairs cosine ≥ τ (exact; the LSH-bucketed scale path is
+    operators/dedup.embedding_neardup, pytest-pinned)."""
+
+    def build(d: str) -> str:
+        cos = _cosine(d, "a.embedding", "b.embedding")
+        return (
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine "
+            f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE {cos} >= {threshold}"
+        )
+
+    return build("spark"), build("duck")
+
+
+def events_hourly() -> tuple[str, str]:
+    """Tumbling 1-hour window aggregation; money summed in exact cents
+    (ROUND before CAST — double sums are order-dependent, int sums not)."""
+
+    def build(d: str) -> str:
+        trunc = "date_trunc('HOUR', ts)" if d == "spark" else "date_trunc('hour', ts)"
+        return (
+            f"SELECT {trunc} AS hour, event_type, COUNT(*) AS n_events, "
+            f"SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents "
+            f"FROM events GROUP BY {trunc}, event_type"
+        )
+
+    return build("spark"), build("duck")
+
+
+def sessionize(gap_minutes: int = 30) -> tuple[str, str]:
+    """Gap-based sessionization via lag + running sum window — the
+    batch analog of a streaming session window."""
+    gap = gap_minutes * 60
+
+    def build(d: str) -> str:
+        # FLOOR before cast: Spark unix_timestamp floors sub-second parts,
+        # DuckDB CAST(double AS BIGINT) would round them
+        epoch = "unix_timestamp(ts)" if d == "spark" else "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+        return (
+            f"WITH e AS (SELECT user_id, ts, {epoch} AS t FROM events), "
+            "lagged AS (SELECT user_id, t, CASE WHEN t - LAG(t) OVER "
+            "(PARTITION BY user_id ORDER BY t) > "
+            f"{gap} THEN 1 ELSE 0 END AS new_session FROM e), "
+            "sess AS (SELECT user_id, t, SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS session_id FROM lagged) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MAX(t) - MIN(t) AS duration_sec "
+            "FROM sess GROUP BY user_id, session_id"
+        )
+
+    return build("spark"), build("duck")

@@ -1,0 +1,164 @@
+"""Dedup + similarity operators vs exact numpy oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eo_tools_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+    verify_jaccard,
+)
+from eo_tools_spark.operators.similarity import brute_topk, ivf_topk
+
+
+def corpus(spark, n=200, seed=3):
+    """Synthetic corpus with planted near/exact duplicates."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(300)])
+    rows = []
+    for i in range(n):
+        toks = rng.choice(vocab, size=rng.integers(20, 40))
+        rows.append((i, " ".join(toks)))
+    # plant exact dups and near dups
+    for i in range(0, n, 10):
+        rows.append((10000 + i, rows[i][1]))  # exact copy
+    for i in range(5, n, 10):
+        toks = rows[i][1].split(" ")
+        toks[0] = "CHANGED"
+        rows.append((20000 + i, " ".join(toks)))  # near dup
+    return spark.createDataFrame(rows, "doc_id long, text string"), dict(rows)
+
+
+class TestExactDedup:
+    def test_counts(self, spark):
+        df, _ = corpus(spark)
+        out = exact_dedup(df).toPandas()
+        dup_groups = out[out.n_copies > 1]
+        assert len(dup_groups) == 20  # 20 planted exact copies
+        assert (dup_groups.n_copies == 2).all()
+
+
+class TestMinhashLSH:
+    def test_signature_is_minhash(self, spark):
+        """Engine sig == numpy reimplementation of the same family."""
+        df, texts = corpus(spark, n=20)
+        sig = {
+            r.doc_id: np.array(r.sig, dtype=np.int64).view(np.uint64)
+            for r in minhash_signatures(df, num_hashes=8).collect()
+        }
+        from eo_tools_spark.operators.dedup import _A, _B
+
+        for doc_id, text in list(texts.items())[:5]:
+            toks = np.unique(np.array(text.split(" "), dtype=object))
+            base = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            for h in range(8):
+                exp = (base * _A[h] + _B[h]).min()
+                assert sig[doc_id][h] == exp
+
+    def test_lsh_finds_planted_dups(self, spark):
+        df, texts = corpus(spark)
+        sig = minhash_signatures(df, num_hashes=64)
+        pairs = lsh_pairs(sig, bands=16)
+        verified = verify_jaccard(pairs, df, threshold=0.5).toPandas()
+        got = {(r.id_a, r.id_b) for r in verified.itertuples()}
+        # every exact copy must be found (identical sigs → same bands)
+        for i in range(0, 200, 10):
+            assert (i, 10000 + i) in got
+        # near dups (1 token changed of ≥20) have jaccard ≥ 0.9 → found
+        found_near = sum(1 for i in range(5, 200, 10) if (i, 20000 + i) in got)
+        assert found_near >= 18  # LSH recall high at this similarity
+        # precision: every reported pair really has jaccard ≥ 0.5
+        for r in verified.itertuples():
+            ta = set(texts[r.id_a].split(" "))
+            tb = set(texts[r.id_b].split(" "))
+            jac = len(ta & tb) / len(ta | tb)
+            assert jac == pytest.approx(r.jaccard)
+            assert jac >= 0.5
+
+
+class TestSimhash:
+    def test_exact_dups_have_zero_hamming(self, spark):
+        df, _ = corpus(spark, n=100)
+        pairs = simhash_pairs(simhash_signatures(df), max_hamming=3).toPandas()
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+        for i in range(0, 100, 10):
+            assert got[(i, 10000 + i)] == 0
+
+    def test_hamming_verified(self, spark):
+        df, _ = corpus(spark, n=100)
+        sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+        pairs = simhash_pairs(simhash_signatures(df), max_hamming=3).toPandas()
+        for r in pairs.itertuples():
+            h = bin((sig[r.id_a] ^ sig[r.id_b]) & (2**64 - 1)).count("1")
+            assert h == r.hamming and h <= 3
+
+
+def embeddings_df(spark, n=400, dim=32, seed=9):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim))
+    # plant near-dups: rows 0..9 ≈ rows 100..109
+    V[100:110] = V[0:10] + 0.01 * rng.normal(size=(10, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.astype(np.float32).tolist() for v in V]}
+    )
+    return spark.createDataFrame(pdf), V
+
+
+class TestEmbeddingNearDup:
+    def test_planted_pairs_found(self, spark):
+        df, V = embeddings_df(spark)
+        out = embedding_neardup(df, threshold=0.95, dim=32).toPandas()
+        got = {(r.id_a, r.id_b) for r in out.itertuples()}
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        planted = {
+            (i, 100 + i)
+            for i in range(10)
+            if Vn[i] @ Vn[100 + i] >= 0.95
+        }
+        assert planted and planted <= got
+        # precision exact
+        for r in out.itertuples():
+            assert Vn[r.id_a] @ Vn[r.id_b] == pytest.approx(r.cosine, abs=1e-6)
+
+
+class TestTopK:
+    def test_brute_matches_numpy(self, spark):
+        df, V = embeddings_df(spark)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        queries = pd.DataFrame(
+            {"query_id": [0, 1], "embedding": [V[0].tolist(), V[50].tolist()]}
+        )
+        out = brute_topk(df, queries, k=5).toPandas()
+        for qi, qv in [(0, Vn[0]), (1, Vn[50])]:
+            sims = Vn @ qv
+            exp = np.argsort(-sims, kind="stable")[:5]
+            got = out[out.query_id == qi].sort_values("rank")["vec_id"].to_numpy()
+            np.testing.assert_array_equal(got, exp)
+
+    def test_ivf_recall(self, spark):
+        df, V = embeddings_df(spark)
+        queries = pd.DataFrame(
+            {"query_id": np.arange(8), "embedding": [V[i].tolist() for i in range(8)]}
+        )
+        brute = brute_topk(df, queries, k=10).toPandas()
+        ivf = ivf_topk(df, queries, k=10, ncells=8, nprobe=3).toPandas()
+        recalls = []
+        for q in range(8):
+            b = set(brute[brute.query_id == q]["vec_id"])
+            a = set(ivf[ivf.query_id == q]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.7  # nprobe 3/8 cells
