@@ -156,6 +156,12 @@ def _register_dual_queries() -> None:
         "neardup_embedding": (TQ.neardup_embedding(), ["embeddings"]),
         "events_hourly": (TQ.events_hourly(), ["events"]),
         "sessionize": (TQ.sessionize(), ["events"]),
+        "stitch_lines": (TQ.stitch_lines(), []),
+        "minby_poly": (TQ.minby_poly(), ["orders"]),
+        "subswath_union": (TQ.subswath_union(), ["orders"]),
+        "validation_antijoin": (TQ.validation_antijoin(), ["orders"]),
+        "amplitude_proj": (TQ.amplitude_proj(), ["lineitem"]),
+        "s2_scaling": (TQ.s2_scaling(), ["lineitem"]),
     }
     for name, ((spark_sql, duck_sql), tables) in specs.items():
         _DUAL_QUERIES[name] = (duck_sql, tables)
@@ -172,6 +178,57 @@ def _register_dual_queries() -> None:
 
 
 _register_dual_queries()
+
+
+# -------------------------------------------------------- image pipeline
+# rows-only checks: the image table is generated (deterministically) by
+# the engine itself; pixel synthesis is not SQL-expressible, so these
+# have no oracle_sql entry. Their invariants (lossless allclose / lossy
+# PSNR >= 40 dB, caption equality, phash parity) are enforced IN the
+# returned rows (boolean columns, asserted by tests/test_imaging.py).
+
+_IMG_N = 400
+
+
+def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint per-row invariant: decode(bytes) vs reference pixels —
+    allclose for png/raw, PSNR >= 40 dB for lossy, caption equality."""
+    from eo_tools_spark.operators.image_pipeline import verify_roundtrip
+    from eo_tools_spark.sources.synthetic import images_table
+
+    return verify_roundtrip(images_table(spark, _IMG_N))
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image table (native bit
+    ops, no decode)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.image_pipeline import phash_neardup
+    from eo_tools_spark.sources.synthetic import images_table
+
+    imgs = images_table(spark, _IMG_N)
+    dup = imgs.limit(20).withColumn("image_id", F.concat(F.lit("dup-"), F.col("image_id")))
+    return phash_neardup(imgs.union(dup), max_hamming=3)
+
+
+def q_image_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline on the image table itself: AOI join + 1° tile
+    assignment + per-tile counts (column pruning keeps bytes unread)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.functions.spatial import tile_id_col
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+    from eo_tools_spark.sources.derived import aoi_rings
+    from eo_tools_spark.sources.synthetic import images_table
+
+    imgs = images_table(spark, _IMG_N)
+    return (
+        aoi_point_join(imgs, aoi_rings())
+        .withColumn("dem_tile_id", tile_id_col("lon", "lat"))
+        .groupBy("aoi_id", "dem_tile_id")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
 
 
 # ---------------------------------------------------------------- contract
@@ -197,6 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in _DUAL_QUERIES:
         out[name] = globals()[f"_dual_{name}"]
+    out["image_roundtrip"] = q_image_roundtrip
+    out["image_phash_neardup"] = q_image_phash_neardup
+    out["image_tile_assign"] = q_image_tile_assign
     return out
 
 

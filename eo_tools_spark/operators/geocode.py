@@ -1,0 +1,208 @@
+"""Geocoding core: DEM pixel → (azimuth, range) radar coordinates.
+
+The reference solves the zero-Doppler equation per pixel in a numba
+prange loop (/root/reference/eo_tools/S1/core.py:1292-1374). Here the
+bisection runs VECTORIZED over whole pixel batches (numpy, inside
+mapInPandas over DEM tiles) — the Spark-first equivalent: orbit state
+vectors are a broadcast table; each DEM tile is one Arrow row; output is
+the LUT (az, rg per DEM pixel) that drives the resample gather join.
+
+Numeric contract (pinned by the analytic oracle,
+/root/reference/tests/test_s1_core.py:202-217): linear interpolation of
+positions/velocities between integer orbit indices, Doppler
+fc = -(v·d)/|d|, bisection to |fc| < tol, NaN where no sign change.
+
+ECEF transform: WGS84 closed form (core.py:1214-1289 math).
+Remap (LUT gather): nearest + bilinear with NaN outside the source grid
+(/root/reference/eo_tools/S1/util.py:150-213 contract: in-bounds coords
+produce no NaN, tests/test_s1_util.py:10-22).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2 - WGS84_F)
+
+
+def lla_to_ecef(lat_deg, lon_deg, alt):
+    """WGS84 geodetic → ECEF (vectorized)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    alt = np.asarray(alt, dtype=np.float64)
+    sin_lat, cos_lat = np.sin(lat), np.cos(lat)
+    n = WGS84_A / np.sqrt(1 - WGS84_E2 * sin_lat**2)
+    x = (n + alt) * cos_lat * np.cos(lon)
+    y = (n + alt) * cos_lat * np.sin(lon)
+    z = (n * (1 - WGS84_E2) + alt) * sin_lat
+    return x, y, z
+
+
+def _doppler(t, x, y, z, P, V):
+    """Doppler frequency at fractional orbit index t (vectorized over
+    pixels). Linear SV interpolation — the reference's exact scheme."""
+    t0 = np.floor(t).astype(np.int64)
+    t1 = np.ceil(t).astype(np.int64)
+    f = t - t0
+    px = P[t0, 0] + f * (P[t1, 0] - P[t0, 0])
+    py = P[t0, 1] + f * (P[t1, 1] - P[t0, 1])
+    pz = P[t0, 2] + f * (P[t1, 2] - P[t0, 2])
+    vx = V[t0, 0] + f * (V[t1, 0] - V[t0, 0])
+    vy = V[t0, 1] + f * (V[t1, 1] - V[t0, 1])
+    vz = V[t0, 2] + f * (V[t1, 2] - V[t0, 2])
+    dx, dy, dz = x - px, y - py, z - pz
+    d2 = dx * dx + dy * dy + dz * dz
+    fc = -(vx * dx + vy * dy + vz * dz) / np.sqrt(d2)
+    return fc, dx, dy, dz
+
+
+def range_doppler(xx, yy, zz, positions, velocities, tol=1e-8, maxiter=10000):
+    """Vectorized zero-Doppler solve. Returns (i_zd, r_zd, dx, dy, dz);
+    NaN where the Doppler sign does not change over the orbit span."""
+    x = np.asarray(xx, dtype=np.float64).ravel()
+    y = np.asarray(yy, dtype=np.float64).ravel()
+    z = np.asarray(zz, dtype=np.float64).ravel()
+    P = np.asarray(positions, dtype=np.float64)
+    V = np.asarray(velocities, dtype=np.float64)
+    n = len(x)
+    nb = len(P) - 1
+
+    valid = ~np.isnan(x)
+    a = np.zeros(n)
+    b = np.full(n, float(nb))
+    fa, _, _, _ = _doppler(a, x, y, z, P, V)
+    fb, _, _, _ = _doppler(b, x, y, z, P, V)
+    no_root = np.sign(fa * fb) > 0
+    live = valid & ~no_root
+
+    c = (a + b) / 2.0
+    fc, _, _, _ = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
+    it = 0
+    while it < maxiter:
+        act = live & (np.abs(fc) > tol)
+        if not act.any():
+            break
+        it += 1
+        left = act & (fa * fc < 0)
+        right = act & ~left
+        b[left] = c[left]
+        fb[left] = fc[left]
+        a[right] = c[right]
+        fa[right] = fc[right]
+        c = np.where(act, (a + b) / 2.0, c)
+        fc_new, _, _, _ = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
+        fc = np.where(act, fc_new, fc)
+
+    # endpoints that are already roots (reference early-exits)
+    fa0, _, _, _ = _doppler(np.zeros(n), x, y, z, P, V)
+    c = np.where(valid & (np.abs(fa0) < tol), 0.0, c)
+
+    _, dx, dy, dz = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
+    r = np.sqrt(dx * dx + dy * dy + dz * dz)
+    bad = ~valid | no_root
+    i_zd = np.where(bad, np.nan, c)
+    r_zd = np.where(bad, np.nan, r)
+    return i_zd, r_zd, np.where(bad, np.nan, dx), np.where(bad, np.nan, dy), np.where(bad, np.nan, dz)
+
+
+# ------------------------------------------------- LUT over DEM tiles
+
+LUT_SCHEMA = StructType(
+    [
+        StructField("dem_tile_id", StringType()),
+        StructField("az", BinaryType()),   # float64 (th*tw)
+        StructField("rg", BinaryType()),
+        StructField("th", IntegerType()),
+        StructField("tw", IntegerType()),
+    ]
+)
+
+
+def geocode_dem_tiles(
+    dem_tiles: DataFrame,
+    positions: np.ndarray,
+    velocities: np.ndarray,
+    slant_range_to_index=None,
+) -> DataFrame:
+    """Per DEM tile: (lat, lon, alt grids) → LUT (az, rg) arrays.
+
+    dem_tiles rows: (dem_tile_id, minx, miny, maxx, maxy, elev:binary
+    float32 th×tw, th, tw). Orbit arrays are broadcast (tiny).
+    ``slant_range_to_index``: optional range→index conversion
+    (r - r0)/dr from annotation constants (core.py:484-488)."""
+    spark = dem_tiles.sparkSession
+    bc = spark.sparkContext.broadcast((positions, velocities))
+
+    def geocode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P, V = bc.value
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                th, tw = int(r.th), int(r.tw)
+                elev = np.frombuffer(bytes(r.elev), dtype=np.float32).reshape(th, tw)
+                lons = np.linspace(r.minx, r.maxx, tw)
+                lats = np.linspace(r.maxy, r.miny, th)  # north-up raster
+                lon_g, lat_g = np.meshgrid(lons, lats)
+                x, y, z = lla_to_ecef(lat_g.ravel(), lon_g.ravel(), elev.ravel().astype(np.float64))
+                az, rg, _, _, _ = range_doppler(x, y, z, P, V)
+                if slant_range_to_index is not None:
+                    rg = slant_range_to_index(rg)
+                out.append((r.dem_tile_id, az.tobytes(), rg.tobytes(), th, tw))
+            yield pd.DataFrame(out, columns=[f.name for f in LUT_SCHEMA.fields])
+
+    return dem_tiles.mapInPandas(geocode, schema=LUT_SCHEMA)
+
+
+def radar_index_mask(az: np.ndarray, rg: np.ndarray, naz: int, nrg: int):
+    """Validity mask: NaN outside [0, naz) × [0, nrg)
+    (core.py:490-495 semantics)."""
+    bad = ~((az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg))
+    return np.where(bad, np.nan, az), np.where(bad, np.nan, rg)
+
+
+# ----------------------------------------------------------- remap
+
+def remap(img: np.ndarray, rows: np.ndarray, cols: np.ndarray, kernel: str = "bilinear") -> np.ndarray:
+    """Gather-resample ``img`` at fractional (rows, cols); NaN outside.
+    Kernels: nearest, bilinear (reference margins 0/0, util.py:176-186)."""
+    h, w = img.shape
+    out_shape = rows.shape
+    r = rows.ravel()
+    c = cols.ravel()
+    nanv = np.nan + 1j * np.nan if np.iscomplexobj(img) else np.nan
+    out = np.full(r.shape, nanv, dtype=np.complex128 if np.iscomplexobj(img) else np.float64)
+    if kernel == "nearest":
+        ri = np.round(r).astype(np.int64)
+        ci = np.round(c).astype(np.int64)
+        ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & ~np.isnan(r) & ~np.isnan(c)
+        out[ok] = img[ri[ok], ci[ok]]
+    elif kernel == "bilinear":
+        ok = (r >= 0) & (r <= h - 1) & (c >= 0) & (c <= w - 1) & ~np.isnan(r) & ~np.isnan(c)
+        r0 = np.floor(r[ok]).astype(np.int64)
+        c0 = np.floor(c[ok]).astype(np.int64)
+        r1 = np.minimum(r0 + 1, h - 1)
+        c1 = np.minimum(c0 + 1, w - 1)
+        fr = r[ok] - r0
+        fc = c[ok] - c0
+        out[ok] = (
+            img[r0, c0] * (1 - fr) * (1 - fc)
+            + img[r0, c1] * (1 - fr) * fc
+            + img[r1, c0] * fr * (1 - fc)
+            + img[r1, c1] * fr * fc
+        )
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    return out.reshape(out_shape)

@@ -1,0 +1,133 @@
+"""Burst stitching, overlap blending, terrain scatter-accumulate,
+shadow mask — the reference's azimuth-geometry operators.
+
+Pinned semantics:
+- burst offset/overlap from azimuth start times
+  (/root/reference/eo_tools/S1/core.py:758-835):
+  offset(b) = (t_b - t_min)/dt, overlap(b) = (t_{b-1} + naz·dt - t_b)/dt
+  rounded; overlap(min_burst) = 0.
+- stitching (process.py:2633-2682): each burst drops its top
+  H = overlap//2 lines; strips are written in burst order into the
+  stitched grid → LAST WRITER WINS on remaining overlap. The Spark
+  version makes the winner explicit: row_number over
+  Window.partitionBy(out_line).orderBy(burst desc).
+- LUT overlap trim + azimuth offset (process.py:2392-2401):
+  az < H → NaN; az += burst_offset.
+- terrain scatter-accumulate (core.py:1377-1529): contributions
+  summed (+=) into SAR pixels, untouched pixels → NaN. Spark: emit
+  (az, rg, γ) rows → groupBy(az, rg).sum — associative, map-side
+  combinable.
+- shadow mask (core.py:1580-1613): per azimuth line, running max of
+  the projected look angle along range; shadow where θ < cummax so far.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# ------------------------------------------------ offsets and overlaps
+
+def burst_offset(az_times: np.ndarray, burst_idx: int, min_burst: int, dt: float) -> float:
+    return (az_times[burst_idx - 1] - az_times[min_burst - 1]) / dt
+
+
+def burst_overlap(az_times: np.ndarray, burst_idx: int, min_burst: int, dt: float, naz: int) -> float:
+    if burst_idx <= min_burst:
+        return 0.0
+    t_prev_end = az_times[burst_idx - 2] + naz * dt
+    return (t_prev_end - az_times[burst_idx - 1]) / dt
+
+
+def stitch_global(bursts: list[np.ndarray], offsets: list[int], overlaps: list[int]) -> np.ndarray:
+    """Numpy oracle of _stitch_bursts (sequential write order)."""
+    naz, nrg = bursts[0].shape
+    out = np.full((offsets[-1] + naz, nrg), np.nan, dtype=bursts[0].dtype)
+    for arr, off, ovl in zip(bursts, offsets, overlaps):
+        H = ovl // 2
+        out[off + H : off + naz] = arr[H:]
+    return out
+
+
+def stitch_bursts_df(
+    burst_lines: DataFrame,
+    lines_per_burst: int,
+) -> DataFrame:
+    """Distributed stitching at line granularity.
+
+    Input rows: (burst:int, line:int, offset:int, overlap:int, payload…)
+    where ``line`` is the line index within the burst. Output: one row
+    per stitched line (out_line), later bursts winning overlaps —
+    row_number over (out_line, burst desc), exactly the reference's
+    write order resolved declaratively."""
+    placed = (
+        burst_lines.withColumn("_H", (F.col("overlap") / 2).cast("int"))
+        .where(F.col("line") >= F.col("_H"))
+        .withColumn("out_line", F.col("offset") + F.col("line"))
+        .drop("_H")
+    )
+    w = Window.partitionBy("out_line").orderBy(F.desc("burst"))
+    return (
+        placed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lut_overlap_trim(az: np.ndarray, rg: np.ndarray, burst_overlap_px: int, burst_offset_px: float):
+    """process.py:2392-2401: first H=overlap//2 azimuth lines dropped,
+    azimuth re-based by the burst offset."""
+    H = burst_overlap_px // 2
+    mask = az < H
+    az2 = np.where(mask, np.nan, az + burst_offset_px)
+    rg2 = np.where(mask, np.nan, rg)
+    return az2, rg2
+
+
+# ------------------------------------------- terrain scatter-aggregate
+
+def scatter_accumulate(contrib: DataFrame, naz: int | None = None, nrg: int | None = None) -> DataFrame:
+    """Sum γ contributions into SAR pixels: groupBy(az, rg).sum —
+    map-side combinable (the reference's += loop, core.py:1487-1529).
+    Pixels with no contribution simply have no row (≡ NaN in the dense
+    raster; densify only when materializing tiles)."""
+    return contrib.groupBy("az", "rg").agg(F.sum("gamma").alias("gamma"))
+
+
+def scatter_to_dense(rows: pd.DataFrame, naz: int, nrg: int) -> np.ndarray:
+    """Densify (az, rg, gamma) rows; untouched pixels NaN
+    (core.py: zeros→NaN semantics)."""
+    out = np.full((naz, nrg), np.nan)
+    az = rows["az"].to_numpy()
+    rg = rows["rg"].to_numpy()
+    out[az, rg] = rows["gamma"].to_numpy()
+    return out
+
+
+def terrain_scatter_oracle(az_f: np.ndarray, rg_f: np.ndarray, gamma: np.ndarray, naz: int, nrg: int) -> np.ndarray:
+    """Numpy oracle: accumulate γ at integer (az, rg) with +=, NaN
+    where nothing lands."""
+    acc = np.zeros((naz, nrg))
+    hit = np.zeros((naz, nrg), dtype=bool)
+    az = np.round(az_f).astype(int)
+    rg = np.round(rg_f).astype(int)
+    ok = (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg) & ~np.isnan(gamma)
+    np.add.at(acc, (az[ok], rg[ok]), gamma[ok])
+    hit[az[ok], rg[ok]] = True
+    return np.where(hit, acc, np.nan)
+
+
+# ----------------------------------------------------------- shadow
+
+def shadow_mask(theta_ground: np.ndarray) -> np.ndarray:
+    """Per azimuth line, running max of look angle along range marks
+    shadow: True where θ < cummax(θ) so far (strictly less — a pixel
+    equal to the running max is lit). Vectorized cummax replaces the
+    reference's sequential scan (core.py:1597-1604)."""
+    cummax = np.fmax.accumulate(np.nan_to_num(theta_ground, nan=-np.inf), axis=1)
+    prev = np.concatenate(
+        [np.full((theta_ground.shape[0], 1), -np.inf), cummax[:, :-1]], axis=1
+    )
+    return theta_ground < prev

@@ -83,6 +83,7 @@ def aoi_point_join(
     lat: str = "lat",
     res: int | None = None,
     require_nonempty: bool = False,
+    cover=None,
 ) -> DataFrame:
     """Inner join scenes×AOIs where the scene center lies in the AOI.
 
@@ -95,7 +96,9 @@ def aoi_point_join(
     Output: scene columns + ``aoi_id``.
     """
     spark = scenes.sparkSession
-    cover_df, res_by_id = build_aoi_cover(spark, aois, res)
+    # the cover is a broadcast dimension: build once per AOI set and
+    # reuse across queries (pass ``cover=build_aoi_cover(...)``)
+    cover_df, res_by_id = cover if cover is not None else build_aoi_cover(spark, aois, res)
     refine = S.make_pip_refine_udf(aois)
 
     res_set = sorted(set(res_by_id.values()))
@@ -113,6 +116,19 @@ def aoi_point_join(
     if require_nonempty and out.isEmpty():
         raise EmptyJoinError("No scene intersects the AOI")  # process.py:325-328 parity
     return out
+
+
+def aoi_partition_cells(aois: dict[str, np.ndarray], partition_res: int) -> list[int]:
+    """Coarse parent cells covering the AOIs — the storage partition
+    filter. An image table partitioned by its parent cell (`pcell`) is
+    pruned with ``df.where(col('pcell').isin(aoi_partition_cells(...)))``
+    BEFORE any bytes are read: the Spark analog of the reference's
+    spatial-predicate → line-range download pruning
+    (download.py:390-415, SURVEY §3.3)."""
+    cells: set[int] = set()
+    for ring in aois.values():
+        cells.update(int(c) for c in C.cover_polygon(ring, partition_res))
+    return sorted(cells)
 
 
 def aoi_footprint_join(

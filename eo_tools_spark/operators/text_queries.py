@@ -213,6 +213,143 @@ def neardup_embedding(threshold: float = 0.4) -> tuple[str, str]:
     return build("spark"), build("duck")
 
 
+# ------------------------------------------------------------------
+# SAR-geometry relational queries (SURVEY §2.5-§2.7) — derived inputs so
+# DuckDB can recompute them exactly.
+
+def stitch_lines() -> tuple[str, str]:
+    """Burst stitching as a window query: per output line, the LAST
+    burst covering it wins (process.py:2633-2682 write-order made
+    declarative). 4 bursts × 100 lines, offsets 90 apart, overlap 10."""
+
+    def build(d: str) -> str:
+        # FLOOR before CAST: DuckDB CAST(double->int) rounds, Spark truncates
+        if d == "spark":
+            gen = (
+                "bursts AS (SELECT CAST(FLOOR(id / 100) AS INT) + 1 AS burst, "
+                "CAST(id % 100 AS INT) AS line FROM range(400))"
+            )
+        else:
+            gen = (
+                "bursts AS (SELECT CAST(FLOOR(i / 100) AS INT) + 1 AS burst, "
+                "CAST(i % 100 AS INT) AS line FROM range(400) t(i))"
+            )
+        return (
+            f"WITH {gen}, "
+            "placed AS (SELECT burst, line, (burst - 1) * 90 AS az_off, "
+            "CASE WHEN burst = 1 THEN 0 ELSE 10 END AS ovl, "
+            "burst * 1000 + line AS val FROM bursts), "
+            "kept AS (SELECT burst, line, az_off + line AS out_line, val "
+            "FROM placed WHERE line >= CAST(ovl / 2 AS INT)), "
+            "ranked AS (SELECT out_line, burst, val, ROW_NUMBER() OVER "
+            "(PARTITION BY out_line ORDER BY burst DESC) AS rn FROM kept) "
+            "SELECT out_line, burst, val FROM ranked WHERE rn = 1"
+        )
+
+    return build("spark"), build("duck")
+
+
+def minby_poly() -> tuple[str, str]:
+    """Top-1 as-of selection: the annotation polynomial nearest in time
+    to each product's mid-time (core.py:587-592 argmin|t-t_mid| →
+    min_by/arg_min)."""
+
+    def build(d: str) -> str:
+        # row_number with (distance, id) ordering instead of
+        # min_by/arg_min: those are engine-nondeterministic on
+        # equidistant ties, this is reproducible in both
+        return (
+            "WITH polys AS (SELECT o_orderkey % 20 AS product, "
+            "CAST(o_orderkey % 97 AS DOUBLE) AS poly_t, o_orderkey AS poly_id "
+            "FROM orders), "
+            "mid AS (SELECT product, AVG(poly_t) AS t_mid FROM polys GROUP BY product), "
+            "ranked AS (SELECT polys.product, poly_id, ROW_NUMBER() OVER "
+            "(PARTITION BY polys.product ORDER BY ABS(poly_t - t_mid), poly_id) AS rn "
+            "FROM polys JOIN mid ON polys.product = mid.product) "
+            "SELECT product, poly_id AS nearest_poly FROM ranked WHERE rn = 1"
+        )
+
+    return build("spark"), build("duck")
+
+
+def subswath_union() -> tuple[str, str]:
+    """Set-op parity: union + distinct of per-product subswath
+    selections (process.py:331-334 np.unique(concatenate) analog)."""
+    from eo_tools_spark.sources.derived import AOI_BOXES, SCENES_SQL_BODY
+
+    def build(d: str) -> str:
+        body = SCENES_SQL_BODY if d == "duck" else SCENES_SQL_BODY.replace("AS VARCHAR", "AS STRING")
+        x0, y0, x1, y1 = AOI_BOXES["aoi_hot"]
+        a0, b0, a1, b1 = AOI_BOXES["aoi_mid"]
+        return (
+            f"WITH scenes AS ({body}) "
+            "SELECT DISTINCT product_id, subswath FROM ("
+            f"SELECT product_id, subswath FROM scenes WHERE lon >= {x0} AND lon <= {x1} "
+            f"AND lat >= {y0} AND lat <= {y1} "
+            "UNION ALL "
+            f"SELECT product_id, subswath FROM scenes WHERE lon >= {a0} AND lon <= {a1} "
+            f"AND lat >= {b0} AND lat <= {b1})"
+        )
+
+    return build("spark"), build("duck")
+
+
+def validation_antijoin() -> tuple[str, str]:
+    """Partial-availability validation as an anti-join: requested
+    (subswath, pol) pairs not present in the manifest → the rows that
+    would raise (core.py:145-149, process.py:560-579 error contract)."""
+    from eo_tools_spark.sources.derived import SCENES_SQL_BODY
+
+    def build(d: str) -> str:
+        body = SCENES_SQL_BODY if d == "duck" else SCENES_SQL_BODY.replace("AS VARCHAR", "AS STRING")
+        req = (
+            "requested(subswath, pol) AS (VALUES ('IW1', 'vv'), ('IW2', 'vv'), "
+            "('IW3', 'hh'), ('IW9', 'vv'))"
+        )
+        avail = (
+            "available AS (SELECT DISTINCT subswath, CASE WHEN burst % 2 = 0 "
+            "THEN 'vv' ELSE 'hh' END AS pol FROM scenes)"
+        )
+        if d == "spark":
+            anti = (
+                "SELECT r.subswath, r.pol FROM requested r LEFT ANTI JOIN available a "
+                "ON r.subswath = a.subswath AND r.pol = a.pol"
+            )
+        else:
+            anti = (
+                "SELECT r.subswath, r.pol FROM requested r ANTI JOIN available a "
+                "ON r.subswath = a.subswath AND r.pol = a.pol"
+            )
+        return f"WITH scenes AS ({body}), {req}, {avail} {anti}"
+
+    return build("spark"), build("duck")
+
+
+def amplitude_proj() -> tuple[str, str]:
+    """Amplitude projection |z| = sqrt(re²+im²) over derived complex
+    samples (process.py:1611; sqrt is IEEE correctly-rounded →
+    bit-identical across engines)."""
+    q = (
+        "SELECT l_orderkey AS k, l_linenumber AS line, "
+        "sqrt(CAST((l_partkey % 13 - 6) * (l_partkey % 13 - 6) "
+        "+ (l_suppkey % 7 - 3) * (l_suppkey % 7 - 3) AS DOUBLE)) AS amplitude "
+        "FROM lineitem"
+    )
+    return q, q
+
+
+def s2_scaling() -> tuple[str, str]:
+    """S2 reflectance scaling (DN+offset)/QV clipped ≥0, offset only
+    when baseline ≥ 4 (S2.py:198-202) — pure projection arithmetic."""
+    q = (
+        "SELECT l_orderkey AS k, l_linenumber AS line, "
+        "GREATEST((CAST(l_quantity AS DOUBLE) * 1000.0 + "
+        "CASE WHEN l_suppkey % 2 = 0 THEN -1000.0 ELSE 0.0 END) / 10000.0, 0.0) "
+        "AS reflectance FROM lineitem"
+    )
+    return q, q
+
+
 def events_hourly() -> tuple[str, str]:
     """Tumbling 1-hour window aggregation; money summed in exact cents
     (ROUND before CAST — double sums are order-dependent, int sums not)."""

@@ -1,0 +1,351 @@
+"""Tile-algebra operators: rasters as DataFrames of fixed-size tiles.
+
+Row model: (raster_id:string, ty:int, tx:int, data:binary, th:int,
+tw:int, kind:string) with kind ∈ {'f4','c8'} (complex64 travels as its
+native byte layout — the reference itself writes complex as 2 real
+bands, /root/reference/eo_tools/S1/core.py:978-983).
+
+The reference runs windowed ops via dask ``map_overlap`` with 1024²
+chunks (/root/reference/eo_tools/S1/process.py:1710-1752). Here the
+halo exchange is a JOIN: every tile is exploded to its ≤9 neighbor
+targets (map-side), grouped by target tile, and the assembled
+(th+2h, tw+2h) neighborhood is processed by a numpy kernel. Global
+edges reflect-pad ('symmetric'), matching scipy.ndimage mode='reflect'
+of the global operator — proven by the block≡global law tests.
+
+Shuffle cost: one groupBy per halo op, fan-out ≤9×, key = (raster, ty,
+tx) — uniformly distributed, no skew. Choose tile ≥ 2× halo and tile
+divisible by multilook factors (cross-tile alignment).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from eo_tools_spark.functions import raster as R
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("raster_id", StringType()),
+        StructField("ty", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("data", BinaryType()),
+        StructField("th", IntegerType()),
+        StructField("tw", IntegerType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+_DTYPES = {"f4": np.float32, "c8": np.complex64}
+
+
+def _decode(data: bytes, th: int, tw: int, kind: str) -> np.ndarray:
+    return np.frombuffer(data, dtype=_DTYPES[kind]).reshape(th, tw)
+
+
+def raster_to_tiles(
+    spark: SparkSession, arr: np.ndarray, raster_id: str, tile: int
+) -> DataFrame:
+    """Driver-side tiling helper (tests/ingest). Edge tiles are partial."""
+    kind = "c8" if np.iscomplexobj(arr) else "f4"
+    arr = arr.astype(_DTYPES[kind])
+    rows = []
+    H, W = arr.shape
+    for ty in range((H + tile - 1) // tile):
+        for tx in range((W + tile - 1) // tile):
+            blk = arr[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            rows.append(
+                (raster_id, ty, tx, blk.tobytes(), blk.shape[0], blk.shape[1], kind)
+            )
+    return spark.createDataFrame(rows, TILE_SCHEMA)
+
+
+def tiles_to_raster(df: DataFrame, tile: int) -> np.ndarray:
+    """Collect tiles back to one array (tests only — not a scale path)."""
+    rows = df.collect()
+    H = max(r.ty * tile + r.th for r in rows)
+    W = max(r.tx * tile + r.tw for r in rows)
+    kind = rows[0].kind
+    out = np.zeros((H, W), dtype=_DTYPES[kind])
+    for r in rows:
+        out[r.ty * tile : r.ty * tile + r.th, r.tx * tile : r.tx * tile + r.tw] = _decode(
+            bytes(r.data), r.th, r.tw, r.kind
+        )
+    return out
+
+
+# --------------------------------------------------------- halo exchange
+
+def halo_map(
+    tiles: DataFrame,
+    halo: int,
+    fn: Callable[[np.ndarray, int, int, int], np.ndarray],
+    out_kind: str | None = None,
+) -> DataFrame:
+    """Apply ``fn(padded, th, tw, halo) -> center tile array`` to every
+    tile with an ``halo``-pixel neighborhood assembled from the 8
+    neighbors (reflect-padded at global edges)."""
+
+    contrib = tiles.withColumn(
+        "_off",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy -> "
+                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
+            )
+        ),
+    ).select(
+        "raster_id",
+        (F.col("ty") + F.col("_off.dy")).alias("gty"),
+        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
+        (-F.col("_off.dy")).alias("dy"),
+        (-F.col("_off.dx")).alias("dx"),
+        "ty", "tx", "data", "th", "tw", "kind",
+    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, gty, gtx = key
+        center = pdf[(pdf.dy == 0) & (pdf.dx == 0)]
+        if center.empty:  # phantom target beyond the raster edge
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+        c = center.iloc[0]
+        th, tw, kind = int(c.th), int(c.tw), c.kind
+        h = halo
+        dt = _DTYPES[kind]
+        pad = np.zeros((th + 2 * h, tw + 2 * h), dtype=dt)
+        have = {(int(r.dy), int(r.dx)) for r in pdf.itertuples()}
+        for r in pdf.itertuples():
+            blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+            dy, dx = int(r.dy), int(r.dx)
+            if dy == 0:
+                ys, piece_y = slice(h, h + th), slice(0, None)
+            elif dy == -1:
+                ys, piece_y = slice(0, h), slice(-h, None)
+            else:
+                ys, piece_y = slice(h + th, None), slice(0, h)
+            if dx == 0:
+                xs, piece_x = slice(h, h + tw), slice(0, None)
+            elif dx == -1:
+                xs, piece_x = slice(0, h), slice(-h, None)
+            else:
+                xs, piece_x = slice(h + tw, None), slice(0, h)
+            piece = blk[piece_y, piece_x]
+            pad[ys, xs][: piece.shape[0], : piece.shape[1]] = piece
+        # reflect-fill missing margins (global edges), rows then cols —
+        # the same axis order as np.pad(mode='symmetric') on the global
+        if (-1, 0) not in have:
+            pad[0:h, :] = pad[h : 2 * h, :][::-1]
+        if (1, 0) not in have:
+            pad[h + th :, :] = pad[th : h + th, :][::-1]
+        if (0, -1) not in have:
+            pad[:, 0:h] = pad[:, h : 2 * h][:, ::-1]
+        if (0, 1) not in have:
+            pad[:, h + tw :] = pad[:, tw : h + tw][:, ::-1]
+        out = fn(pad, th, tw, h)
+        ok = out_kind or kind
+        return pd.DataFrame(
+            [
+                (
+                    raster_id,
+                    int(gty),
+                    int(gtx),
+                    out.astype(_DTYPES[ok]).tobytes(),
+                    th,
+                    tw,
+                    ok,
+                )
+            ],
+            columns=[f.name for f in TILE_SCHEMA.fields],
+        )
+
+    return (
+        contrib.groupBy("raster_id", "gty", "gtx")
+        .applyInPandas(assemble, schema=TILE_SCHEMA)
+    )
+
+
+def _box_mean_padded(pad: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
+    """Boxcar (NaN zero-fill + restore) of the center tile given its
+    padded neighborhood — window offsets match scipy convolve."""
+    msk = np.isnan(pad)
+    x = np.where(msk, 0, pad)
+    lo_a, hi_a = R._win_bounds(kaz)
+    lo_r, hi_r = R._win_bounds(krg)
+
+    def sums(v):
+        c = np.cumsum(np.cumsum(v, axis=0, dtype=np.float64), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        ys = np.arange(h, h + th)
+        xs = np.arange(h, h + tw)
+        y0, y1 = ys - lo_a, ys + hi_a + 1
+        x0, x1 = xs - lo_r, xs + hi_r + 1
+        return c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
+
+    k = float(kaz * krg)
+    if np.iscomplexobj(pad):
+        out = (sums(x.real) + 1j * sums(x.imag)) / k
+        out[msk[h : h + th, h : h + tw]] = np.nan + 1j * np.nan
+    else:
+        out = sums(x) / k
+        out[msk[h : h + th, h : h + tw]] = np.nan
+    return out
+
+
+def tiles_boxcar(tiles: DataFrame, kaz: int, krg: int) -> DataFrame:
+    h = max(R._win_bounds(kaz) + R._win_bounds(krg))
+    return halo_map(tiles, max(h, 1), lambda p, th, tw, hh: _box_mean_padded(p, th, tw, hh, kaz, krg))
+
+
+def tiles_presum(tiles: DataFrame, m: int, n: int) -> DataFrame:
+    """Per-tile block mean. Tile dims must be divisible by (m, n) —
+    full tiles are by construction; trailing partial tiles get trimmed
+    like the reference's global trim."""
+    def do(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples():
+            arr = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+            out = R.presum(arr, m, n)
+            rows.append(
+                (r.raster_id, int(r.ty), int(r.tx), out.astype(_DTYPES[r.kind]).tobytes(),
+                 out.shape[0], out.shape[1], r.kind)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.groupBy("raster_id", "ty", "tx").applyInPandas(do, schema=TILE_SCHEMA)
+
+
+def tiles_zip(
+    a: DataFrame, b: DataFrame, fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    out_kind: str, raster_id: str,
+) -> DataFrame:
+    """Elementwise combine of two co-located rasters (equi-join on tile
+    id) — e.g. interferogram p·conj(s) (process.py:1631-1667)."""
+    aj = a.select(
+        F.col("ty"), F.col("tx"),
+        F.col("data").alias("da"), F.col("th"), F.col("tw"), F.col("kind").alias("ka"),
+    )
+    bj = b.select(
+        F.col("ty"), F.col("tx"), F.col("data").alias("db"), F.col("kind").alias("kb")
+    )
+    joined = aj.join(bj, ["ty", "tx"])
+
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                x = _decode(bytes(r.da), int(r.th), int(r.tw), r.ka)
+                y = _decode(bytes(r.db), int(r.th), int(r.tw), r.kb)
+                out = fn(x, y)
+                rows.append(
+                    (raster_id, int(r.ty), int(r.tx),
+                     out.astype(_DTYPES[out_kind]).tobytes(), int(r.th), int(r.tw), out_kind)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return joined.mapInPandas(do, schema=TILE_SCHEMA)
+
+
+def tiles_interferogram(p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int = 1) -> DataFrame:
+    ifg = tiles_zip(p, s, lambda x, y: x * np.conj(y), "c8", "ifg")
+    return tiles_presum(ifg, mlt_az, mlt_rg) if (mlt_az > 1 or mlt_rg > 1) else ifg
+
+
+def tiles_coherence(
+    p: DataFrame, s: DataFrame,
+    box_az: int = 5, box_rg: int = 5, mlt_az: int = 1, mlt_rg: int = 1,
+    magnitude: bool = True,
+) -> DataFrame:
+    """Distributed coherence, semantics of process.py:1670-1793:
+    per-tile products → presum → halo boxcar → ratio → erosion mask."""
+    ifg = tiles_interferogram(p, s, mlt_az, mlt_rg)
+    prm2 = tiles_presum(
+        tiles_zip(p, p, lambda x, y: np.nan_to_num((x * np.conj(y)).real), "f4", "prm2"),
+        mlt_az, mlt_rg,
+    )
+    sec2 = tiles_presum(
+        tiles_zip(s, s, lambda x, y: np.nan_to_num((x * np.conj(y)).real), "f4", "sec2"),
+        mlt_az, mlt_rg,
+    )
+    h = max(box_az, box_rg)
+
+    def coh_kernel(pad_ifg, pad_p2, pad_s2, th, tw, hh):
+        num = _box_mean_padded(pad_ifg, th, tw, hh, box_az, box_rg)
+        d1 = _box_mean_padded(pad_p2, th, tw, hh, box_az, box_rg)
+        d2 = _box_mean_padded(pad_s2, th, tw, hh, box_az, box_rg)
+        coh = num / np.sqrt(d1) / np.sqrt(d2)
+        if magnitude:
+            coh = np.abs(coh)
+        msk = ~np.isnan(pad_ifg)
+        # erosion with reflect boundary on the assembled neighborhood
+        lo_a, hi_a = R._win_bounds(box_az)
+        lo_r, hi_r = R._win_bounds(box_rg)
+        c = np.cumsum(np.cumsum(msk.astype(np.float64), axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        ys = np.arange(hh, hh + th)
+        xs = np.arange(hh, hh + tw)
+        y0, y1 = ys - lo_a, ys + hi_a + 1
+        x0, x1 = xs - lo_r, xs + hi_r + 1
+        ssum = c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
+        eroded = ssum >= box_az * box_rg - 0.5
+        return np.where(eroded, coh, np.nan)
+
+    # join the three intermediate rasters' neighborhoods: tag and reuse
+    # halo_map on a stacked complex trick is murky — instead assemble
+    # each separately and zip. Simpler and still one shuffle each.
+    num = halo_map(ifg, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))
+    den1 = halo_map(prm2, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))
+    den2 = halo_map(sec2, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))
+    mask = halo_map(
+        ifg, h,
+        lambda p_, th, tw, hh: np.where(
+            _erode_padded(~np.isnan(p_), th, tw, hh, box_az, box_rg), 1.0, np.nan
+        ),
+        out_kind="f4",
+    )
+    step1 = tiles_zip(num, den1, lambda x, y: x / np.sqrt(y), "c8", "coh")
+    step2 = tiles_zip(step1, den2, lambda x, y: x / np.sqrt(y), "c8", "coh")
+    if magnitude:
+        mag = tiles_zip(step2, mask, lambda x, y: np.abs(x) * y, "f4", "coh")
+        return mag
+    return tiles_zip(step2, mask, lambda x, y: x * y, "c8", "coh")
+
+
+def _erode_padded(msk: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
+    lo_a, hi_a = R._win_bounds(kaz)
+    lo_r, hi_r = R._win_bounds(krg)
+    c = np.cumsum(np.cumsum(msk.astype(np.float64), axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    ys = np.arange(h, h + th)
+    xs = np.arange(h, h + tw)
+    y0, y1 = ys - lo_a, ys + hi_a + 1
+    x0, x1 = xs - lo_r, xs + hi_r + 1
+    s = c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
+    return s >= kaz * krg - 0.5
+
+
+def tiles_h_alpha(c11: DataFrame, c22: DataFrame, c12: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Entropy / mean-alpha from dual-pol covariance tiles."""
+    def mk(which: int):
+        def fn_pair(x, y):
+            raise RuntimeError
+        return fn_pair
+
+    l = tiles_zip(c11, c22, lambda a, b: a + 1j * b, "c8", "trc")  # stack c11,c22
+    def halpha(x, y):
+        H, alpha = R.h_alpha(x.real, x.imag, y)
+        return H + 1j * alpha
+    both = tiles_zip(l, c12, halpha, "c8", "halpha")
+    Hdf = tiles_zip(both, both, lambda a, b: a.real, "f4", "entropy")
+    Adf = tiles_zip(both, both, lambda a, b: a.imag, "f4", "alpha")
+    return Hdf, Adf

@@ -54,6 +54,14 @@ def get_spark(
         # AOI / orbit / annotation side tables are tiny; always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Large-binary payload columns (image bytes, ~10-40 KB/value)
+        # pathologically degrade the vectorized parquet reader: measured
+        # 24 s vs 0.5 s for a 1.3 GB bytes-column scan (48x) on this
+        # workload — the columnar batch allocator thrashes on multi-KB
+        # byte arrays. The row-based reader matches DuckDB scan speed.
+        # Numeric-table scans at our sizes lose <2x, and the flagship
+        # join never reads `bytes` anyway (column pruning).
+        .config("spark.sql.parquet.enableVectorizedReader", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,122 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint
+shape) generated DISTRIBUTED — spark.range → mapInPandas, each image
+seeded by its own id, so generation scales with executors and produces
+identical bytes at any parallelism (the property the two-cluster-size
+scaling evidence depends on).
+
+Columns: image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long  + spatial sidecars lon/lat (hotspot-skewed:
+50% of rows in one 1°×1° cell — FIXTURES.md skew scenario) and
+footprint WKB quad mimicking burst quads (eo_tools/auxils.py:78-120).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from eo_tools_spark.functions import imaging as IM
+from eo_tools_spark.geo.wkb import polygon_to_wkb
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("footprint", BinaryType()),
+        StructField("pcell", LongType()),
+    ]
+)
+
+PARTITION_RES = 3  # coarse parent cell used as the storage partition key
+
+_SIZES = [64, 128, 256]
+_FMTS = ["png", "raw", "qjpg"]
+_WORDS = np.array(
+    "scene burst orbit swath tile cell ridge valley coast dune field lake "
+    "river city delta plain mesa crater reef glacier".split()
+)
+
+
+def make_image(i: int, seed: int = 42):
+    """One deterministic image row — pure function of (i, seed)."""
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i))
+    w = _SIZES[i % 3]
+    h = _SIZES[(i // 3) % 3]
+    fmt = _FMTS[i % 3]
+    # smooth terrain-like field + noise (compresses like EO imagery)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(0.02, 0.2, 3)
+    img = (
+        96.0
+        + 80.0 * np.sin(a * xx + c) * np.cos(b * yy)
+        + rng.normal(0, 12, (h, w))
+    )
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    data = IM.encode_image(img, fmt)
+    # hotspot skew: even ids inside [10,11]×[40,41]
+    if i % 2 == 0:
+        lon = 10.0 + (i * 9973 % 1000) / 1000.0
+        lat = 40.0 + (i * 7919 % 1000) / 1000.0
+    else:
+        lon = (i * 9973 % 36000) / 100.0 - 180.0
+        lat = (i * 7919 % 17000) / 100.0 - 85.0
+    dx, dy, tilt = 0.15, 0.1, 0.02
+    fp = polygon_to_wkb(
+        [
+            (lon - dx, lat - dy),
+            (lon + dx, lat - dy + tilt),
+            (lon + dx + tilt, lat + dy),
+            (lon - dx + tilt, lat + dy - tilt),
+        ]
+    )
+    cap_words = _WORDS[rng.integers(0, len(_WORDS), 6)]
+    caption = f"scene {i % 500} " + " ".join(cap_words)
+    from eo_tools_spark.geo.cells import cell_of_points
+
+    pcell = int(cell_of_points([lon], [lat], PARTITION_RES)[0])
+    return (
+        f"img-{i:012d}",
+        data,
+        w,
+        h,
+        fmt,
+        caption,
+        IM.average_hash(img),
+        lon,
+        lat,
+        fp,
+        pcell,
+        img,
+    )
+
+
+def images_table(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed generator: deterministic per-id, independent of
+    partitioning/parallelism."""
+    rng_df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_image(int(i), seed)[:-1] for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return rng_df.mapInPandas(gen, schema=IMAGE_SCHEMA)

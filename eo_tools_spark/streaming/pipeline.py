@@ -1,0 +1,56 @@
+"""Structured Streaming adapter: stream image rows → flagship pipeline
+→ snapshot commits.
+
+Shape: ``readStream`` on a parquet directory (new files = new images) →
+``foreachBatch`` running the batch spatial join + tile assignment →
+``SnapshotTable.append_batch(batch_id=epoch)``. Restart-safe twice over:
+Spark's streaming checkpoint replays an epoch at most once, and the
+snapshot layer skips already-committed batch ids (idempotent).
+
+``available_now`` processes the current backlog then stops — the batch-
+incremental mode that mirrors the reference's skip-if-exists reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from eo_tools_spark.sources.snapshots import SnapshotTable
+
+
+def stream_images_to_snapshots(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    table: SnapshotTable,
+    aois: dict,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the stream; returns the StreamingQuery."""
+    from eo_tools_spark.functions.spatial import tile_id_col
+    from eo_tools_spark.operators.spatial_join import aoi_point_join, build_aoi_cover
+
+    cover = build_aoi_cover(spark, aois)
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        joined = aoi_point_join(batch_df, aois, cover=cover).withColumn(
+            "dem_tile_id", tile_id_col("lon", "lat")
+        )
+        table.append_batch(
+            joined.select("image_id", "aoi_id", "dem_tile_id", "lon", "lat"),
+            f"epoch={epoch_id:08d}",
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Image codec + pipeline tests — the per-row invariant of
+BASELINE.json input_hint: lossless allclose / lossy PSNR ≥ 40 dB +
+caption equality."""
+
+import numpy as np
+import pytest
+
+from eo_tools_spark.functions import imaging as IM
+
+
+def random_img(seed, h=64, w=80):
+    return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+class TestCodecs:
+    def test_png_roundtrip_filter0(self):
+        img = random_img(1)
+        assert np.array_equal(IM.png_decode(IM.png_encode(img, 0)), img)
+
+    def test_png_roundtrip_filter2(self):
+        img = random_img(2)
+        assert np.array_equal(IM.png_decode(IM.png_encode(img, 2)), img)
+
+    def test_png_rgb(self):
+        img = np.random.default_rng(3).integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        assert np.array_equal(IM.png_decode(IM.png_encode(img, 2)), img)
+
+    def test_png_smooth_compresses(self):
+        yy, xx = np.mgrid[0:128, 0:128]
+        img = (128 + 60 * np.sin(xx * 0.1)).astype(np.uint8)
+        data = IM.png_encode(img, filter_type=2)
+        assert len(data) < img.size / 4  # up-filter + zlib on smooth data
+
+    def test_raw_roundtrip(self):
+        img = random_img(4)
+        assert np.array_equal(IM.raw_decode(IM.raw_encode(img), 80, 64), img)
+
+    def test_qjpg_psnr_over_40(self):
+        img = random_img(5, 128, 128)
+        dec = IM.qjpg_decode(IM.qjpg_encode(img), 128, 128)
+        assert IM.psnr(img, dec) >= 40.0
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_audio_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            IM.decode_image(b"xx", "audio", 1, 1)
+
+
+class TestHashResize:
+    def test_phash_deterministic_and_locality(self):
+        img = random_img(6, 64, 64)
+        h1 = IM.average_hash(img)
+        assert h1 == IM.average_hash(img.copy())
+        # tiny noise → small hamming distance
+        noisy = np.clip(img.astype(int) + np.random.default_rng(7).integers(-2, 3, img.shape), 0, 255).astype(np.uint8)
+        d = bin((h1 ^ IM.average_hash(noisy)) & (2**64 - 1)).count("1")
+        assert d <= 8
+        # different image → large distance
+        d2 = bin((h1 ^ IM.average_hash(random_img(99, 64, 64))) & (2**64 - 1)).count("1")
+        assert d2 > 10
+
+    def test_resize_shapes(self):
+        img = random_img(8, 100, 60)
+        assert IM.resize_nearest(img, 32, 32).shape == (32, 32)
+        assert IM.resize_bilinear(img, 32, 32).shape == (32, 32)
+
+    def test_bilinear_identity(self):
+        img = random_img(9, 40, 40)
+        assert np.array_equal(IM.resize_bilinear(img, 40, 40), img)
+
+
+class TestImageTable:
+    def test_generator_deterministic_across_partitioning(self, spark):
+        from eo_tools_spark.sources.synthetic import images_table
+
+        a = images_table(spark, 60, partitions=2).toPandas().sort_values("image_id")
+        b = images_table(spark, 60, partitions=8).toPandas().sort_values("image_id")
+        assert list(a.image_id) == list(b.image_id)
+        for x, y in zip(a.itertuples(), b.itertuples()):
+            assert bytes(x.bytes) == bytes(y.bytes)
+            assert x.phash == y.phash and x.caption == y.caption
+
+    def test_roundtrip_invariant_all_rows(self, spark):
+        from eo_tools_spark.operators.image_pipeline import verify_roundtrip
+        from eo_tools_spark.sources.synthetic import images_table
+
+        imgs = images_table(spark, 90, partitions=4)
+        res = verify_roundtrip(imgs).toPandas()
+        assert len(res) == 90
+        assert res.pixels_ok.all() and res.caption_ok.all()
+        lossy = res[res.fmt == "qjpg"]
+        assert (lossy.psnr >= 40.0).all()
+        lossless = res[res.fmt != "qjpg"]
+        assert (lossless.psnr >= 999.0).all()  # exact
+
+    def test_decode_stats_phash_matches_stored(self, spark):
+        from eo_tools_spark.operators.image_pipeline import decode_stats
+        from eo_tools_spark.sources.synthetic import images_table
+
+        imgs = images_table(spark, 30, partitions=2)
+        joined = decode_stats(imgs).join(imgs.select("image_id", "phash", "fmt"), "image_id")
+        pdf = joined.toPandas()
+        lossless = pdf[pdf.fmt != "qjpg"]
+        assert (lossless.phash2 == lossless.phash).all()
+        # lossy phash may differ slightly but by few bits
+        for r in pdf[pdf.fmt == "qjpg"].itertuples():
+            d = bin((r.phash ^ r.phash2) & (2**64 - 1)).count("1")
+            assert d <= 4
+
+    def test_thumbnails(self, spark):
+        from eo_tools_spark.operators.image_pipeline import thumbnails
+        from eo_tools_spark.sources.synthetic import images_table
+
+        t = thumbnails(images_table(spark, 12, partitions=2)).toPandas()
+        assert len(t) == 12
+        assert all(len(r.thumb) == 32 * 32 for r in t.itertuples())
+
+    def test_phash_neardup_finds_self_similar(self, spark):
+        from eo_tools_spark.operators.image_pipeline import phash_neardup
+        from eo_tools_spark.sources.synthetic import images_table
+
+        from pyspark.sql import functions as F
+
+        imgs = images_table(spark, 100, partitions=4)
+        # duplicate rows with new ids → hamming 0 pairs must be found
+        dup = imgs.limit(10).withColumn("image_id", F.concat(F.lit("dup-"), imgs.image_id))
+        both = imgs.union(dup)
+        pairs = phash_neardup(both, max_hamming=3).toPandas()
+        zero = pairs[pairs.hamming == 0]
+        assert len(zero) >= 10
+
+    def test_frame_sample_stub(self, spark):
+        import pandas as pd
+
+        from eo_tools_spark.operators.image_pipeline import frame_sample_stub
+
+        media = spark.createDataFrame(
+            pd.DataFrame({"media_id": ["v1", "v2"], "bytes": [b"\0" * 4096, b"\0" * 10240]})
+        )
+        out = frame_sample_stub(media, every_n=2, fake=True).toPandas()
+        assert set(out.media_id) == {"v1", "v2"}
+        assert all(len(f) == 256 for f in out.frame)
+        with pytest.raises(Exception):
+            frame_sample_stub(media, fake=False).collect()

@@ -1,0 +1,97 @@
+"""Stitching / scatter-accumulate / shadow semantics tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eo_tools_spark.operators.sar_geom import (
+    burst_offset,
+    burst_overlap,
+    lut_overlap_trim,
+    scatter_accumulate,
+    scatter_to_dense,
+    shadow_mask,
+    stitch_bursts_df,
+    stitch_global,
+    terrain_scatter_oracle,
+)
+
+
+class TestOffsets:
+    def test_offset_overlap_arithmetic(self):
+        # bursts every 90 lines of 100 → 10-line overlap
+        dt = 0.002
+        naz = 100
+        az_times = np.array([0.0, 90 * dt, 180 * dt, 270 * dt])
+        assert burst_offset(az_times, 1, 1, dt) == pytest.approx(0.0)
+        assert burst_offset(az_times, 3, 1, dt) == pytest.approx(180.0)
+        assert burst_overlap(az_times, 1, 1, dt, naz) == 0.0
+        assert burst_overlap(az_times, 2, 1, dt, naz) == pytest.approx(10.0)
+
+    def test_lut_trim(self):
+        az = np.arange(10.0)
+        rg = np.ones(10)
+        az2, rg2 = lut_overlap_trim(az, rg, burst_overlap_px=6, burst_offset_px=90.0)
+        assert np.isnan(az2[:3]).all() and np.isnan(rg2[:3]).all()
+        assert az2[3] == pytest.approx(93.0) and rg2[3] == 1.0
+
+
+class TestStitch:
+    def test_df_equals_global_oracle(self, spark):
+        rng = np.random.default_rng(4)
+        naz, nrg = 20, 1
+        nb = 4
+        offsets = [0, 15, 30, 45]  # 5-line overlaps
+        overlaps = [0, 5, 5, 5]
+        bursts = [rng.normal(size=(naz, nrg)).astype(np.float32) for _ in range(nb)]
+        exp = stitch_global(bursts, offsets, overlaps)
+
+        rows = []
+        for b in range(nb):
+            for line in range(naz):
+                rows.append(
+                    (b + 1, line, offsets[b], overlaps[b], float(bursts[b][line, 0]))
+                )
+        df = spark.createDataFrame(
+            rows, "burst int, line int, offset int, overlap int, val double"
+        )
+        out = stitch_bursts_df(df, naz).toPandas().sort_values("out_line")
+        got = np.full(exp.shape[0], np.nan)
+        got[out.out_line.to_numpy()] = out.val.to_numpy()
+        np.testing.assert_allclose(got, exp[:, 0], rtol=1e-6, equal_nan=True)
+        # overlap rows resolved to the LATER burst (write-order parity)
+        ovl_row = out[out.out_line == 17]  # burst2 region [15..) overlaps burst1 [0,20)
+        assert ovl_row.burst.iloc[0] == 2
+
+
+class TestScatter:
+    def test_groupby_sum_equals_oracle(self, spark):
+        rng = np.random.default_rng(5)
+        n = 5000
+        naz, nrg = 30, 40
+        az_f = rng.uniform(-1, naz, n)
+        rg_f = rng.uniform(-1, nrg, n)
+        gamma = rng.uniform(0, 2, n)
+        exp = terrain_scatter_oracle(az_f, rg_f, gamma, naz, nrg)
+
+        az = np.round(az_f).astype(int)
+        rg = np.round(rg_f).astype(int)
+        ok = (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg)
+        df = spark.createDataFrame(
+            pd.DataFrame({"az": az[ok], "rg": rg[ok], "gamma": gamma[ok]})
+        )
+        out = scatter_accumulate(df).toPandas()
+        got = scatter_to_dense(out, naz, nrg)
+        np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+class TestShadow:
+    def test_running_max_scan(self):
+        theta = np.array([[1.0, 2.0, 1.5, 3.0, 2.0]])
+        out = shadow_mask(theta)
+        np.testing.assert_array_equal(out[0], [False, False, True, False, True])
+
+    def test_monotonic_no_shadow(self):
+        theta = np.arange(10.0)[None, :]
+        assert not shadow_mask(theta).any()

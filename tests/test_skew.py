@@ -1,0 +1,69 @@
+"""Salted aggregation correctness + flagship plan shape."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eo_tools_spark.functions.spatial import cell_col
+from eo_tools_spark.plans.skew import (
+    assert_broadcast_no_shuffle,
+    parent_cell_salt,
+    salted_agg,
+)
+
+
+def test_salted_agg_equals_plain(spark):
+    rng = np.random.default_rng(2)
+    n = 20000
+    # hotspot: 70% of points in one tiny box
+    hot = rng.random(n) < 0.7
+    lon = np.where(hot, 10.0 + rng.random(n) * 0.01, rng.uniform(-170, 170, n))
+    lat = np.where(hot, 40.0 + rng.random(n) * 0.01, rng.uniform(-80, 80, n))
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": lon, "lat": lat, "v": rng.integers(0, 100, n)})
+    ).withColumn("cell", cell_col("lon", "lat", 5))
+
+    plain = {
+        (r.cell,): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in df.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.cell,): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in salted_agg(
+            df,
+            ["cell"],
+            parent_cell_salt("lon", "lat", 5),
+            {
+                "n": F.count(F.lit(1)),
+                "sum_v": F.sum("v"),
+                "min_v": F.min("v"),
+                "max_v": F.max("v"),
+            },
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salt_is_deterministic(spark):
+    df = spark.range(100).select(
+        (F.col("id") / 10.0).alias("lon"), (F.col("id") / 20.0).alias("lat")
+    )
+    a = [r[0] for r in df.select(parent_cell_salt("lon", "lat", 6)).collect()]
+    b = [r[0] for r in df.select(parent_cell_salt("lon", "lat", 6)).collect()]
+    assert a == b
+    assert len(set(a)) > 1  # actually spreads
+
+
+def test_flagship_plan_broadcast(spark, sf_dir):
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+    from eo_tools_spark.sources.derived import aoi_rings, scenes_view
+
+    out = aoi_point_join(scenes_view(spark, sf_dir), aoi_rings())
+    assert_broadcast_no_shuffle(out)

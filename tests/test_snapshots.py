@@ -1,0 +1,85 @@
+"""Snapshot commit / lineage / resume semantics (Iceberg-contract tests).
+
+Mirrors the reference's idempotent skip-if-exists resume
+(/root/reference/eo_tools/S1/process.py:165, S2.py:112-114) lifted to
+snapshot granularity, plus the partial-pair resume contract
+(process.py:2712-2749: checkpoint state must match on resume)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eo_tools_spark.sources.snapshots import SnapshotTable, run_checkpointed
+
+
+def make_batches(spark, n=4, rows=100):
+    out = []
+    for b in range(n):
+        df = spark.range(b * rows, (b + 1) * rows).withColumn(
+            "val", F.col("id") * 2
+        )
+        out.append((f"b{b:03d}", df))
+    return out
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t1"))
+    for bid, df in make_batches(spark, 3):
+        t.append_batch(df, bid)
+    assert t.committed_batches() == ["b000", "b001", "b002"]
+    assert t.read().count() == 300
+
+
+def test_idempotent_append(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t2"))
+    batches = make_batches(spark, 2)
+    t.append_batch(batches[0][1], "b000")
+    res = t.append_batch(batches[0][1], "b000")
+    assert res.get("skipped") is True
+    assert t.read().count() == 100  # no double write
+
+
+def test_crash_resume_equals_oneshot(spark, tmp_path):
+    batches = make_batches(spark, 4)
+
+    # one-shot reference run
+    t_ref = SnapshotTable(spark, str(tmp_path / "ref"))
+    run_checkpointed(batches, t_ref)
+    ref_rows = {r.id for r in t_ref.read().collect()}
+
+    # crashed run: 2 batches commit, then crash
+    t = SnapshotTable(spark, str(tmp_path / "crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(batches, t, fail_after=2)
+    assert len(t.committed_batches()) == 2
+
+    # resume: anti-join work list → only remaining batches run
+    work = spark.createDataFrame([(b,) for b, _ in batches], "batch_id string")
+    remaining = {r.batch_id for r in t.remaining_work(work, "batch_id").collect()}
+    assert remaining == {"b002", "b003"}
+    run_checkpointed([x for x in batches if x[0] in remaining], t)
+    assert {r.id for r in t.read().collect()} == ref_rows
+
+
+def test_lineage_metrics(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t3"))
+    for bid, df in make_batches(spark, 2):
+        t.append_batch(df.repartition(4), bid)
+    lin = t.lineage().toPandas()
+    assert set(lin.batch_id) == {"b000", "b001"}
+    assert lin.groupby("batch_id")["rows"].sum().eq(100).all()  # per-partition rows sum
+    assert (lin.wall_ms >= 0).all()
+    summaries = t.snapshot_summaries()
+    assert all("throughput_rows_per_s" in s for s in summaries)
+
+
+def test_uncommitted_invisible(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t4"))
+    batches = make_batches(spark, 2)
+    t.append_batch(batches[0][1], "b000")
+    # stage a batch's data without commit (crash between write and commit)
+    data_dir = f"{t.path}/data/batch=zz"
+    batches[1][1].withColumn("_pid", F.spark_partition_id()).write.parquet(data_dir)
+    assert os.path.exists(data_dir)
+    assert t.read().count() == 100  # staged-but-uncommitted not visible
