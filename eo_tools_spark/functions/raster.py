@@ -108,6 +108,49 @@ def coherence(
     return np.where(msk_out, coh, np.nan)
 
 
+def block_process(img: np.ndarray, block_size, overlap_size, fun, *args, **kwargs) -> np.ndarray:
+    """Overlapped block processing, zero-padded — exact semantics of
+    /root/reference/eo_tools/auxils.py:154-254 (the reference's own
+    block≡global law is tested against this)."""
+    bh, bw = block_size
+    oh, ow = overlap_size
+    ih, iw = img.shape[:2]
+    pad_l, pad_r = ow, iw - bw * (iw // bw)
+    pad_t, pad_b = oh, ih - bh * (ih // bh)
+    img_ = np.pad(img, ((pad_t, pad_b), (pad_l, pad_r)))
+    out = np.zeros_like(img_)
+    for i in range(pad_t, img_.shape[0], bh):
+        for j in range(pad_l, img_.shape[1], bw):
+            blk = img_[i - oh : i + bh + oh, j - ow : j + bw + ow]
+            out[i : i + bh, j : j + bw] = fun(blk, *args, **kwargs)[
+                oh : oh + bh, ow : ow + bw
+            ]
+    H, W = out.shape
+    return out[pad_t : H - pad_b, pad_l : W - pad_r]
+
+
+def _uniform3(x: np.ndarray) -> np.ndarray:
+    """3×3 uniform filter, reflect boundary (scipy uniform_filter(size=3))."""
+    return _box_sum(x, 3, 3) / 9.0
+
+
+def goldstein_patch(arr: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Goldstein base filter on one patch: spectral weighting
+    H = smooth(|Z|)^alpha (process.py:2084-2091)."""
+    Z = np.fft.fftshift(np.fft.fft2(arr))
+    H = _uniform3(np.abs(Z)) ** alpha
+    return np.fft.ifft2(np.fft.ifftshift(H * Z))
+
+
+def goldstein_chunk(chunk: np.ndarray, alpha: float = 0.5, overlap: int = 14) -> np.ndarray:
+    """Goldstein over one chunk: unit-modulus phase, overlapped
+    block_process of the base filter (process.py:2093-2101)."""
+    chunk_ = np.exp(1j * np.angle(chunk))
+    b = 32 - overlap // 2
+    o = overlap // 2
+    return block_process(chunk_, (b, b), (o, o), goldstein_patch, alpha=alpha)
+
+
 def eigh_2x2(c11: np.ndarray, c22: np.ndarray, c12: np.ndarray):
     """Closed-form eigenvalues/vectors of per-pixel 2×2 hermitian
     matrices [[c11, c12], [c12*, c22]] (math of process.py:1796-1850)."""

@@ -334,18 +334,27 @@ def _erode_padded(msk: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int)
     return s >= kaz * krg - 0.5
 
 
-def tiles_h_alpha(c11: DataFrame, c22: DataFrame, c12: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Entropy / mean-alpha from dual-pol covariance tiles."""
-    def mk(which: int):
-        def fn_pair(x, y):
-            raise RuntimeError
-        return fn_pair
+def tiles_h_alpha(c11: DataFrame, c22: DataFrame, c12: DataFrame) -> DataFrame:
+    """Entropy / mean-alpha from dual-pol covariance tiles: pure
+    per-tile closed-form math (process.py:1796-1940), packed as
+    H + 1j·alpha in one complex tile (raster_id 'halpha')."""
+    stacked = tiles_zip(c11, c22, lambda a, b: a + 1j * b, "c8", "c1122")
 
-    l = tiles_zip(c11, c22, lambda a, b: a + 1j * b, "c8", "trc")  # stack c11,c22
     def halpha(x, y):
         H, alpha = R.h_alpha(x.real, x.imag, y)
         return H + 1j * alpha
-    both = tiles_zip(l, c12, halpha, "c8", "halpha")
-    Hdf = tiles_zip(both, both, lambda a, b: a.real, "f4", "entropy")
-    Adf = tiles_zip(both, both, lambda a, b: a.imag, "f4", "alpha")
-    return Hdf, Adf
+
+    return tiles_zip(stacked, c12, halpha, "c8", "halpha")
+
+
+def tiles_goldstein(ifg: DataFrame, alpha: float = 0.5, overlap: int = 14) -> DataFrame:
+    """Goldstein phase filter per tile with a 32-px halo (the
+    reference's dask map_overlap depth, process.py:2113). Per-chunk
+    block grids are chunk-relative in the reference too, so parity is
+    defined per equal tile grid (see tests)."""
+
+    def kern(pad, th, tw, hh):
+        out = R.goldstein_chunk(pad, alpha=alpha, overlap=overlap)
+        return out[hh : hh + th, hh : hh + tw]
+
+    return halo_map(ifg, 32, kern, out_kind="c8")

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Cluster entry point for the flagship pipeline, submitted as:
+
+    python scripts/make_pyfiles.py              # build dist/eo_tools_spark.zip
+    spark-submit --py-files dist/eo_tools_spark.zip \
+        scripts/flagship_job.py --images <parquet> --out <snapshot-table>
+
+On a real cluster add --master/--deploy-mode/--num-executors; the job
+body is identical (nothing below assumes local mode). The run is
+RESUMABLE: work is batched by AOI, each batch commits one snapshot;
+re-submitting after a failure skips committed batches via the lineage
+anti-join.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True, help="image+caption parquet (cell-partitioned)")
+    ap.add_argument("--out", required=True, help="snapshot table path")
+    ap.add_argument("--limit", type=int, default=0, help="optional row cap (smoke)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("eo-tools-spark-flagship").getOrCreate()
+
+    from eo_tools_spark.functions.spatial import tile_id_col
+    from eo_tools_spark.operators.spatial_join import (
+        aoi_partition_cells,
+        aoi_point_join,
+        build_aoi_cover,
+    )
+    from eo_tools_spark.sources.derived import aoi_rings
+    from eo_tools_spark.sources.snapshots import SnapshotTable
+    from eo_tools_spark.sources.synthetic import PARTITION_RES
+
+    images = spark.read.parquet(args.images)
+    if args.limit:
+        images = images.limit(args.limit)
+    aois = aoi_rings()
+    cover = build_aoi_cover(spark, aois)
+    table = SnapshotTable(spark, args.out)
+
+    # one batch per AOI → per-batch snapshot commit + lineage metrics;
+    # already-committed AOIs are skipped on resubmit (resume path)
+    for aoi_id, ring in aois.items():
+        batch_id = f"aoi={aoi_id}"
+        if batch_id in table.committed_batches():
+            print(f"skip committed {batch_id}")
+            continue
+        pcells = aoi_partition_cells({aoi_id: ring}, PARTITION_RES)
+        pruned = images.where(F.col("pcell").isin(pcells)) if "pcell" in images.columns else images
+        out = aoi_point_join(pruned, {aoi_id: ring}, cover=None).withColumn(
+            "dem_tile_id", tile_id_col("lon", "lat")
+        )
+        res = table.append_batch(
+            out.select("image_id", "aoi_id", "dem_tile_id", "lon", "lat"), batch_id
+        )
+        print(res)
+
+    for s in table.snapshot_summaries():
+        print(s)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
