@@ -106,16 +106,26 @@ def make_pip_refine_udf(rings_by_id: dict):
     Vectorized per (batch × aoi): rows are grouped by aoi_id inside each
     Arrow batch and tested with the numpy ray-casting kernel — replaces
     shapely STRtree refine (reference gdf.intersects at process.py:321).
+
+    Takes the cover's ``boundary`` flag: Spark evaluates Python UDFs
+    eagerly (no OR short-circuit around ArrowEvalPython), so interior-
+    cell rows would otherwise pay the geometry math — here they are
+    accepted inside the kernel with a vectorized mask instead.
     """
 
     @F.pandas_udf(BooleanType())
-    def pip_refine(aoi_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        res = np.zeros(len(aoi_id), dtype=bool)
+    def pip_refine(
+        aoi_id: pd.Series, lon: pd.Series, lat: pd.Series, boundary: pd.Series
+    ) -> pd.Series:
+        res = np.ones(len(aoi_id), dtype=bool)  # interior rows auto-accept
+        b = boundary.to_numpy(dtype=bool)
+        if not b.any():
+            return pd.Series(res)
         lon_v = lon.to_numpy(dtype=np.float64)
         lat_v = lat.to_numpy(dtype=np.float64)
         ids = aoi_id.to_numpy()
-        for aid in pd.unique(aoi_id):
-            mask = ids == aid
+        for aid in pd.unique(aoi_id[b]):
+            mask = b & (ids == aid)
             res[mask] = G.points_in_polygon(lon_v[mask], lat_v[mask], rings_by_id[aid])
         return pd.Series(res)
 

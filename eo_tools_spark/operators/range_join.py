@@ -65,12 +65,20 @@ def bbox_intersect_join(
     lc = with_bbox_cells(lb, res)
     rc = with_bbox_cells(right, res, prefix="t_")
     rcj = F.broadcast(rc) if broadcast_right else rc
-    cand = lc.join(rcj, "_cell").drop("_cell").dropDuplicates(
-        left.columns + right.columns
+    cand = lc.join(rcj, "_cell")
+    # reference-point dedup (no distinct/shuffle): a matching pair is
+    # emitted only by the cell containing the intersection's min corner,
+    # which both sides' covers always include
+    n = 1 << res
+    ref_cell = (
+        f"CAST({res} AS BIGINT) * {1 << 58} + "
+        f"LEAST(GREATEST(CAST(FLOOR((GREATEST(minx, t_minx) + 180.0) * {n} / 360.0) AS BIGINT), 0), {n - 1}) * {1 << 29} + "
+        f"LEAST(GREATEST(CAST(FLOOR((GREATEST(miny, t_miny) + 90.0) * {n} / 180.0) AS BIGINT), 0), {n - 1})"
     )
     return cand.where(
         (F.col("minx") <= F.col("t_maxx"))
         & (F.col("maxx") >= F.col("t_minx"))
         & (F.col("miny") <= F.col("t_maxy"))
         & (F.col("maxy") >= F.col("t_miny"))
-    )
+        & (F.col("_cell") == F.expr(ref_cell))
+    ).drop("_cell")

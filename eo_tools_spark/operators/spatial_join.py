@@ -110,7 +110,7 @@ def aoi_point_join(
         )
     joined = with_cell.join(F.broadcast(cover_df), with_cell["_cell"] == cover_df["cell"])
     out = (
-        joined.where(~F.col("boundary") | refine(F.col("aoi_id"), F.col(lon), F.col(lat)))
+        joined.where(refine(F.col("aoi_id"), F.col(lon), F.col(lat), F.col("boundary")))
         .drop("_cell", "cell", "boundary")
     )
     if require_nonempty and out.isEmpty():

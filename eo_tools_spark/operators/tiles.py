@@ -347,6 +347,75 @@ def tiles_h_alpha(c11: DataFrame, c22: DataFrame, c12: DataFrame) -> DataFrame:
     return tiles_zip(stacked, c12, halpha, "c8", "halpha")
 
 
+def tiles_mosaic(tiles_multi: DataFrame, priority_col: str = "priority") -> DataFrame:
+    """Mosaic overlapping rasters on a shared tile grid: per pixel, the
+    FIRST non-nodata (non-NaN) value in priority order wins — rasterio
+    merge_arrays' default ('first'), the reference's subswath merge
+    (/root/reference/eo_tools/S1/process.py:1408-1456; S2 mosaic
+    S2.py:217-228).
+
+    Input rows: TILE_SCHEMA + priority:int (lower = higher priority).
+    Output: one tile per (ty, tx) under raster_id 'mosaic'.
+    """
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = key
+        pdf = pdf.sort_values(priority_col)
+        out = None
+        th = tw = 0
+        kind = pdf.iloc[0]["kind"]
+        for r in pdf.itertuples():
+            blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+            if out is None:
+                out = blk.copy()
+                th, tw = blk.shape
+            else:
+                hole = np.isnan(out)
+                out[hole] = blk[hole]
+        return pd.DataFrame(
+            [("mosaic", int(ty), int(tx), out.tobytes(), th, tw, kind)],
+            columns=[f.name for f in TILE_SCHEMA.fields],
+        )
+
+    return tiles_multi.groupBy("ty", "tx").applyInPandas(merge, schema=TILE_SCHEMA)
+
+
+def tiles_clip_aoi(
+    tiles: DataFrame,
+    ring,
+    origin_x: float,
+    origin_y: float,
+    px: float,
+    tile: int,
+) -> DataFrame:
+    """AOI clip of a georeferenced tile grid: pixels outside the AOI →
+    NaN (the reference's mosaic AOI clip, process.py:1440-1453). The
+    grid is north-up: pixel (row, col) of tile (ty, tx) sits at
+    (origin_x + (tx·tile+col+0.5)·px, origin_y − (ty·tile+row+0.5)·px).
+    PIP runs vectorized per tile; tiles whose bbox misses the AOI bbox
+    are NaN'd wholesale without PIP."""
+    from eo_tools_spark.geo.geom import points_in_polygon
+
+    ring = np.asarray(ring, dtype=np.float64)
+
+    def clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind).copy()
+                cols = origin_x + (int(r.tx) * tile + np.arange(r.tw) + 0.5) * px
+                rws = origin_y - (int(r.ty) * tile + np.arange(r.th) + 0.5) * px
+                lon_g, lat_g = np.meshgrid(cols, rws)
+                inside = points_in_polygon(lon_g.ravel(), lat_g.ravel(), ring).reshape(blk.shape)
+                blk[~inside] = np.nan
+                rows.append(
+                    (r.raster_id, int(r.ty), int(r.tx), blk.tobytes(), int(r.th), int(r.tw), r.kind)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(clip, schema=TILE_SCHEMA)
+
+
 def tiles_goldstein(ifg: DataFrame, alpha: float = 0.5, overlap: int = 14) -> DataFrame:
     """Goldstein phase filter per tile with a 32-px halo (the
     reference's dask map_overlap depth, process.py:2113). Per-chunk
