@@ -162,6 +162,8 @@ def _register_dual_queries() -> None:
         "validation_antijoin": (TQ.validation_antijoin(), ["orders"]),
         "amplitude_proj": (TQ.amplitude_proj(), ["lineitem"]),
         "s2_scaling": (TQ.s2_scaling(), ["lineitem"]),
+        "dem_cache_key": (TQ.dem_cache_key(), ["orders"]),
+        "annotation_vectors": (TQ.annotation_vectors(), ["lineitem"]),
     }
     for name, ((spark_sql, duck_sql), tables) in specs.items():
         _DUAL_QUERIES[name] = (duck_sql, tables)

@@ -350,6 +350,56 @@ def s2_scaling() -> tuple[str, str]:
     return q, q
 
 
+def dem_cache_key() -> tuple[str, str]:
+    """Deterministic DEM cache identity: md5 over the WKT-ish bbox
+    string + params (core.py:313-317 md5(wkt+upscale+name) semantics;
+    filename-uniqueness fixture tests/test_s1_core.py:220-334).
+    Coordinates stay in plain-decimal range so double→string formatting
+    agrees across engines."""
+
+    def build(d: str) -> str:
+        cast = "STRING" if d == "spark" else "VARCHAR"
+        minx = "CAST(o_orderkey % 100 AS DOUBLE) / 8.0"
+        miny = "CAST(o_custkey % 50 AS DOUBLE) / 4.0"
+        wkt = (
+            f"concat('POLYGON ((', CAST({minx} AS {cast}), ' ', CAST({miny} AS {cast}), "
+            f"', ', CAST({minx} + 1.0 AS {cast}), ' ', CAST({miny} + 1.0 AS {cast}), '))')"
+        )
+        return (
+            f"SELECT o_orderkey AS k, md5(concat({wkt}, '_2_', 'nasadem')) AS cache_key "
+            "FROM orders"
+        )
+
+    return build("spark"), build("duck")
+
+
+def annotation_vectors() -> tuple[str, str]:
+    """Annotation ETL: space-separated number vectors parsed to int
+    arrays (calibration vectors / valid-sample arrays, core.py:652-664,
+    716-719) → size + exact sum."""
+
+    def build(d: str) -> str:
+        cast = "STRING" if d == "spark" else "VARCHAR"
+        vec = (
+            f"concat(CAST(l_partkey AS {cast}), ' ', CAST(l_suppkey AS {cast}), "
+            f"' ', CAST(l_linenumber AS {cast}))"
+        )
+        if d == "spark":
+            arr = f"transform(split({vec}, ' '), x -> CAST(x AS BIGINT))"
+            return (
+                f"SELECT l_orderkey AS k, l_linenumber AS line, size({arr}) AS n_vals, "
+                f"aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a + x) AS vec_sum "
+                "FROM lineitem"
+            )
+        arr = f"list_transform(string_split({vec}, ' '), x -> CAST(x AS BIGINT))"
+        return (
+            f"SELECT l_orderkey AS k, l_linenumber AS line, CAST(len({arr}) AS INT) AS n_vals, "
+            f"CAST(list_sum({arr}) AS BIGINT) AS vec_sum FROM lineitem"
+        )
+
+    return build("spark"), build("duck")
+
+
 def events_hourly() -> tuple[str, str]:
     """Tumbling 1-hour window aggregation; money summed in exact cents
     (ROUND before CAST — double sums are order-dependent, int sums not)."""

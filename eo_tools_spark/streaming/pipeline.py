@@ -18,6 +18,50 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from eo_tools_spark.sources.snapshots import SnapshotTable
 
 
+def stream_events_windowed(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time tumbling-window aggregation with a late-data
+    watermark: counts + exact cent-sums per (window, event_type),
+    append-mode parquet sink (windows finalize once the watermark
+    passes). The engine's late-data surface for event streams."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    # watermarks require TIMESTAMP (parquet event tables often carry NTZ)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("sum_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_images_to_snapshots(
     spark: SparkSession,
     source_dir: str,

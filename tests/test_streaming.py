@@ -9,6 +9,45 @@ from eo_tools_spark.sources.synthetic import IMAGE_SCHEMA, images_table
 from eo_tools_spark.streaming import stream_images_to_snapshots
 
 
+def test_events_watermark_window(spark, tmp_path, sf_dir):
+    """Windowed event-time aggregation under a watermark: the finalized
+    (append-mode) windows match the batch groupBy for closed windows."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.streaming.pipeline import stream_events_windowed
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "esrc")
+    events.repartition(6).write.parquet(src)
+
+    q = stream_events_windowed(
+        spark, src, events.schema, str(tmp_path / "eout"), str(tmp_path / "eck")
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "eout"))
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("sum_cents"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_cents")
+    )
+    # append mode emits only windows closed w.r.t. the final watermark:
+    # every emitted row must match the batch result exactly
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g <= b and len(g) > 0
+    # all windows older than (max ts - watermark) must have been emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=3)  # watermark 2h + window 1h
+    closed = {t for t in b if t[0] < cutoff.replace(minute=0, second=0, microsecond=0)}
+    assert closed <= g
+
+
 def test_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     # backlog of 3 file groups

@@ -126,6 +126,50 @@ class TestTileLaw:
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
 
 
+class TestDualPolCovariance:
+    def test_covariance_pipeline_law(self, spark):
+        """c11/c22/c12 from two pol channels (boxcar + multilook) ==
+        global composition (process.py:1943-2066 semantics)."""
+        vv = rand_complex(20, 64, 64, 0.02)
+        vh = rand_complex(21, 64, 64, 0.02)
+        t_vv = raster_to_tiles(spark, vv, "vv", 32)
+        t_vh = raster_to_tiles(spark, vh, "vh", 32)
+
+        from eo_tools_spark.operators.tiles import tiles_zip
+
+        c11 = tiles_boxcar(
+            tiles_zip(t_vv, t_vv, lambda a, b: (a * np.conj(b)).real.astype(np.float32), "f4", "c11"),
+            3, 3,
+        )
+        c12 = tiles_boxcar(
+            tiles_zip(t_vv, t_vh, lambda a, b: a * np.conj(b), "c8", "c12"), 3, 3
+        )
+        got_c11 = tiles_to_raster(c11, 32)
+        got_c12 = tiles_to_raster(c12, 32)
+        exp_c11 = R.boxcar(np.nan_to_num((vv * np.conj(vv)).real) * 0 + (vv * np.conj(vv)).real, 3, 3).astype(np.float32)
+        exp_c12 = R.boxcar(vv * np.conj(vh), 3, 3).astype(np.complex64)
+        np.testing.assert_allclose(got_c11, exp_c11, rtol=1e-4, atol=1e-5, equal_nan=True)
+        np.testing.assert_allclose(got_c12, exp_c12, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+    def test_h_alpha_tiles(self, spark):
+        """tiles_h_alpha == functions.raster.h_alpha per pixel."""
+        from eo_tools_spark.operators.tiles import tiles_h_alpha, tiles_zip
+
+        rng = np.random.default_rng(22)
+        c11 = rng.uniform(0.5, 2, (64, 64)).astype(np.float32)
+        c22 = rng.uniform(0.5, 2, (64, 64)).astype(np.float32)
+        c12 = (rng.normal(size=(64, 64)) + 1j * rng.normal(size=(64, 64))).astype(np.complex64) * 0.3
+        t11 = raster_to_tiles(spark, c11, "c11", 32)
+        t22 = raster_to_tiles(spark, c22, "c22", 32)
+        t12 = raster_to_tiles(spark, c12, "c12", 32)
+        got = tiles_to_raster(tiles_h_alpha(t11, t22, t12), 32)
+        H_exp, a_exp = R.h_alpha(
+            c11.astype(np.float64), c22.astype(np.float64), c12.astype(np.complex128)
+        )
+        np.testing.assert_allclose(got.real, H_exp, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got.imag, a_exp, rtol=1e-4, atol=1e-5)
+
+
 class TestEigh:
     def test_single_mechanism_simulation(self):
         """Port of the reference's simulation oracle
