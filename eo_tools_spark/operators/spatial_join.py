@@ -97,11 +97,16 @@ def aoi_point_join(
     """
     spark = scenes.sparkSession
     # the cover is a broadcast dimension: build once per AOI set and
-    # reuse across queries (pass ``cover=build_aoi_cover(...)``)
-    cover_df, res_by_id = cover if cover is not None else build_aoi_cover(spark, aois, res)
+    # reuse across queries (pass ``cover=build_aoi_cover(...)`` or the
+    # density-driven ``adaptive_cover(...)``)
+    cover_df, _res_by_id = cover if cover is not None else build_aoi_cover(spark, aois, res)
     refine = S.make_pip_refine_udf(aois)
 
-    res_set = sorted(set(res_by_id.values()))
+    # resolutions present in the (possibly mixed-res, adaptively split)
+    # cover — the cover is tiny, this is a driver-side metadata read
+    res_set = sorted(
+        {r.res for r in cover_df.select((F.col("cell") / (1 << 58)).cast("int").alias("res")).distinct().collect()}
+    )
     if len(res_set) == 1:
         with_cell = scenes.withColumn("_cell", S.cell_col(lon, lat, res_set[0]))
     else:
@@ -116,6 +121,90 @@ def aoi_point_join(
     if require_nonempty and out.isEmpty():
         raise EmptyJoinError("No scene intersects the AOI")  # process.py:325-328 parity
     return out
+
+
+def adaptive_cover(
+    scenes: DataFrame,
+    aois: dict[str, np.ndarray],
+    lon: str = "lon",
+    lat: str = "lat",
+    base_res: int | None = None,
+    max_rows_per_cell: int = 100_000,
+    max_iters: int = 3,
+):
+    """DATA-density-driven adaptive cell-resolution splitting (north
+    rule): starting from the geometric cover, boundary cells whose
+    matched-row count exceeds ``max_rows_per_cell`` are split into their
+    4 children (re-classified interior/boundary/outside against the AOI)
+    until counts are bounded or ``max_iters`` reached.
+
+    Exactly-once is preserved: the mixed-resolution cover still
+    partitions each AOI (a parent is removed when its children replace
+    it), so a point matches at most one cover cell per AOI.
+
+    Returns ``(cover_df, res_by_id)`` compatible with
+    ``aoi_point_join(cover=...)``. Cost: one cheap counting aggregation
+    per iteration (scene side scanned with the same multi-res cell
+    arithmetic as the join itself).
+    """
+    from eo_tools_spark.geo.geom import clip_convex, polygon_area, polygon_intersects
+
+    spark = scenes.sparkSession
+    cover_df, res_by_id = build_aoi_cover(spark, aois, base_res)
+    rows = [(r.aoi_id, r.cell, r.boundary) for r in cover_df.collect()]
+
+    def classify_child(child: int, ring: np.ndarray):
+        """→ 'interior' | 'boundary' | None (outside)."""
+        b = C.cell_bounds(np.int64(child))
+        box = np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]])
+        if not polygon_intersects(ring, box):
+            return None
+        area = (b[2] - b[0]) * (b[3] - b[1])
+        clipped = clip_convex(ring, box)
+        if len(clipped) >= 3 and abs(polygon_area(clipped) - area) <= 1e-12 * area:
+            return "interior"
+        return "boundary"
+
+    for _ in range(max_iters):
+        cdf = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+        res_set = sorted({int(c) >> 58 for _, c, _ in rows})
+        if len(res_set) == 1:
+            with_cell = scenes.select(S.cell_col(lon, lat, res_set[0]).alias("_cell"))
+        else:
+            with_cell = scenes.select(
+                F.explode(
+                    F.array(*[S.cell_col(lon, lat, r) for r in res_set])
+                ).alias("_cell")
+            )
+        counts = {
+            r.cell: r.n
+            for r in with_cell.join(F.broadcast(cdf.select("cell").distinct()), with_cell["_cell"] == F.col("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        new_rows = []
+        split_any = False
+        for aoi_id, cell, boundary in rows:
+            res = int(cell) >> 58
+            if (
+                boundary
+                and counts.get(cell, 0) > max_rows_per_cell
+                and res < C.MAX_RES
+            ):
+                for child in C.cell_children(int(cell)):
+                    kind = classify_child(int(child), aois[aoi_id])
+                    if kind is not None:
+                        new_rows.append((aoi_id, int(child), kind == "boundary"))
+                split_any = True
+            else:
+                new_rows.append((aoi_id, cell, boundary))
+        rows = new_rows
+        if not split_any:
+            break
+
+    cover_out = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+    return cover_out, res_by_id
 
 
 def aoi_partition_cells(aois: dict[str, np.ndarray], partition_res: int) -> list[int]:

@@ -62,6 +62,102 @@ def stream_events_windowed(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (one GroupState per user).
+
+    Per micro-batch and user: merge new events with the open session in
+    state, split on gaps > ``gap_seconds``, EMIT closed sessions, keep
+    the trailing open session in state. Restart-safe via the streaming
+    checkpoint. This is the engine's custom-stateful surface (SURVEY
+    §2.9 maps the reference's batch idempotency to snapshots; this
+    covers genuinely unbounded event streams).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_start", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        (user_id,) = key
+        ts = []
+        for pdf in pdf_iter:
+            ts.append(pdf["t"].to_numpy())
+        t = np.sort(np.concatenate(ts)) if ts else np.array([], dtype=np.int64)
+        if state.exists:
+            s_start, s_last, s_n = state.get
+        else:
+            s_start = s_last = None
+            s_n = 0
+        out = []
+        for v in t.tolist():
+            if s_start is None:
+                s_start, s_last, s_n = v, v, 1
+            elif v - s_last > gap_seconds:
+                out.append((user_id, s_start, s_last, s_n))  # close session
+                s_start, s_last, s_n = v, v, 1
+            else:
+                s_last = v
+                s_n += 1
+        if s_start is not None:
+            state.update((s_start, s_last, s_n))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .select("user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"))
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_images_to_snapshots(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,86 @@
+"""Density-driven adaptive cell splitting: same join results, bounded
+boundary-cell row volume on hotspot data (north-rule skew handling)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eo_tools_spark.functions.spatial import cell_col
+from eo_tools_spark.operators.spatial_join import (
+    adaptive_cover,
+    aoi_point_join,
+    build_aoi_cover,
+)
+
+
+def hotspot_scenes(spark, n=40000, seed=11):
+    """90% of rows in a 0.2°×0.2° hotspot straddling the AOI boundary —
+    worst case for boundary-cell refine volume."""
+    rng = np.random.default_rng(seed)
+    hot = rng.random(n) < 0.9
+    lon = np.where(hot, 10.45 + rng.random(n) * 0.2, rng.uniform(5, 15, n))
+    lat = np.where(hot, 40.45 + rng.random(n) * 0.2, rng.uniform(35, 45, n))
+    return spark.createDataFrame(
+        pd.DataFrame({"scene_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+
+
+AOI = {
+    "a": np.array(
+        [[10.0, 40.0], [10.5, 40.0], [10.5, 40.5], [10.0, 40.5], [10.0, 40.0]]
+    )
+}
+
+
+def boundary_row_count(spark, scenes, cover_df):
+    """Rows landing in boundary cover cells = PIP work volume."""
+    res_set = sorted(
+        {r.res for r in cover_df.select((F.col("cell") / (1 << 58)).cast("int").alias("res")).distinct().collect()}
+    )
+    with_cell = scenes.select(
+        F.explode(F.array(*[cell_col("lon", "lat", r) for r in res_set])).alias("_cell")
+    )
+    return (
+        with_cell.join(
+            F.broadcast(cover_df.where("boundary").select("cell")),
+            with_cell["_cell"] == F.col("cell"),
+        ).count()
+    )
+
+
+def test_adaptive_split_reduces_refine_volume(spark):
+    scenes = hotspot_scenes(spark)
+    # coarse base: the geometric pick_res already bounds counts, the
+    # density path kicks in when the base is coarse vs the data
+    base = build_aoi_cover(spark, AOI, res=8)
+    adap = adaptive_cover(scenes, AOI, base_res=8, max_rows_per_cell=2000, max_iters=4)
+
+    vol_base = boundary_row_count(spark, scenes, base[0])
+    vol_adap = boundary_row_count(spark, scenes, adap[0])
+    assert vol_adap < vol_base * 0.7  # hotspot boundary cells got split
+
+    # and the join result is IDENTICAL
+    r_base = {r.scene_id for r in aoi_point_join(scenes, AOI, cover=base).collect()}
+    r_adap = {r.scene_id for r in aoi_point_join(scenes, AOI, cover=adap).collect()}
+    assert r_base == r_adap and len(r_base) > 1000
+
+
+def test_adaptive_cover_partitions_aoi(spark):
+    """Mixed-res cover stays a partition: no point matches two cells of
+    the same AOI (exactly-once invariant)."""
+    scenes = hotspot_scenes(spark, n=8000)
+    adap_df, _ = adaptive_cover(scenes, AOI, base_res=8, max_rows_per_cell=500, max_iters=5)
+    res_set = sorted(
+        {r.res for r in adap_df.select((F.col("cell") / (1 << 58)).cast("int").alias("res")).distinct().collect()}
+    )
+    assert len(res_set) > 1  # actually mixed resolution
+    with_cell = scenes.select(
+        "scene_id",
+        F.explode(F.array(*[cell_col("lon", "lat", r) for r in res_set])).alias("_cell"),
+    )
+    matches = (
+        with_cell.join(F.broadcast(adap_df), with_cell["_cell"] == adap_df["cell"])
+        .groupBy("scene_id", "aoi_id")
+        .count()
+    )
+    assert matches.where("count > 1").isEmpty()

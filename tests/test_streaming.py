@@ -48,6 +48,57 @@ def test_events_watermark_window(spark, tmp_path, sf_dir):
     assert closed <= g
 
 
+def test_stateful_sessionize(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionizer: closed sessions emitted by
+    the stream equal the batch sessionizer's closed sessions, with
+    state carrying open sessions across micro-batches (files split by
+    time so sessions straddle batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.streaming.pipeline import stream_sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_t", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    median = events.approxQuantile("_t", [0.5], 0.0)[0]
+    src = str(tmp_path / "ssrc")
+    e1 = events.where(F.col("_t") <= median).drop("_t")
+    e2 = events.where(F.col("_t") > median).drop("_t")
+    e1.coalesce(1).write.parquet(src)
+    e2.coalesce(1).write.mode("append").parquet(src)
+    events = events.drop("_t")
+
+    q = stream_sessionize(
+        spark, src, events.schema, str(tmp_path / "sout"), str(tmp_path / "sck"),
+        gap_seconds=1800,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "sout")).collect()
+    }
+
+    # batch oracle: all sessions, then drop each user's LAST (still open)
+    batch = spark.sql("""
+        WITH e AS (SELECT user_id, unix_timestamp(CAST(ts AS TIMESTAMP)) AS t
+                   FROM parquet.`{src}`),
+        lagged AS (SELECT user_id, t, CASE WHEN t - LAG(t) OVER
+            (PARTITION BY user_id ORDER BY t) > 1800 THEN 1 ELSE 0 END AS ns FROM e),
+        sess AS (SELECT user_id, t, SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM lagged)
+        SELECT user_id, sid, MIN(t) AS session_start, MAX(t) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """.replace("{src}", src))
+    pdf = batch.toPandas()
+    closed = set()
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        for r in g.iloc[:-1].itertuples():  # last session stays open in state
+            closed.add((uid, r.session_start, r.session_end, r.n_events))
+    assert got == closed and len(closed) > 100
+
+
 def test_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     # backlog of 3 file groups
