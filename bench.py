@@ -194,6 +194,32 @@ def run_queries() -> dict:
 
     timed("q4_bbox_tile_join", q4)
 
+    # q8 — caption near-dup at scale: numpy minhash (H=64) + banded LSH
+    # + exact-jaccard verify over the image table's captions
+    def q8():
+        from eo_tools_spark.operators.dedup import (
+            lsh_pairs,
+            minhash_signatures,
+            verify_jaccard,
+        )
+
+        docs = images.select(
+            F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+        )
+        sig = minhash_signatures(docs, num_hashes=64, shingle=2)
+        pairs = lsh_pairs(sig, bands=16)
+        return verify_jaccard(pairs, docs, threshold=0.8).count()
+
+    timed("q8_minhash_lsh_dedup", q8)
+
+    # q9 — perceptual-hash image near-dup (native bit ops, no decode)
+    def q9():
+        from eo_tools_spark.operators.image_pipeline import phash_neardup
+
+        return phash_neardup(images, max_hamming=2).count()
+
+    timed("q9_phash_neardup", q9)
+
     # q5 — ESD-style complex-mean aggregation
     def q5():
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -205,6 +231,30 @@ def run_queries() -> dict:
         return esd_phase_mean(df, ["l_returnflag"]).count()
 
     timed("q5_esd_phase_mean", q5)
+
+    # per-partition lineage/throughput metrics: commit the flagship
+    # output as one snapshot and surface its partition metrics
+    import shutil
+    import tempfile
+
+    from eo_tools_spark.sources.snapshots import SnapshotTable
+
+    snap_dir = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        table = SnapshotTable(spark, snap_dir)
+        out = aoi_point_join(images_pruned, aois, cover=cover).withColumn(
+            "dem_tile_id", tile_id_col("lon", "lat")
+        )
+        table.append_batch(
+            out.select("image_id", "aoi_id", "dem_tile_id"), "bench"
+        )
+        lineage_rows = [
+            {"pid": r._pid, "rows": r.rows, "wall_ms": r.wall_ms}
+            for r in table.lineage().collect()
+        ]
+        snapshot_summary = table.snapshot_summaries()[0]
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["q1_spatial_join_tile_assign"], 1)
@@ -221,6 +271,8 @@ def run_queries() -> dict:
         "images_per_sec": images_per_sec,
         "pipeline_images_per_sec": round(n_pipeline / timings["q7_full_pipeline"], 1),
         "cpus": CPUS,
+        "snapshot": snapshot_summary,
+        "partition_lineage": lineage_rows[:64],
     }
     spark.stop()
     return result

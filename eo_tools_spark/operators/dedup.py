@@ -61,16 +61,27 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
+    shingle: int = 1,
 ) -> DataFrame:
-    """(id, sig:array<long>) — minhash over word tokens."""
+    """(id, sig:array<long>) — minhash over word ``shingle``-grams.
+
+    Use shingle=2+ for short texts (captions): unigram sets of short
+    docs over a small vocabulary collide constantly, flooding LSH with
+    false candidates; n-gram shingles decorrelate them."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
     A, B = _A[:num_hashes], _B[:num_hashes]
 
+    def shingles_of(t: str) -> list[str]:
+        toks = t.split(" ")
+        if shingle <= 1 or len(toks) < shingle:
+            return toks
+        return [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
-            tok_lists = [t.split(" ") for t in texts]
+            tok_lists = [shingles_of(t) for t in texts]
             flat = np.array(
                 [t for toks in tok_lists for t in toks], dtype=object
             )
