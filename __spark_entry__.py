@@ -93,6 +93,41 @@ def q_knn_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("scene_id", "dem_tile_id", "knn_rank")
 
 
+def q_footprint_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon×polygon flagship variant: scene FOOTPRINT quads (WKB)
+    intersecting AOIs via cover-cell explode + exact polygon refine
+    (SURVEY §2.3 row 1, the aoi_footprint_join operator). The oracle
+    reduces to bbox-interval predicates because the derived footprints
+    are axis-aligned boxes."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from eo_tools_spark.geo.wkb import box_to_wkb
+    from eo_tools_spark.operators.spatial_join import aoi_footprint_join
+    from eo_tools_spark.sources.derived import aoi_rings
+
+    scenes = _scenes(spark, sf_dir).where("scene_id % 5 = 0")
+
+    schema = StructType(
+        [StructField("scene_id", LongType()), StructField("footprint", BinaryType())]
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(r.scene_id), box_to_wkb(r.lon - 0.15, r.lat - 0.1, r.lon + 0.15, r.lat + 0.1))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows, columns=["scene_id", "footprint"])
+
+    fp = scenes.select("scene_id", "lon", "lat").mapInPandas(mk, schema=schema)
+    out = aoi_footprint_join(fp, aoi_rings(), res=8)
+    return out.select("scene_id", "aoi_id")
+
+
 def q_burst_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AOI join → per (product, subswath) consecutive burst range +
     partial-product line-window arithmetic (SURVEY §2.3/§2.4;
@@ -164,6 +199,8 @@ def _register_dual_queries() -> None:
         "s2_scaling": (TQ.s2_scaling(), ["lineitem"]),
         "dem_cache_key": (TQ.dem_cache_key(), ["orders"]),
         "annotation_vectors": (TQ.annotation_vectors(), ["lineitem"]),
+        "pairing_offset": (TQ.pairing_offset(), []),
+        "orders_rollup": (TQ.orders_rollup(), ["customer", "orders", "lineitem"]),
     }
     for name, ((spark_sql, duck_sql), tables) in specs.items():
         _DUAL_QUERIES[name] = (duck_sql, tables)
@@ -253,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_tile": q_knn_tile,
         "burst_range": q_burst_range,
         "esd_phase_mean": q_esd_phase_mean,
+        "footprint_aoi_join": q_footprint_aoi_join,
     }
     for name in _DUAL_QUERIES:
         out[name] = globals()[f"_dual_{name}"]
@@ -272,6 +310,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     scenes_cte = f"WITH scenes AS ({SCENES_SQL_BODY})"
+
+    fp_parts = []
+    for aid, (x0, y0, x1, y1) in AOI_BOXES.items():
+        fp_parts.append(
+            f"SELECT scene_id, '{aid}' AS aoi_id FROM scenes "
+            f"WHERE scene_id % 5 = 0 AND lon - 0.15 <= {x1} AND lon + 0.15 >= {x0} "
+            f"AND lat - 0.1 <= {y1} AND lat + 0.1 >= {y0}"
+        )
+    footprint_sql = f"{scenes_cte} " + " UNION ALL ".join(fp_parts)
 
     x0, y0, x1, y1 = AOI_BOXES["aoi_mid"]
     burst_range_sql = (
@@ -313,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_tile": knn_sql,
         "burst_range": burst_range_sql,
+        "footprint_aoi_join": footprint_sql,
         "esd_phase_mean": (
             "SELECT l_returnflag, "
             "SUM(CAST(l_partkey % 13 - 6 AS DOUBLE)) AS sum_re, "

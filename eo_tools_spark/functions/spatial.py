@@ -100,6 +100,55 @@ def wkb_bounds_udf(wkb_s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def is_convex(ring: np.ndarray) -> bool:
+    """True iff the simple ring is convex (cross-product signs agree)."""
+    r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(r)
+    sign = 0
+    for i in range(n):
+        a, b, c = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def convex_pip_expr(rings_by_id: dict, lon: str, lat: str) -> Column | None:
+    """Exact PIP for CONVEX AOIs as a pure Catalyst expression — the
+    refine becomes whole-stage-codegen JVM arithmetic, removing Python
+    from the flagship entirely. Returns None if any AOI is non-convex
+    (caller falls back to the Arrow kernel).
+
+    Closed-boundary semantics (points exactly on an edge are inside) —
+    consistent with closed-interval SQL oracles; the ray-casting kernel
+    is half-open, so inputs are expected off the boundary (as the
+    reference's shapely fixtures are)."""
+    cases = []
+    for aid, ring in rings_by_id.items():
+        r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        if not is_convex(r):
+            return None
+        # normalize CCW so all half-planes use >= 0
+        x, y = r[:, 0], r[:, 1]
+        if float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+            r = r[::-1]
+        conds = []
+        n = len(r)
+        for i in range(n):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % n]
+            conds.append(
+                f"(({x2!r} - {x1!r}) * ({lat} - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * ({lon} - {x1!r})) >= 0"
+            )
+        cases.append(f"WHEN aoi_id = '{aid}' THEN ({' AND '.join(conds)})")
+    return F.expr(f"CASE {' '.join(cases)} ELSE false END")
+
+
 def make_pip_refine_udf(rings_by_id: dict):
     """Exact PIP refine against a driver-broadcast {aoi_id: ring} dict.
 

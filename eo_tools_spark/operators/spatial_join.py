@@ -100,7 +100,6 @@ def aoi_point_join(
     # reuse across queries (pass ``cover=build_aoi_cover(...)`` or the
     # density-driven ``adaptive_cover(...)``)
     cover_df, _res_by_id = cover if cover is not None else build_aoi_cover(spark, aois, res)
-    refine = S.make_pip_refine_udf(aois)
 
     # resolutions present in the (possibly mixed-res, adaptively split)
     # cover — the cover is tiny, this is a driver-side metadata read
@@ -114,10 +113,16 @@ def aoi_point_join(
             "_cell", F.explode(F.array(*[S.cell_col(lon, lat, r) for r in res_set]))
         )
     joined = with_cell.join(F.broadcast(cover_df), with_cell["_cell"] == cover_df["cell"])
-    out = (
-        joined.where(refine(F.col("aoi_id"), F.col(lon), F.col(lat), F.col("boundary")))
-        .drop("_cell", "cell", "boundary")
-    )
+    # refine strategy: convex AOIs get a pure-Catalyst half-plane test
+    # (whole-stage codegen, NO Python anywhere in the flagship); any
+    # non-convex AOI falls back to the Arrow ray-casting kernel
+    convex = S.convex_pip_expr(aois, lon, lat)
+    if convex is not None:
+        pred = ~F.col("boundary") | convex
+    else:
+        refine = S.make_pip_refine_udf(aois)
+        pred = refine(F.col("aoi_id"), F.col(lon), F.col(lat), F.col("boundary"))
+    out = joined.where(pred).drop("_cell", "cell", "boundary")
     if require_nonempty and out.isEmpty():
         raise EmptyJoinError("No scene intersects the AOI")  # process.py:325-328 parity
     return out

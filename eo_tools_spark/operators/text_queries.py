@@ -350,6 +350,52 @@ def s2_scaling() -> tuple[str, str]:
     return q, q
 
 
+def pairing_offset() -> tuple[str, str]:
+    """Burst-pairing join with the 1%-tolerance overlap predicate and
+    offset derivation (process.py:510-526 semantics) on derived 1-D
+    azimuth intervals: prm burst b spans [90b, 90b+100); sec bursts are
+    the same grid shifted one burst step → all pairs share offset 1."""
+
+    def build(d: str) -> str:
+        if d == "spark":
+            gen_p = "prm AS (SELECT CAST(id AS INT) + 1 AS burst FROM range(9))"
+            gen_s = "sec AS (SELECT CAST(id AS INT) + 2 AS burst FROM range(9))"
+        else:
+            gen_p = "prm AS (SELECT CAST(i AS INT) + 1 AS burst FROM range(9) t(i))"
+            gen_s = "sec AS (SELECT CAST(i AS INT) + 2 AS burst FROM range(9) u(i))"
+        # interval [90(b-1), 90(b-1)+100): overlap/min-length ratio
+        ratio = (
+            "CAST(GREATEST(0, LEAST(90 * (p.burst - 1) + 100, 90 * (s.burst - 2) + 100) "
+            "- GREATEST(90 * (p.burst - 1), 90 * (s.burst - 2))) AS DOUBLE) / 100.0"
+        )
+        return (
+            f"WITH {gen_p}, {gen_s} "
+            f"SELECT p.burst AS burst_prm, s.burst AS burst_sec, "
+            f"s.burst - p.burst AS burst_offset, {ratio} AS overlap "
+            f"FROM prm p JOIN sec s ON {ratio} >= 0.99"
+        )
+
+    return build("spark"), build("duck")
+
+
+def orders_rollup() -> tuple[str, str]:
+    """Relational baseline: 3-way join customer⋈orders⋈lineitem +
+    grouped revenue aggregation (exercises shuffle joins + partial
+    aggregation on the driver's star schema)."""
+    q = (
+        "SELECT c_nationkey AS nation, o_orderpriority AS pri, "
+        "COUNT(*) AS n_items, "
+        "SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) "
+        "AS revenue_cents "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+        "GROUP BY c_nationkey, o_orderpriority"
+    )
+    return q, q
+
+
 def dem_cache_key() -> tuple[str, str]:
     """Deterministic DEM cache identity: md5 over the WKT-ish bbox
     string + params (core.py:313-317 md5(wkt+upscale+name) semantics;

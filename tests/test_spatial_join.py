@@ -108,6 +108,38 @@ def test_footprint_join_matches_numpy_oracle(spark):
     assert len(exp) > 10
 
 
+def test_convex_refine_is_pure_jvm(spark, sf_dir):
+    """For convex AOIs the whole flagship plan is JVM-side: no
+    ArrowEvalPython / BatchEvalPython anywhere."""
+    scenes = derived.scenes_view(spark, sf_dir)
+    out = aoi_point_join(scenes, derived.aoi_rings())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nonconvex_aoi_falls_back_and_matches_oracle(spark, sf_dir):
+    """L-shaped (concave) AOI routes through the Arrow kernel and still
+    matches the numpy ray-casting oracle row-for-row."""
+    scenes = derived.scenes_view(spark, sf_dir)
+    lshape = {
+        "L": np.array(
+            [[-20.0, -10.0], [15.0, -10.0], [15.0, 5.0], [0.0, 5.0],
+             [0.0, 20.0], [-20.0, 20.0], [-20.0, -10.0]]
+        )
+    }
+    out = aoi_point_join(scenes, lshape)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan  # fallback really engaged
+    got = {r.scene_id for r in out.select("scene_id").collect()}
+
+    pdf = scenes.select("scene_id", "lon", "lat").toPandas()
+    inside = points_in_polygon(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), lshape["L"]
+    )
+    exp = set(pdf["scene_id"].to_numpy()[inside].tolist())
+    assert got == exp and len(exp) >= 5
+
+
 def test_plan_is_broadcast_no_shuffle(spark, sf_dir):
     """The scene side must not shuffle: physical plan shows a
     BroadcastHashJoin and no Exchange on the streaming side."""
