@@ -124,7 +124,7 @@ def q_footprint_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["scene_id", "footprint"])
 
     fp = scenes.select("scene_id", "lon", "lat").mapInPandas(mk, schema=schema)
-    out = aoi_footprint_join(fp, aoi_rings(), res=8)
+    out = aoi_footprint_join(fp, aoi_rings(), res=8, id_cols=["scene_id"])
     return out.select("scene_id", "aoi_id")
 
 

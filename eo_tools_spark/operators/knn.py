@@ -64,6 +64,7 @@ class TileIndex:
     def query_group(self, cell: int, qx: np.ndarray, qy: np.ndarray, k: int):
         """kNN for all points sharing one coarse cell. Returns
         (idx (m,k), dist2 (m,k)). Vectorized across the group."""
+        k = min(k, len(self.ids))  # catalogs smaller than k: return all
         ring = 1
         cand = self._candidates(cell, ring)
         max_ring = max(

@@ -231,6 +231,7 @@ def aoi_footprint_join(
     wkb_col: str = "footprint",
     res: int = 7,
     require_nonempty: bool = False,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner join footprint-polygon rows × AOIs on ``intersects``.
 
@@ -246,10 +247,13 @@ def aoi_footprint_join(
     with_cells = footprints.withColumn(
         "_cells", S.cover_cells_udf(F.col(wkb_col), F.lit(res))
     ).withColumn("_cell", F.explode("_cells")).drop("_cells")
+    # dedupe candidate pairs on the row identity if given — deduping on
+    # full rows forces wide (binary-payload) columns through the shuffle
+    dedup_cols = (id_cols or footprints.columns) + ["aoi_id"]
     cand = (
         with_cells.join(F.broadcast(cover_df), with_cells["_cell"] == cover_df["cell"])
         .drop("_cell", "cell", "boundary")
-        .dropDuplicates(footprints.columns + ["aoi_id"])
+        .dropDuplicates(dedup_cols)
     )
     out = cand.where(refine(F.col("aoi_id"), F.col(wkb_col)))
     if require_nonempty and out.isEmpty():
