@@ -14,8 +14,6 @@ Reference semantics carried over:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -39,16 +37,21 @@ def cell_col(lon: str | Column, lat: str | Column, res: int) -> Column:
 
 
 def cell_parent_col(cell: str | Column, parent_res: int) -> Column:
-    """Parent cell id as Catalyst arithmetic (for salting/rollup keys)."""
+    """Parent cell id as Catalyst arithmetic (for salting/rollup keys).
+
+    Pure integer bit ops — float division of 60-bit ids loses low bits
+    (double mantissa is 53 bits) and can flip ix/iy near their maxima."""
     c = F.col(cell) if isinstance(cell, str) else cell
-    res = (c / (1 << 58)).cast("long")
-    ix = ((c / (1 << 29)).cast("long")) % (1 << 29)
+    res = F.shiftright(c, 58)
+    ix = F.shiftright(c, 29) % (1 << 29)  # exact: constant shifts
     iy = c % (1 << 29)
-    shift = F.pow(F.lit(2.0), (res - parent_res).cast("double")).cast("long")
+    # variable shift: ix,iy < 2^29 are exact doubles and division by a
+    # power of two is exact, so floor(x / 2^s) == x >> s here
+    denom = F.pow(F.lit(2.0), (res - F.lit(parent_res)).cast("double"))
     return (
         F.lit(parent_res).cast("long") * F.lit(1 << 58).cast("long")
-        + (ix / shift).cast("long") * F.lit(1 << 29).cast("long")
-        + (iy / shift).cast("long")
+        + F.floor(ix / denom).cast("long") * F.lit(1 << 29).cast("long")
+        + F.floor(iy / denom).cast("long")
     )
 
 

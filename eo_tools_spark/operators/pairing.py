@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import DoubleType
 
 from eo_tools_spark.geo import geom as G
 from eo_tools_spark.geo import wkb as W
@@ -58,7 +58,6 @@ def pair_bursts(
     PairingError on empty pairing or non-constant offset — exact parity
     with process.py:518-526.
     """
-    from eo_tools_spark.operators.spatial_join import EmptyJoinError  # noqa
     from eo_tools_spark.functions.spatial import cover_cells_udf
 
     p = prm.select(

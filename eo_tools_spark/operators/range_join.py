@@ -16,11 +16,7 @@ skew is bounded by cell granularity + AQE skew-join.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
-
-from eo_tools_spark.functions import spatial as S
-from eo_tools_spark.geo import cells as C
 
 ARC_SEC_DEG = 1.0 / 3600.0  # reference buffer unit (core.py:309)
 

@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     DoubleType,
-    IntegerType,
     LongType,
     StructField,
     StructType,

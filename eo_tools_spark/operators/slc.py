@@ -21,7 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def window_first_line(burst_idx: int, min_burst: int, lines_per_burst: int) -> int:

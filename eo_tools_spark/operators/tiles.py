@@ -279,30 +279,8 @@ def tiles_coherence(
     )
     h = max(box_az, box_rg)
 
-    def coh_kernel(pad_ifg, pad_p2, pad_s2, th, tw, hh):
-        num = _box_mean_padded(pad_ifg, th, tw, hh, box_az, box_rg)
-        d1 = _box_mean_padded(pad_p2, th, tw, hh, box_az, box_rg)
-        d2 = _box_mean_padded(pad_s2, th, tw, hh, box_az, box_rg)
-        coh = num / np.sqrt(d1) / np.sqrt(d2)
-        if magnitude:
-            coh = np.abs(coh)
-        msk = ~np.isnan(pad_ifg)
-        # erosion with reflect boundary on the assembled neighborhood
-        lo_a, hi_a = R._win_bounds(box_az)
-        lo_r, hi_r = R._win_bounds(box_rg)
-        c = np.cumsum(np.cumsum(msk.astype(np.float64), axis=0), axis=1)
-        c = np.pad(c, ((1, 0), (1, 0)))
-        ys = np.arange(hh, hh + th)
-        xs = np.arange(hh, hh + tw)
-        y0, y1 = ys - lo_a, ys + hi_a + 1
-        x0, x1 = xs - lo_r, xs + hi_r + 1
-        ssum = c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
-        eroded = ssum >= box_az * box_rg - 0.5
-        return np.where(eroded, coh, np.nan)
-
-    # join the three intermediate rasters' neighborhoods: tag and reuse
-    # halo_map on a stacked complex trick is murky — instead assemble
-    # each separately and zip. Simpler and still one shuffle each.
+    # the three windowed rasters get their own halo exchanges, then the
+    # ratio/mask composition is plain elementwise tile zips
     num = halo_map(ifg, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))
     den1 = halo_map(prm2, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))
     den2 = halo_map(sec2, h, lambda p_, th, tw, hh: _box_mean_padded(p_, th, tw, hh, box_az, box_rg))

@@ -61,6 +61,22 @@ def test_salt_is_deterministic(spark):
     assert len(set(a)) > 1  # actually spreads
 
 
+def test_cell_parent_col_matches_numpy_at_extremes(spark):
+    """JVM parent-cell arithmetic == numpy kernel at res-28 corners —
+    the regime where double division of 60-bit ids would flip bits."""
+    from eo_tools_spark.functions.spatial import cell_parent_col
+    from eo_tools_spark.geo.cells import cell_of_points, cell_parent
+
+    lon = np.array([179.9999999, -179.9999999, 0.0, 45.3])
+    lat = np.array([89.9999999, -89.9999999, 0.0, -22.1])
+    for res, pres in [(28, 20), (28, 27), (15, 3)]:
+        cells = cell_of_points(lon, lat, res)
+        exp = cell_parent(cells, pres)
+        df = spark.createDataFrame(pd.DataFrame({"c": cells}))
+        got = np.array([r[0] for r in df.select(cell_parent_col("c", pres)).collect()])
+        np.testing.assert_array_equal(got, exp)
+
+
 def test_flagship_plan_broadcast(spark, sf_dir):
     from eo_tools_spark.operators.spatial_join import aoi_point_join
     from eo_tools_spark.sources.derived import aoi_rings, scenes_view
