@@ -41,6 +41,54 @@ class TestCodecs:
         assert IM.psnr(img, dec) >= 40.0
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
+    def test_png_decode_foreign_filters_1_3_4(self):
+        """Decoder must reconstruct spec-compliant PNGs using Sub(1),
+        Average(3) and Paeth(4) filters — built by hand since our
+        encoder only emits 0/2 (foreign-PNG interop path)."""
+        import struct
+        import zlib
+
+        from eo_tools_spark.functions.imaging import PNG_SIG, _chunk
+
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+        h, w = img.shape
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        # forward-filter each row with its per-row filter type
+        ftypes = [1, 3, 4, 1, 3, 4]
+        out = bytearray()
+        prev = np.zeros(w, dtype=int)
+        for y in range(h):
+            f = ftypes[y]
+            cur = img[y].astype(int)
+            out.append(f)
+            for x in range(w):
+                left = cur[x - 1] if x > 0 else 0
+                up = prev[x]
+                ul = prev[x - 1] if x > 0 else 0
+                if f == 1:
+                    val = (cur[x] - left) % 256
+                elif f == 3:
+                    val = (cur[x] - (left + up) // 2) % 256
+                else:
+                    val = (cur[x] - paeth(left, up, ul)) % 256
+                out.append(val)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b"")
+        )
+        got = IM.png_decode(data)
+        np.testing.assert_array_equal(got, img)
+
     def test_audio_stub_raises(self):
         with pytest.raises(NotImplementedError):
             IM.decode_image(b"xx", "audio", 1, 1)
