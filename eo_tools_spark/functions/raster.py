@@ -159,11 +159,17 @@ def eigh_2x2(c11: np.ndarray, c22: np.ndarray, c12: np.ndarray):
     delta = np.sqrt(np.maximum((tr / 2) ** 2 - det, 0))
     l1 = tr / 2 + delta
     l2 = tr / 2 - delta
-    # eigenvector for l1: (c12, l1 - c11) normalized
-    v1a = c12
+    # eigenvector for l1: (c12, l1 - c11) normalized; when that vector
+    # degenerates (c12 == 0 and l1 == c11, i.e. a diagonal matrix with
+    # c11 >= c22) the true eigenvector is (1, 0) — substituting it keeps
+    # alpha = arccos|v1a| correct (review finding: the zero vector gave
+    # alpha = pi/2 for a pure first-channel scatterer)
+    v1a = np.asarray(c12, dtype=complex).copy()
     v1b = (l1 - c11).astype(complex)
     nrm = np.sqrt((v1a * np.conj(v1a)).real + (v1b * np.conj(v1b)).real)
-    nrm = np.where(nrm == 0, 1, nrm)
+    degenerate = nrm == 0
+    v1a = np.where(degenerate, 1.0 + 0j, v1a)
+    nrm = np.where(degenerate, 1.0, nrm)
     return l1, l2, v1a / nrm, v1b / nrm
 
 

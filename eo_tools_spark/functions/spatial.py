@@ -24,15 +24,15 @@ from eo_tools_spark.geo import geom as G
 from eo_tools_spark.geo import wkb as W
 
 
-def cell_col(lon: str | Column, lat: str | Column, res: int) -> Column:
+def cell_col(lon: str, lat: str, res: int) -> Column:
     """Point → cell id as a pure Catalyst expression (codegen'd JVM-side).
 
     Bit-identical to geo.cells.cell_of_points and to the DuckDB oracle
-    expression (geo.cells.cell_id_sql).
+    expression (geo.cells.cell_id_sql). Takes column NAMES (or SQL
+    expressions) — Column objects cannot be spliced into the SQL text.
     """
-    lon_e = lon if isinstance(lon, str) else None
-    if lon_e is None:
-        raise TypeError("pass column NAMES so the expr stays SQL-parseable")
+    if not isinstance(lon, str) or not isinstance(lat, str):
+        raise TypeError("cell_col takes column NAMES/SQL strings, not Column objects")
     return F.expr(C.cell_id_sql(lon, lat, res)).cast("long")
 
 

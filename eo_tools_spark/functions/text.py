@@ -60,19 +60,6 @@ def minhash(text_expr: str, seed: int, dialect: str) -> str:
     return _amin(_transform(tok, lam, dialect), dialect)
 
 
-def band_key(text_expr: str, band: int, rows_per_band: int, dialect: str) -> str:
-    """LSH band key: md5 of the concatenated minhash rows of this band."""
-    parts = [
-        f"CAST({minhash(text_expr, band * rows_per_band + r, dialect)} AS VARCHAR)"
-        if dialect == "duck"
-        else f"CAST({minhash(text_expr, band * rows_per_band + r, dialect)} AS STRING)"
-        for r in range(rows_per_band)
-    ]
-    sep = " || '_' || " if dialect == "duck" else ", '_', "
-    inner = sep.join(parts) if dialect == "duck" else f"concat({sep.join(parts)})"
-    return f"md5({inner})" if dialect == "duck" else f"md5({inner})"
-
-
 def shingles(expr: str, n: int, dialect: str) -> str:
     """Distinct character n-gram set."""
     if dialect == "spark":
@@ -163,12 +150,3 @@ DOCS_AUG_SQL = (
     "UNION ALL "
     "SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0"
 )
-
-
-def docs_aug_sql(dialect: str) -> str:
-    if dialect == "duck":
-        return DOCS_AUG_SQL.replace(
-            "regexp_replace(text, '^[^ ]* ', '')",
-            "regexp_replace(text, '^[^ ]* ', '')",
-        )
-    return DOCS_AUG_SQL

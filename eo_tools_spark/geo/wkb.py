@@ -61,21 +61,26 @@ def wkb_to_coords(wkb: bytes) -> list[np.ndarray]:
     byte_order, gtype = struct.unpack_from("<BI", buf, 0)
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
-    gtype &= 0xFF  # strip SRID/Z flags if ever present
+    hdr = 5
+    if gtype & 0x20000000:  # PostGIS EWKB SRID flag: skip the 4-byte SRID
+        hdr += 4
+    if gtype & 0xC0000000:  # Z/M flags change coordinate width — reject
+        raise ValueError("Z/M WKB coordinates not supported")
+    gtype &= 0xFF
     if gtype == _WKB_POINT:
-        x, y = struct.unpack_from("<dd", buf, 5)
+        x, y = struct.unpack_from("<dd", buf, hdr)
         return [np.array([[x, y]])]
     if gtype == _WKB_POLYGON:
-        (nrings,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+        (nrings,) = struct.unpack_from("<I", buf, hdr)
+        off = hdr + 4
         rings = []
         for _ in range(nrings):
             ring, off = _read_ring(buf, off)
             rings.append(ring)
         return [rings[0]]
     if gtype == _WKB_MULTIPOLYGON:
-        (npoly,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+        (npoly,) = struct.unpack_from("<I", buf, hdr)
+        off = hdr + 4
         out = []
         for _ in range(npoly):
             bo, gt = struct.unpack_from("<BI", buf, off)

@@ -113,7 +113,6 @@ def lsh_pairs(
     sig length must be divisible by ``bands``. Band keys are xxhash64 of
     the band slice (engine-internal key — no cross-engine parity needed).
     """
-    r = F.expr(f"CAST(size(sig) / {bands} AS INT)")
     banded = sig_df.select(
         id_col,
         F.posexplode(
@@ -205,14 +204,17 @@ def simhash_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id
     """
     nchunks = max_hamming + 1
     width = 64 // nchunks
+    # width == 64 (max_hamming=0): the mask literal (1<<64)-1 overflows
+    # BIGINT — the full value IS the key, no mask needed
+    key_expr = (
+        "simhash" if width >= 64
+        else f"(simhash >> (c * {width})) & {(1 << width) - 1}"
+    )
     chunks = sim_df.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {nchunks - 1}), "
-                f"c -> (simhash >> (c * {width})) & {(1 << width) - 1})"
-            )
+            F.expr(f"transform(sequence(0, {nchunks - 1}), c -> {key_expr})")
         ).alias("chunk", "ckey"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")

@@ -143,14 +143,15 @@ def phash_neardup(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     decode, no UDF). Same physical pattern as simhash_pairs."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
+    key_expr = (
+        "phash" if width >= 64  # mask literal would overflow BIGINT
+        else f"(phash >> (c * {width})) & {(1 << width) - 1}"
+    )
     chunks = images.select(
         "image_id",
         "phash",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {nchunks - 1}), "
-                f"c -> (phash >> (c * {width})) & {(1 << width) - 1})"
-            )
+            F.expr(f"transform(sequence(0, {nchunks - 1}), c -> {key_expr})")
         ).alias("chunk", "ckey"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")

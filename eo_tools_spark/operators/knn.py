@@ -59,7 +59,12 @@ class TileIndex:
     def _candidates(self, cell: int, ring: int) -> np.ndarray:
         cells = C.cell_ring(cell, ring)
         parts = [self.buckets[int(c)] for c in cells if int(c) in self.buckets]
-        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        # ascending index (== ascending tile_id: ids are pre-sorted) so
+        # the stable argsort on distances tie-breaks by tile_id globally,
+        # not by cell-bucket visit order
+        return np.sort(np.concatenate(parts))
 
     def query_group(self, cell: int, qx: np.ndarray, qy: np.ndarray, k: int):
         """kNN for all points sharing one coarse cell. Returns

@@ -65,15 +65,19 @@ def build_aoi_cover(
 
     cover_df columns: aoi_id:string, cell:long, boundary:boolean.
     """
-    rows = []
-    res_by_id = {}
+    rows = _cover_rows(aois, res)
+    cover_df = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+    res_by_id = {aoi_id: (res if res is not None else pick_res(ring)) for aoi_id, ring in aois.items()}
+    return cover_df, res_by_id
+
+
+def _cover_rows(aois: dict[str, np.ndarray], res: int | None) -> list[tuple[str, int, bool]]:
+    rows: list[tuple[str, int, bool]] = []
     for aoi_id, ring in aois.items():
         r = res if res is not None else pick_res(ring)
-        res_by_id[aoi_id] = r
         cc, flags = C.cover_polygon_classified(ring, r)
         rows.extend((aoi_id, int(c), bool(b)) for c, b in zip(cc, flags))
-    cover_df = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
-    return cover_df, res_by_id
+    return rows
 
 
 def aoi_point_join(
@@ -155,8 +159,8 @@ def adaptive_cover(
     from eo_tools_spark.geo.geom import clip_convex, polygon_area, polygon_intersects
 
     spark = scenes.sparkSession
-    cover_df, res_by_id = build_aoi_cover(spark, aois, base_res)
-    rows = [(r.aoi_id, r.cell, r.boundary) for r in cover_df.collect()]
+    # driver-side rows directly — no createDataFrame+collect round trip
+    rows = _cover_rows(aois, base_res)
 
     def classify_child(child: int, ring: np.ndarray):
         """→ 'interior' | 'boundary' | None (outside)."""
@@ -209,6 +213,10 @@ def adaptive_cover(
             break
 
     cover_out = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+    res_by_id = {
+        aoi_id: (base_res if base_res is not None else pick_res(ring))
+        for aoi_id, ring in aois.items()
+    }
     return cover_out, res_by_id
 
 

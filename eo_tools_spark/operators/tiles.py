@@ -124,7 +124,10 @@ def halo_map(
         h = halo
         dt = _DTYPES[kind]
         pad = np.zeros((th + 2 * h, tw + 2 * h), dtype=dt)
-        have = {(int(r.dy), int(r.dx)) for r in pdf.itertuples()}
+        # valid extent contributed to each margin: full h when the
+        # neighbor exists and is big enough, the neighbor's size when it
+        # is a PARTIAL edge tile smaller than the halo, 0 when absent
+        valid = {"top": 0, "bottom": 0, "left": 0, "right": 0}
         for r in pdf.itertuples():
             blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
             dy, dx = int(r.dy), int(r.dx)
@@ -141,17 +144,33 @@ def halo_map(
             else:
                 xs, piece_x = slice(h + tw, None), slice(0, h)
             piece = blk[piece_y, piece_x]
-            pad[ys, xs][: piece.shape[0], : piece.shape[1]] = piece
-        # reflect-fill missing margins (global edges), rows then cols —
-        # the same axis order as np.pad(mode='symmetric') on the global
-        if (-1, 0) not in have:
-            pad[0:h, :] = pad[h : 2 * h, :][::-1]
-        if (1, 0) not in have:
-            pad[h + th :, :] = pad[th : h + th, :][::-1]
-        if (0, -1) not in have:
-            pad[:, 0:h] = pad[:, h : 2 * h][:, ::-1]
-        if (0, 1) not in have:
-            pad[:, h + tw :] = pad[:, tw : h + tw][:, ::-1]
+            # top/left pieces anchor at the margin's inner edge (they
+            # border the center); bottom/right anchor at its start
+            ph, pw = piece.shape
+            y0 = ys.start if dy >= 0 else h - ph
+            x0 = xs.start if dx >= 0 else h - pw
+            pad[y0 : y0 + ph, x0 : x0 + pw] = piece
+            if dy == -1 and dx == 0:
+                valid["top"] = max(valid["top"], ph)
+            if dy == 1 and dx == 0:
+                valid["bottom"] = max(valid["bottom"], ph)
+            if dx == -1 and dy == 0:
+                valid["left"] = max(valid["left"], pw)
+            if dx == 1 and dy == 0:
+                valid["right"] = max(valid["right"], pw)
+        # reflect-fill the UNFILLED part of each margin (missing
+        # neighbors AND partial edge neighbors smaller than the halo) —
+        # rows then cols, the same axis order as np.pad(mode='symmetric')
+        vt, vb = valid["top"], valid["bottom"]
+        for k in range(h - vt):  # global top edge sits at padded row h-vt
+            pad[h - vt - 1 - k, :] = pad[h - vt + k, :]
+        for k in range(h - vb):  # global bottom edge at padded row h+th+vb
+            pad[h + th + vb + k, :] = pad[h + th + vb - 1 - k, :]
+        vl, vr = valid["left"], valid["right"]
+        for k in range(h - vl):
+            pad[:, h - vl - 1 - k] = pad[:, h - vl + k]
+        for k in range(h - vr):
+            pad[:, h + tw + vr + k] = pad[:, h + tw + vr - 1 - k]
         out = fn(pad, th, tw, h)
         ok = out_kind or kind
         return pd.DataFrame(

@@ -27,11 +27,15 @@ from eo_tools_spark.functions.spatial import cell_col
 
 
 def parent_cell_salt(lon: str, lat: str, parent_res: int, salt_bits: int = 4) -> Column:
-    """Deterministic salt: the low bits of the child cell at
-    parent_res + salt_bits — splits each parent cell into up to
-    4^salt_bits deterministic shards."""
+    """Deterministic salt: the low ``salt_bits`` of BOTH the child ix
+    and iy at parent_res + salt_bits — splits each parent cell into up
+    to 4^salt_bits shards. (Taking the packed id's low bits would use
+    iy only: 2^salt_bits shards and longitude-blind — review finding.)"""
     child = cell_col(lon, lat, parent_res + salt_bits)
-    return (child % (1 << (2 * salt_bits))).cast("int")
+    m = (1 << salt_bits) - 1
+    ix_bits = F.shiftright(child, 29) % (m + 1)
+    iy_bits = child % (m + 1)
+    return (ix_bits * (m + 1) + iy_bits).cast("int")
 
 
 def salted_agg(

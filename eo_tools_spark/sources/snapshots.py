@@ -64,19 +64,21 @@ class SnapshotTable:
         data_dir = f"{self.path}/data/batch={batch_id}"
         staged = df.withColumn("_pid", F.spark_partition_id())
         staged.write.mode("overwrite").parquet(data_dir)
-        # lineage metrics from the written files (footer stats — cheap)
+        # lineage metrics from the written files; n_rows is the sum of
+        # the per-partition counts (no second full scan of the batch)
         written = self.spark.read.parquet(data_dir)
-        metrics = (
-            written.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+        metrics_rows = (
+            written.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows")).collect()
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        metrics = self.spark.createDataFrame(
+            [(int(r._pid), int(r.rows), batch_id, wall_ms) for r in metrics_rows],
+            "_pid int, rows long, batch_id string, wall_ms long",
         )
         metrics.write.mode("overwrite").parquet(
             f"{self.path}/_lineage/batch={batch_id}"
         )
-        n_rows = written.count()
-        wall_ms = int((time.time() - t0) * 1000)
+        n_rows = sum(int(r.rows) for r in metrics_rows)
         self._commit(
             batch_id,
             {

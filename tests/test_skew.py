@@ -61,6 +61,22 @@ def test_salt_is_deterministic(spark):
     assert len(set(a)) > 1  # actually spreads
 
 
+def test_salt_spans_4_pow_bits_shards(spark):
+    """Within one parent cell the salt must reach 4^bits distinct
+    values (regression: packed-id low bits were iy-only → 2^bits and
+    longitude-blind)."""
+    from eo_tools_spark.geo.cells import cell_of_points
+
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": rng.uniform(0, 11.2, 60000), "lat": rng.uniform(0, 5.6, 60000)})
+    )
+    parent = int(cell_of_points([5.0], [2.0], 5)[0])
+    one = df.withColumn("p", cell_col("lon", "lat", 5)).where(F.col("p") == parent)
+    n = one.select(parent_cell_salt("lon", "lat", 5, salt_bits=3)).distinct().count()
+    assert n == 64
+
+
 def test_cell_parent_col_matches_numpy_at_extremes(spark):
     """JVM parent-cell arithmetic == numpy kernel at res-28 corners —
     the regime where double division of 60-bit ids would flip bits."""

@@ -81,6 +81,18 @@ class TestTileLaw:
         exp = R.boxcar(arr.astype(np.float64), *box).astype(np.float32)
         np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6, equal_nan=True)
 
+    @pytest.mark.parametrize("shape", [(33, 17), (65, 34), (31, 97)])
+    def test_boxcar_law_partial_edge_tiles(self, spark, shape):
+        """Edge tiles SMALLER than the halo (H%tile or W%tile in
+        (0, halo)) — the margin must mix real neighbor rows with the
+        reflect fill, not zeros (regression: code-review finding)."""
+        h, w = shape
+        arr = rand_real(40 + h + w, h, w, 0.03)
+        tiles = raster_to_tiles(spark, arr, "r", 16)
+        got = tiles_to_raster(tiles_boxcar(tiles, 5, 5), 16)
+        exp = R.boxcar(arr.astype(np.float64), 5, 5).astype(np.float32)
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6, equal_nan=True)
+
     def test_boxcar_law_complex(self, spark):
         arr = rand_complex(8)
         tiles = raster_to_tiles(spark, arr, "r", TILE)
@@ -191,6 +203,17 @@ class TestEigh:
         H, alpha = R.h_alpha(c11, c22, c12)
         assert H[0, 0] == pytest.approx(0.0, abs=1e-3)
         assert alpha[0, 0] == pytest.approx(alpha_true, rel=1e-3)
+
+    def test_eigh_degenerate_diagonal(self):
+        """c12==0 with c11>=c22 (diagonal covariance): eigenvector is
+        (1,0) so alpha1=0 — regression for the zero-vector bug that
+        reported alpha=pi/2 for pure first-channel scatterers."""
+        H, alpha = R.h_alpha(np.array([[2.0]]), np.array([[0.5]]), np.array([[0.0 + 0j]]))
+        # weighted: p1=0.8 (alpha1=0) + p2=0.2 (alpha2=pi/2)
+        assert alpha[0, 0] == pytest.approx(0.2 * np.pi / 2, rel=1e-9)
+        H2, a2 = R.h_alpha(np.array([[2.0]]), np.array([[0.0]]), np.array([[0.0 + 0j]]))
+        assert a2[0, 0] == pytest.approx(0.0, abs=1e-9)
+        assert H2[0, 0] == pytest.approx(0.0, abs=1e-9)
 
     def test_eigh_matches_numpy(self):
         rng = np.random.default_rng(3)
