@@ -88,10 +88,16 @@ def run_queries() -> dict:
     # match an AOI are scanned (bytes of non-matching cells never read)
     pcells = aoi_partition_cells(aois, PARTITION_RES)
     images_pruned = images.where(F.col("pcell").isin(pcells))
+    n_scanned = images_pruned.count()  # rows actually scanned after pruning
 
-    # warm the Python UDF workers once (interpreter fork + Arrow setup is
-    # per-session, not per-query; steady-state throughput excludes it)
+    # warm the JVM job path and the Python/Arrow workers once
+    # (interpreter fork + Arrow setup is per-session, not per-query) —
+    # the join itself is pure Catalyst for convex AOIs, so warm Python
+    # via a small decode instead
+    from eo_tools_spark.operators.image_pipeline import decode_stats as _ds
+
     aoi_point_join(images.limit(256), aois, cover=cover).count()
+    _ds(images.limit(64)).count()
 
     timings: dict[str, float] = {}
 
@@ -153,18 +159,10 @@ def run_queries() -> dict:
 
     # q2 — kNN scene→tile (hotspot half of scenes)
     def q2():
-        import pandas as pd
+        from __spark_entry__ import _tile_catalog_pdf  # single source of truth
 
-        tiles = pd.DataFrame(
-            [
-                (f"T{ix:02d}{iy:02d}", 5.5 + ix, 35.5 + iy)
-                for ix in range(10)
-                for iy in range(10)
-            ],
-            columns=["dem_tile_id", "cx", "cy"],
-        )
         hot = scenes.where(F.expr("scene_id % 2 = 0"))
-        return knn_join(hot, tiles, k=3).count()
+        return knn_join(hot, _tile_catalog_pdf(), k=3).count()
 
     timed("q2_knn_tile", q2)
 
@@ -264,7 +262,7 @@ def run_queries() -> dict:
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["q1_spatial_join_tile_assign"], 1)
     result = {
-        "metric": "spatial-join + tile-assignment throughput (images/sec)",
+        "metric": "bench suite wall time; flagship spatial-join+tile-assign throughput in images_per_sec (logical rows/s over the full table; scanned_images_per_sec = post-pruning rows/s)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -274,6 +272,8 @@ def run_queries() -> dict:
         "n_joined": n_joined,
         "n_pipeline": n_pipeline,
         "images_per_sec": images_per_sec,
+        "n_scanned": n_scanned,
+        "scanned_images_per_sec": round(n_scanned / timings["q1_spatial_join_tile_assign"], 1),
         "pipeline_images_per_sec": round(n_pipeline / timings["q7_full_pipeline"], 1),
         "cpus": CPUS,
         "snapshot": snapshot_summary,
@@ -313,7 +313,6 @@ def run_scaling() -> None:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_SHUFFLE=str(cpus),
             SPARK_GRAFT_BENCH_IMAGES=n,
         )
         out = subprocess.run(
@@ -323,6 +322,11 @@ def run_scaling() -> None:
             text=True,
             timeout=3000,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child at local[{cpus}] failed (rc={out.returncode})"
+            )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
 

@@ -41,9 +41,12 @@ def main() -> None:
 
     images = spark.read.parquet(args.images)
     if args.limit:
-        images = images.limit(args.limit)
+        # deterministic subset (ids are zero-padded): .limit() would pick
+        # an arbitrary, resubmission-dependent row set and break the
+        # resume guarantee; a range predicate is stable and pushes down
+        images = images.where(F.col("image_id") < f"img-{args.limit:012d}")
     aois = aoi_rings()
-    cover = build_aoi_cover(spark, aois)
+    cover_df, res_by_id = build_aoi_cover(spark, aois)
     table = SnapshotTable(spark, args.out)
 
     # one batch per AOI → per-batch snapshot commit + lineage metrics;
@@ -55,7 +58,11 @@ def main() -> None:
             continue
         pcells = aoi_partition_cells({aoi_id: ring}, PARTITION_RES)
         pruned = images.where(F.col("pcell").isin(pcells)) if "pcell" in images.columns else images
-        out = aoi_point_join(pruned, {aoi_id: ring}, cover=None).withColumn(
+        aoi_cover = (
+            cover_df.where(F.col("aoi_id") == aoi_id),
+            {aoi_id: res_by_id[aoi_id]},
+        )
+        out = aoi_point_join(pruned, {aoi_id: ring}, cover=aoi_cover).withColumn(
             "dem_tile_id", tile_id_col("lon", "lat")
         )
         res = table.append_batch(

@@ -14,6 +14,7 @@ def spark():
 
     s = get_spark("eo_tools_spark-tests", cores=8, shuffle_partitions=8)
     yield s
+    s.stop()
 
 
 @pytest.fixture(scope="session")
