@@ -9,10 +9,12 @@ ONE JSON line:
 `value` is the total wall time of the query set; `images_per_sec` is the
 flagship spatial-join + tile-assignment throughput (BASELINE.json metric).
 
---scaling mode: re-runs the flagship job in two subprocesses at
-local[8] and local[32] on the SAME input and writes throughput at both +
-scaling efficiency to BENCH/BASELINE.md (the sandbox evidence protocol
-for the north rule's two-cluster-size criterion).
+--scaling mode: re-runs the flagship pipeline in two fresh-JVM
+subprocesses at local[4] and local[16] (N and 4N WITHIN physical cores —
+this host has 16 physical / 32 SMT) over a larger image table and writes
+throughput at both + scaling efficiency to BENCH/BASELINE.md (the
+sandbox evidence protocol for the north rule's two-cluster-size
+criterion).
 """
 
 from __future__ import annotations
