@@ -86,6 +86,57 @@ def lut_overlap_trim(az: np.ndarray, rg: np.ndarray, burst_overlap_px: int, burs
     return az2, rg2
 
 
+# ---------------------------------------------------------- fast ESD
+
+def esd_phase_diffs(prm_bursts: list[np.ndarray], sec_bursts: list[np.ndarray], overlap: int) -> list[float]:
+    """Per burst-boundary: mean phase of the cross interferogram between
+    the current burst's tail and the next burst's head
+    (process.py:2589-2614; complex mean = Σre,Σim → angle, the
+    associative form scatter-reduced by esd_phase_mean at scale)."""
+    out = []
+    for b in range(len(prm_bursts) - 1):
+        tail_p = prm_bursts[b][-overlap:]
+        tail_s = sec_bursts[b][-overlap:]
+        head_p = prm_bursts[b + 1][:overlap]
+        head_s = sec_bursts[b + 1][:overlap]
+        cross = (tail_p * np.conj(tail_s)) * np.conj(head_p * np.conj(head_s))
+        vals = cross[~np.isnan(cross)]
+        out.append(float(np.angle(vals.mean())))
+    return out
+
+
+def esd_ramp(phase_diffs: list[float], idx: int, naz: int, overlap: int) -> np.ndarray:
+    """Azimuth phase ramp for burst ``idx`` (process.py:2574-2585):
+    linear between ±dφ/2 anchored at the half-overlap lines; first/last
+    bursts use their single adjacent boundary."""
+    x = np.arange(naz)
+    xdown, xup = overlap / 2, naz - 1 - overlap / 2
+    if idx == 0:
+        ydown, yup = -phase_diffs[0] / 2, phase_diffs[0] / 2
+    elif idx == len(phase_diffs):
+        ydown, yup = -phase_diffs[-1] / 2, phase_diffs[-1] / 2
+    else:
+        ydown, yup = -phase_diffs[idx - 1] / 2, phase_diffs[idx] / 2
+    slope = (yup - ydown) / (xup - xdown)
+    ramp = slope * x + (ydown - slope * xdown)
+    return ramp
+
+
+def apply_fast_esd(prm_bursts: list[np.ndarray], sec_bursts: list[np.ndarray], overlap: int) -> list[np.ndarray]:
+    """Fast-ESD correction: secondary bursts multiplied by exp(1j·ramp)
+    so phase jumps at burst boundaries cancel (Qin et al. 2018 scheme,
+    process.py:2563-2630). Distributed shape: phase_diffs is a tiny
+    per-boundary aggregate (esd_phase_mean over overlap-region rows);
+    the ramp applies map-side per burst strip."""
+    diffs = esd_phase_diffs(prm_bursts, sec_bursts, overlap)
+    naz = prm_bursts[0].shape[0]
+    out = []
+    for i, s in enumerate(sec_bursts):
+        ramp = esd_ramp(diffs, i, naz, overlap)
+        out.append((s * np.exp(1j * ramp)[:, None]).astype(s.dtype))
+    return out
+
+
 # ------------------------------------------- terrain scatter-aggregate
 
 def scatter_accumulate(contrib: DataFrame, naz: int | None = None, nrg: int | None = None) -> DataFrame:

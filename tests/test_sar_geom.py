@@ -86,6 +86,48 @@ class TestScatter:
         np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
 
 
+class TestFastESD:
+    def test_removes_synthetic_phase_jumps(self):
+        """Bursts whose secondary carries a constant per-burst phase
+        offset: fast ESD must flatten the boundary phase jumps
+        (process.py:2563-2630 / Qin et al. 2018)."""
+        from eo_tools_spark.operators.sar_geom import (
+            apply_fast_esd,
+            esd_phase_diffs,
+        )
+
+        rng = np.random.default_rng(6)
+        naz, nrg, overlap, nb = 40, 30, 8, 4
+        base = (rng.normal(size=((nb + 1) * naz, nrg))
+                + 1j * rng.normal(size=((nb + 1) * naz, nrg))).astype(np.complex64)
+        offsets = [0.0, 0.5, 1.0, 1.5]  # constant 0.5 rad jump per boundary
+        prm, sec = [], []
+        for b in range(nb):
+            strip = base[b * (naz - overlap) : b * (naz - overlap) + naz]
+            prm.append(strip)
+            sec.append((strip * np.exp(-1j * offsets[b])).astype(np.complex64))
+
+        diffs = esd_phase_diffs(prm, sec, overlap)
+        # sec_b = strip·e^{-iφ_b} → ifg_b carries e^{+iφ_b} → cross
+        # ifg1·conj(ifg2) = e^{i(φ_b−φ_{b+1})} = e^{-i·0.5}
+        np.testing.assert_allclose(diffs, [-0.5, -0.5, -0.5], atol=1e-5)
+
+        corrected = apply_fast_esd(prm, sec, overlap)
+        # boundary jump after correction: cross-ifg phase ≈ 0
+        post = esd_phase_diffs(prm, corrected, overlap)
+        assert np.max(np.abs(post)) < 0.05
+
+    def test_identical_bursts_no_ramp(self):
+        from eo_tools_spark.operators.sar_geom import apply_fast_esd
+
+        rng = np.random.default_rng(7)
+        b = [(rng.normal(size=(20, 10)) + 1j * rng.normal(size=(20, 10))).astype(np.complex64)
+             for _ in range(3)]
+        out = apply_fast_esd(b, [x.copy() for x in b], overlap=4)
+        for orig, got in zip(b, out):
+            np.testing.assert_allclose(got, orig, atol=1e-5)
+
+
 class TestTerrainGamma:
     def _scene(self, seed=3, nl=8, nc=9):
         rng = np.random.default_rng(seed)
