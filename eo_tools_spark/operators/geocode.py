@@ -13,8 +13,9 @@ positions/velocities between integer orbit indices, Doppler
 fc = -(v·d)/|d|, bisection to |fc| < tol, NaN where no sign change.
 
 ECEF transform: WGS84 closed form (core.py:1214-1289 math).
-Remap (LUT gather): nearest + bilinear with NaN outside the source grid
-(/root/reference/eo_tools/S1/util.py:150-213 contract: in-bounds coords
+Remap (LUT gather): nearest / bilinear / bicubic (reference default) /
+bicubic6, NaN outside the source grid, border clamp
+(/root/reference/eo_tools/S1/util.py:100-213 contract: in-bounds coords
 produce no NaN, tests/test_s1_util.py:10-22).
 """
 
@@ -174,35 +175,111 @@ def radar_index_mask(az: np.ndarray, rg: np.ndarray, naz: int, nrg: int):
 
 
 # ----------------------------------------------------------- remap
+#
+# Kernel family + semantics match /root/reference/eo_tools/S1/util.py:
+# kernels at 100-147 (nearest / linear / Keys 4-pt cubic / Keys81 6-pt
+# cubic), gather loop at 150-213: in-bounds test r∈[0,h) (NOT [0,h-1]),
+# support window [floor-H, ceil+H] with margins H = 0/0/1/2, and
+# nearest-neighbor CLAMP at image borders (i2 = clip(i, 0, h-1)) — so
+# coordinates in (h-1, h) resolve via border extension, not NaN. The
+# numba prange loop becomes a fully vectorized numpy tap-sum (the same
+# math, (2H+2)² gathers per pixel), run inside Arrow batches.
 
-def remap(img: np.ndarray, rows: np.ndarray, cols: np.ndarray, kernel: str = "bilinear") -> np.ndarray:
-    """Gather-resample ``img`` at fractional (rows, cols); NaN outside.
-    Kernels: nearest, bilinear (reference margins 0/0, util.py:176-186)."""
-    h, w = img.shape
-    out_shape = rows.shape
-    r = rows.ravel()
-    c = cols.ravel()
-    nanv = np.nan + 1j * np.nan if np.iscomplexobj(img) else np.nan
-    out = np.full(r.shape, nanv, dtype=np.complex128 if np.iscomplexobj(img) else np.float64)
-    if kernel == "nearest":
-        ri = np.round(r).astype(np.int64)
-        ci = np.round(c).astype(np.int64)
-        ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & ~np.isnan(r) & ~np.isnan(c)
-        out[ok] = img[ri[ok], ci[ok]]
-    elif kernel == "bilinear":
-        ok = (r >= 0) & (r <= h - 1) & (c >= 0) & (c <= w - 1) & ~np.isnan(r) & ~np.isnan(c)
-        r0 = np.floor(r[ok]).astype(np.int64)
-        c0 = np.floor(c[ok]).astype(np.int64)
-        r1 = np.minimum(r0 + 1, h - 1)
-        c1 = np.minimum(c0 + 1, w - 1)
-        fr = r[ok] - r0
-        fc = c[ok] - c0
-        out[ok] = (
-            img[r0, c0] * (1 - fr) * (1 - fc)
-            + img[r0, c1] * (1 - fr) * fc
-            + img[r1, c0] * fr * (1 - fc)
-            + img[r1, c1] * fr * fc
-        )
-    else:
+
+def _ker_near(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(ax < 0.5, 1.0, np.where(ax == 0.5, 0.5, 0.0))
+
+
+def _ker_lin(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(ax < 1, 1.0 - ax, 0.0)
+
+
+def _ker_cub(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax < 1,
+        1.5 * ax**3 - 2.5 * ax**2 + 1,
+        np.where(ax < 2, -0.5 * ax**3 + 2.5 * ax**2 - 4 * ax + 2, 0.0),
+    )
+
+
+def _ker_cub6(x: np.ndarray) -> np.ndarray:
+    """6-point cubic (Keys 1981), exact reference coefficients
+    (util.py:130-147)."""
+    ax = np.abs(x)
+    ax2 = ax**2
+    ax3 = ax**3
+    return np.where(
+        ax < 1,
+        4 * ax3 / 3 - 7 * ax2 / 3 + 1,
+        np.where(
+            ax < 2,
+            -7 * ax3 / 12 + 3 * ax2 - 59 * ax / 12 + 15 / 6,
+            np.where(ax < 3, ax3 / 12 - 2 * ax2 / 3 + 21 * ax / 12 - 3 / 2, 0.0),
+        ),
+    )
+
+
+#: kernel name → (weight function, half-margin H in pixels). H also
+#: sizes the halo a tile gather must fetch beyond its LUT bbox.
+KERNELS = {
+    "nearest": (_ker_near, 0),
+    "bilinear": (_ker_lin, 0),
+    "bicubic": (_ker_cub, 1),
+    "bicubic6": (_ker_cub6, 2),
+}
+
+
+def kernel_margin(kernel: str) -> int:
+    """Extra source pixels needed on each side of a gather window."""
+    if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}")
+    return KERNELS[kernel][1]
+
+
+def _remap_real(img: np.ndarray, r: np.ndarray, c: np.ndarray, kernel: str) -> np.ndarray:
+    ker, H = KERNELS[kernel]
+    h, w = img.shape
+    out = np.full(r.shape, np.nan, dtype=np.float64)
+    ok = (
+        ~np.isnan(r) & ~np.isnan(c)
+        & (r >= 0) & (r < h) & (c >= 0) & (c < w)
+    )
+    rr, cc = r[ok], c[ok]
+    r0 = np.floor(rr) - H
+    c0 = np.floor(cc) - H
+    val = np.zeros(rr.shape, dtype=np.float64)
+    img64 = img.astype(np.float64, copy=False)
+    # 2H+2 taps covers both the fractional case (floor≠ceil) and the
+    # integer case (extra tap weight is exactly 0 for every kernel)
+    for ki in range(2 * H + 2):
+        i = r0 + ki
+        wi = ker(rr - i)
+        i2 = np.clip(i, 0, h - 1).astype(np.int64)
+        for kj in range(2 * H + 2):
+            j = c0 + kj
+            wj = ker(cc - j)
+            j2 = np.clip(j, 0, w - 1).astype(np.int64)
+            val += wi * wj * img64[i2, j2]
+    out[ok] = val
+    return out
+
+
+def remap(img: np.ndarray, rows: np.ndarray, cols: np.ndarray, kernel: str = "bicubic") -> np.ndarray:
+    """Gather-resample ``img`` at fractional (rows, cols); NaN outside
+    [0,h)×[0,w); border pixels clamp (reference util.py:150-213).
+    Kernels: nearest, bilinear, bicubic (default, as in the reference),
+    bicubic6. Complex images resample real/imag independently
+    (util.py:162-166)."""
+    if kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    out_shape = rows.shape
+    r = np.asarray(rows, dtype=np.float64).ravel()
+    c = np.asarray(cols, dtype=np.float64).ravel()
+    if np.iscomplexobj(img):
+        out = _remap_real(img.real, r, c, kernel) + 1j * _remap_real(img.imag, r, c, kernel)
+    else:
+        out = _remap_real(img, r, c, kernel)
     return out.reshape(out_shape)

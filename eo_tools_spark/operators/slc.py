@@ -127,6 +127,98 @@ def nearest_poly_index(poly_times: np.ndarray, t_mid: float) -> int:
     return int(np.argmin(np.abs(np.asarray(poly_times) - t_mid)))
 
 
+C0 = 299792458.0
+
+
+def _poly2_eval(coeffs: np.ndarray, tau, slant_range_time: float):
+    """Annotation 2nd-order polynomial in (τ - slantRangeTime)
+    (core.py:597-603 ka_fun / core.py:617-623 fdc_fun)."""
+    d = tau - slant_range_time
+    return coeffs[0] + coeffs[1] * d + coeffs[2] * d**2
+
+
+def deramp_constants(
+    sv_t: np.ndarray,
+    sv_pos: np.ndarray,
+    sv_vel: np.ndarray,
+    t0_az: float,
+    lines_per_burst: int,
+    azimuth_time_interval: float,
+    range_sampling_rate: float,
+    slant_range_time: float,
+    nrg: int,
+    azimuth_steering_rate_deg: float,
+    radar_frequency: float,
+    fm_times: np.ndarray,
+    fm_coeffs: np.ndarray,
+    dc_times: np.ndarray,
+    dc_coeffs: np.ndarray,
+):
+    """Derive the TOPS deramp constants from annotation rows — the full
+    reference chain (/root/reference/eo_tools/S1/core.py:554-634):
+
+    - Doppler-rate of the antenna-steering ramp at mid-burst:
+      ks = (2|v(t_mid)|/c0)·fc·radians(kp) (core.py:580-585), with
+      v(t_mid) from the Hermite orbit interpolator over the state
+      vectors inside the burst window ±360 s, STRICT bounds
+      (core.py:574-579).
+    - Nearest-in-time FM-rate and Doppler-centroid polynomials
+      (argmin |t − t_mid|, core.py:587-612), both quadratic in
+      (τ − slantRangeTime).
+    - kt(τ) = ka·ks/(ka − ks) (core.py:624).
+    - η_ref(τ) = η_c(τ) − η_mid = −fdc(τ)/ka(τ) − fdc(τ_mid)/ka(τ_mid)
+      — note the reference's η_mid carries NO minus sign
+      (core.py:630-633); matched verbatim.
+    - η grid: linspace(−T/2, T/2, naz) with T = az_dt·naz
+      (core.py:625-629) — step T/(naz−1), NOT az_dt.
+
+    Returns (kt[nrg], eta_ref[nrg], eta[naz]).
+    """
+    sv_t = np.asarray(sv_t, dtype=np.float64)
+    naz = int(lines_per_burst)
+    az_dt = float(azimuth_time_interval)
+    rg_dt = 1.0 / float(range_sampling_rate)
+    t_mid = t0_az + az_dt * naz / 2.0
+    t_end = t0_az + az_dt * naz
+    cnd = (sv_t > t0_az - 360.0) & (sv_t < t_end + 360.0)
+    from eo_tools_spark.operators.coreg import hermite_interp
+
+    _, vq = hermite_interp(
+        sv_t[cnd], np.asarray(sv_pos)[cnd], np.asarray(sv_vel)[cnd], np.array([t_mid])
+    )
+    v_mid = vq[0]
+    ks = (
+        (2.0 * np.sqrt((v_mid**2).sum()) / C0)
+        * float(radar_frequency)
+        * np.radians(float(azimuth_steering_rate_deg))
+    )
+
+    fm = np.asarray(fm_coeffs, dtype=np.float64)[nearest_poly_index(fm_times, t_mid)]
+    dc = np.asarray(dc_coeffs, dtype=np.float64)[nearest_poly_index(dc_times, t_mid)]
+
+    rg_tau = slant_range_time + np.arange(nrg) * rg_dt
+    ka = _poly2_eval(fm, rg_tau, slant_range_time)
+    fdc = _poly2_eval(dc, rg_tau, slant_range_time)
+    kt = ka * ks / (ka - ks)
+
+    rg_mid = slant_range_time + 0.5 * nrg * rg_dt
+    eta_mid = _poly2_eval(dc, rg_mid, slant_range_time) / _poly2_eval(
+        fm, rg_mid, slant_range_time
+    )
+    eta_ref = -fdc / ka - eta_mid
+    eta = np.linspace(-az_dt * naz / 2.0, az_dt * naz / 2.0, naz)
+    return kt, eta_ref, eta
+
+
+def tops_deramp_phase(**kwargs) -> np.ndarray:
+    """Full deramp phase φ(az, rg) = −π·kt(rg)·(η(az) − η_ref(rg))²
+    from annotation inputs (core.py:630-634). kwargs =
+    deramp_constants(...) signature. Apply as arr·exp(1jφ); reramp with
+    exp(−1jφ) (process.py:2357-2359, 2425-2427)."""
+    kt, eta_ref, eta = deramp_constants(**kwargs)
+    return -np.pi * kt[None, :] * (eta[:, None] - eta_ref[None, :]) ** 2
+
+
 # --------------------------------------------------- DataFrame wrappers
 
 def burst_read_masked(
@@ -169,6 +261,82 @@ def burst_read_masked(
                 )
             yield pd.DataFrame(
                 rows, columns=["product_id", "subswath", "burst", "data", "naz", "nrg"]
+            )
+
+    return bursts.mapInPandas(do, schema=schema)
+
+
+def deramp_bursts(
+    bursts: DataFrame,
+    annotation: dict,
+    direction: int = 1,
+) -> DataFrame:
+    """Distributed TOPS deramp (direction=+1) / reramp (−1) over burst
+    rows (process.py:2357-2359 applies arr·exp(1j·φ); reramp conjugates,
+    process.py:2425-2427). Rows in: (product_id, subswath, burst, data
+    complex64 bytes, naz, nrg, t0_az double). ``annotation`` is the
+    small per-product side data — broadcast once, never shuffled with
+    the pixel payload:
+    {sv_t, sv_pos, sv_vel, azimuth_time_interval, range_sampling_rate,
+     slant_range_time, azimuth_steering_rate_deg, radar_frequency,
+     fm_times, fm_coeffs, dc_times, dc_coeffs}.
+
+    Scale shape: pixel bytes stay in place (narrow mapInPandas, no
+    shuffle); the deramp grid is recomputed per burst row from ~KB of
+    broadcast constants — at 10^12 rows this is embarrassingly parallel.
+    """
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    spark = bursts.sparkSession
+    bc = spark.sparkContext.broadcast(annotation)
+    sgn = 1.0 if direction >= 0 else -1.0
+
+    schema = StructType(
+        [
+            StructField("product_id", StringType()),
+            StructField("subswath", StringType()),
+            StructField("burst", IntegerType()),
+            StructField("data", BinaryType()),
+            StructField("naz", IntegerType()),
+            StructField("nrg", IntegerType()),
+            StructField("t0_az", DoubleType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ann = bc.value
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                naz, nrg = int(r.naz), int(r.nrg)
+                arr = np.frombuffer(bytes(r.data), dtype=np.complex64).reshape(naz, nrg)
+                phi = tops_deramp_phase(
+                    sv_t=ann["sv_t"],
+                    sv_pos=ann["sv_pos"],
+                    sv_vel=ann["sv_vel"],
+                    t0_az=float(r.t0_az),
+                    lines_per_burst=naz,
+                    azimuth_time_interval=ann["azimuth_time_interval"],
+                    range_sampling_rate=ann["range_sampling_rate"],
+                    slant_range_time=ann["slant_range_time"],
+                    nrg=nrg,
+                    azimuth_steering_rate_deg=ann["azimuth_steering_rate_deg"],
+                    radar_frequency=ann["radar_frequency"],
+                    fm_times=ann["fm_times"],
+                    fm_coeffs=ann["fm_coeffs"],
+                    dc_times=ann["dc_times"],
+                    dc_coeffs=ann["dc_coeffs"],
+                )
+                out = (arr * np.exp(1j * sgn * phi)).astype(np.complex64)
+                rows.append(
+                    (r.product_id, r.subswath, int(r.burst), out.tobytes(),
+                     naz, nrg, float(r.t0_az))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["product_id", "subswath", "burst", "data", "naz", "nrg", "t0_az"],
             )
 
     return bursts.mapInPandas(do, schema=schema)

@@ -382,18 +382,24 @@ def orders_rollup() -> tuple[str, str]:
     """Relational baseline: 3-way join customer⋈orders⋈lineitem +
     grouped revenue aggregation (exercises shuffle joins + partial
     aggregation on the driver's star schema)."""
-    q = (
-        "SELECT c_nationkey AS nation, o_orderpriority AS pri, "
-        "COUNT(*) AS n_items, "
-        "SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) "
-        "AS revenue_cents "
-        "FROM customer "
-        "JOIN orders ON c_custkey = o_custkey "
-        "JOIN lineitem ON l_orderkey = o_orderkey "
-        "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
-        "GROUP BY c_nationkey, o_orderpriority"
-    )
-    return q, q
+
+    def build(d: str) -> str:
+        # DuckDB SUM(BIGINT) widens to HUGEINT (hashes as a different
+        # dtype); re-narrow in the duck dialect only.
+        s = "SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT))"
+        if d == "duck":
+            s = f"CAST({s} AS BIGINT)"
+        return (
+            "SELECT c_nationkey AS nation, o_orderpriority AS pri, "
+            f"COUNT(*) AS n_items, {s} AS revenue_cents "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+            "GROUP BY c_nationkey, o_orderpriority"
+        )
+
+    return build("spark"), build("duck")
 
 
 def dem_cache_key() -> tuple[str, str]:
@@ -452,9 +458,13 @@ def events_hourly() -> tuple[str, str]:
 
     def build(d: str) -> str:
         trunc = "date_trunc('HOUR', ts)" if d == "spark" else "date_trunc('hour', ts)"
+        s = "SUM(CAST(ROUND(value * 100, 0) AS BIGINT))"
+        if d == "duck":
+            # DuckDB SUM(BIGINT) → HUGEINT; re-narrow so dtypes hash equal
+            s = f"CAST({s} AS BIGINT)"
         return (
             f"SELECT {trunc} AS hour, event_type, COUNT(*) AS n_events, "
-            f"SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents "
+            f"{s} AS sum_cents "
             f"FROM events GROUP BY {trunc}, event_type"
         )
 
@@ -470,14 +480,20 @@ def sessionize(gap_minutes: int = 30) -> tuple[str, str]:
         # FLOOR before cast: Spark unix_timestamp floors sub-second parts,
         # DuckDB CAST(double AS BIGINT) would round them
         epoch = "unix_timestamp(ts)" if d == "spark" else "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+        # DuckDB window SUM(INT) → HUGEINT; re-narrow so session_id
+        # dtypes hash equal across engines
+        sess_sum = (
+            "SUM(new_session) OVER (PARTITION BY user_id ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        if d == "duck":
+            sess_sum = f"CAST({sess_sum} AS BIGINT)"
         return (
             f"WITH e AS (SELECT user_id, ts, {epoch} AS t FROM events), "
             "lagged AS (SELECT user_id, t, CASE WHEN t - LAG(t) OVER "
             "(PARTITION BY user_id ORDER BY t) > "
             f"{gap} THEN 1 ELSE 0 END AS new_session FROM e), "
-            "sess AS (SELECT user_id, t, SUM(new_session) OVER "
-            "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND CURRENT ROW) AS session_id FROM lagged) "
+            f"sess AS (SELECT user_id, t, {sess_sum} AS session_id FROM lagged) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_sec "
             "FROM sess GROUP BY user_id, session_id"

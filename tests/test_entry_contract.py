@@ -44,6 +44,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
     duck_pdf = con.sql(oracles[name]).df()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
     assert len(spark_pdf) == len(duck_pdf), name
+    # dtype KIND must agree (int vs float vs object) — the driver hashes
+    # rendered values, so DuckDB HUGEINT→float vs Spark BIGINT is a real
+    # failure even when the numbers are equal (round-1 lesson)
+    for c in spark_pdf.columns:
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if len(spark_pdf) and {sk, dk} <= {"i", "u", "f"}:
+            assert (sk in "iu") == (dk in "iu"), (
+                f"{name}.{c}: spark kind {sk} vs duck kind {dk}"
+            )
     a, b = normalize(spark_pdf), normalize(duck_pdf.astype(spark_pdf.dtypes.to_dict()))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 

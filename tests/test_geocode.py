@@ -141,6 +141,121 @@ class TestRemap:
 
     def test_complex_remap(self):
         img = (np.arange(16) + 1j * np.arange(16)).reshape(4, 4)
-        out = remap(img, np.array([[1.5]]), np.array([[1.5]]))
+        out = remap(img, np.array([[1.5]]), np.array([[1.5]]), "bilinear")
         expected = img[1:3, 1:3].mean()
         assert out[0, 0] == pytest.approx(expected)
+
+
+# Scalar transcription of the reference gather loop
+# (/root/reference/eo_tools/S1/util.py:150-213) — the parity oracle for
+# the vectorized remap, all four kernels.
+
+def _ref_ker(kernel, x):
+    ax = abs(x)
+    if kernel == "nearest":
+        return 1.0 if ax < 0.5 else (0.5 if ax == 0.5 else 0.0)
+    if kernel == "bilinear":
+        return 1.0 - ax if ax < 1 else 0.0
+    if kernel == "bicubic":
+        if ax < 1:
+            return 1.5 * ax**3 - 2.5 * ax**2 + 1
+        if ax < 2:
+            return -0.5 * ax**3 + 2.5 * ax**2 - 4 * ax + 2
+        return 0.0
+    # bicubic6 (Keys81)
+    ax2, ax3 = ax**2, ax**3
+    if ax < 1:
+        return 4 * ax3 / 3 - 7 * ax2 / 3 + 1
+    if ax < 2:
+        return -7 * ax3 / 12 + 3 * ax2 - 59 * ax / 12 + 15 / 6
+    if ax < 3:
+        return ax3 / 12 - 2 * ax2 / 3 + 21 * ax / 12 - 3 / 2
+    return 0.0
+
+
+def _ref_remap(img, rr, cc, kernel):
+    H = {"nearest": 0, "bilinear": 0, "bicubic": 1, "bicubic6": 2}[kernel]
+    out = np.full(rr.shape, np.nan)
+    h, w = img.shape
+    for idx in range(rr.size):
+        r, c = rr.flat[idx], cc.flat[idx]
+        if np.isnan(r) or np.isnan(c):
+            continue
+        if not (0 <= r < h and 0 <= c < w):
+            continue
+        val = 0.0
+        for i in range(int(np.floor(r)) - H, int(np.ceil(r)) + H + 1):
+            for j in range(int(np.floor(c)) - H, int(np.ceil(c)) + H + 1):
+                i2 = min(max(0, i), h - 1)
+                j2 = min(max(0, j), w - 1)
+                val += _ref_ker(kernel, r - i) * _ref_ker(kernel, c - j) * img[i2, j2]
+        out.flat[idx] = val
+    return out
+
+
+ALL_KERNELS = ["nearest", "bilinear", "bicubic", "bicubic6"]
+
+
+class TestRemapReferenceParity:
+    @pytest.mark.parametrize("kernel", ALL_KERNELS)
+    def test_matches_reference_loop(self, kernel):
+        """Bit-parity with the reference gather across random interior,
+        border-clamp (coords in (h-1, h)), exact-half, and integer
+        coordinates."""
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(9, 11))
+        rows = np.concatenate([
+            rng.uniform(0, 8, 40),          # interior
+            rng.uniform(8, 9 - 1e-9, 8),    # border-clamp band (h-1, h)
+            np.array([0.5, 3.5, 8.5]),      # exact halves (nearest tie)
+            np.array([0.0, 4.0, 8.0]),      # integer grid
+            np.array([-0.1, 9.0, np.nan]),  # out of bounds / NaN
+        ])
+        cols = np.concatenate([
+            rng.uniform(0, 10, 40),
+            rng.uniform(10, 11 - 1e-9, 8),
+            np.array([2.5, 0.5, 10.5]),
+            np.array([0.0, 5.0, 10.0]),
+            np.array([1.0, 1.0, 1.0]),
+        ])
+        got = remap(img, rows, cols, kernel)
+        exp = _ref_remap(img, rows, cols, kernel)
+        # 1e-12: numpy vector pow vs scalar pow differ by ~1 ulp
+        np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12, equal_nan=True)
+
+    @pytest.mark.parametrize("kernel", ALL_KERNELS)
+    def test_inbounds_no_nan_all_kernels(self, kernel):
+        """Reference contract tests/test_s1_util.py:10-22: in-bounds
+        coords never produce NaN, any kernel."""
+        rng = np.random.default_rng(3)
+        img = rng.random((64, 32)) + 1j * rng.random((64, 32))
+        rr = rng.random((40, 50)) * 63
+        cc = rng.random((40, 50)) * 31
+        out = remap(img, rr, cc, kernel=kernel)
+        assert out.shape == rr.shape
+        assert not np.isnan(out).any()
+
+    @pytest.mark.parametrize("kernel", ["bicubic", "bicubic6"])
+    def test_partition_of_unity(self, kernel):
+        """Keys kernels sum to 1 → a constant image stays constant
+        everywhere in-bounds (incl. the border-clamp band)."""
+        img = np.full((6, 6), 3.25)
+        rng = np.random.default_rng(11)
+        rows = rng.uniform(0, 6 - 1e-9, 200)
+        cols = rng.uniform(0, 6 - 1e-9, 200)
+        out = remap(img, rows, cols, kernel)
+        np.testing.assert_allclose(out, 3.25, rtol=1e-12)
+
+    def test_default_kernel_is_bicubic(self):
+        """The reference defaults to bicubic (util.py:157)."""
+        rng = np.random.default_rng(5)
+        img = rng.normal(size=(8, 8))
+        rows = rng.uniform(1, 6, 10)
+        cols = rng.uniform(1, 6, 10)
+        np.testing.assert_array_equal(
+            remap(img, rows, cols), remap(img, rows, cols, "bicubic")
+        )
+
+    def test_unknown_kernel_raises(self):
+        with pytest.raises(ValueError):
+            remap(np.ones((2, 2)), np.zeros(1), np.zeros(1), "lanczos")

@@ -57,8 +57,9 @@ class TestInsarPipeline:
         rg_s = rg_p - 2.0
         az_co, rg_co = coregister(az_p, rg_p, az_s, rg_s, NAZ, NRG)
 
-        # --- align secondary into primary grid (gather resample)
-        sec_aligned = remap(sec, az_co, rg_co, "bilinear").astype(np.complex64)
+        # --- align secondary into primary grid (gather resample) with
+        # the reference's DEFAULT kernel (bicubic, util.py:157)
+        sec_aligned = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
 
         # --- Spark tile pipeline on the aligned pair
         tp = raster_to_tiles(spark, prm, "p", 32)

@@ -131,3 +131,139 @@ class TestDistributedBurstRead(object):
                 strip[(b - 2) * lpb : (b - 1) * lpb], np.array(first), np.array(last)
             )
             np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+class TestDerampConstants:
+    """Toy-annotation oracle for the full kt/η_ref derivation
+    (reference core.py:554-634) — analytic-values style, like the
+    range-doppler test."""
+
+    C0 = 299792458.0
+
+    def toy_annotation(self, fm=(-2000.0, 0.0, 0.0), dc=(60.0, 0.0, 0.0)):
+        # straight-line orbit, constant velocity 7000 m/s along x
+        t = np.arange(-400.0, 500.0, 100.0)
+        pos = np.stack([7000.0 * t, np.zeros_like(t), np.full_like(t, 7e5)], 1)
+        vel = np.stack([np.full_like(t, 7000.0), np.zeros_like(t), np.zeros_like(t)], 1)
+        return dict(
+            sv_t=t, sv_pos=pos, sv_vel=vel,
+            t0_az=0.0, lines_per_burst=100,
+            azimuth_time_interval=0.002,
+            range_sampling_rate=6.4e7,
+            slant_range_time=5.3e-3,
+            nrg=64,
+            azimuth_steering_rate_deg=1.59,
+            radar_frequency=5.405e9,
+            fm_times=np.array([-50.0, 0.1, 90.0]),
+            fm_coeffs=np.array([[1.0, 1.0, 1.0], list(fm), [9.0, 9.0, 9.0]]),
+            dc_times=np.array([-50.0, 0.1, 90.0]),
+            dc_coeffs=np.array([[1.0, 1.0, 1.0], list(dc), [9.0, 9.0, 9.0]]),
+        )
+
+    def test_analytic_constants(self):
+        from eo_tools_spark.operators.slc import deramp_constants
+
+        ann = self.toy_annotation()
+        kt, eta_ref, eta = deramp_constants(**ann)
+        # constant-velocity orbit → ks exactly analytic (core.py:580-585)
+        ks = (2 * 7000.0 / self.C0) * 5.405e9 * np.radians(1.59)
+        A, D = -2000.0, 60.0
+        np.testing.assert_allclose(kt, A * ks / (A - ks), rtol=1e-12)
+        # η_ref = −D/A − D/A (reference's η_mid has NO minus sign,
+        # core.py:630-633)
+        np.testing.assert_allclose(eta_ref, -2 * D / A, rtol=1e-12)
+        # η grid: linspace(−T/2, T/2, naz), T = az_dt·naz
+        T = 0.002 * 100
+        assert eta[0] == pytest.approx(-T / 2) and eta[-1] == pytest.approx(T / 2)
+        assert len(eta) == 100
+
+    def test_range_dependent_kt(self):
+        from eo_tools_spark.operators.slc import deramp_constants
+
+        ann = self.toy_annotation(fm=(-2000.0, -3.0e4, 2.0e6), dc=(60.0, 1e3, -5e4))
+        kt, eta_ref, _ = deramp_constants(**ann)
+        ks = (2 * 7000.0 / self.C0) * 5.405e9 * np.radians(1.59)
+        rg_dt = 1.0 / 6.4e7
+        j = 17
+        d = j * rg_dt
+        ka = -2000.0 + -3.0e4 * d + 2.0e6 * d**2
+        fdc = 60.0 + 1e3 * d + -5e4 * d**2
+        d_mid = 0.5 * 64 * rg_dt
+        ka_m = -2000.0 + -3.0e4 * d_mid + 2.0e6 * d_mid**2
+        fdc_m = 60.0 + 1e3 * d_mid + -5e4 * d_mid**2
+        assert kt[j] == pytest.approx(ka * ks / (ka - ks), rel=1e-12)
+        assert eta_ref[j] == pytest.approx(-fdc / ka - fdc_m / ka_m, rel=1e-12)
+
+    def test_nearest_poly_selection_uses_t_mid(self):
+        from eo_tools_spark.operators.slc import deramp_constants
+
+        ann = self.toy_annotation()
+        # t_mid = 0.1 s → middle rows (times −50, 0.1, 90) selected;
+        # moving the burst to start at 80 s selects the 90 s rows
+        ann2 = dict(ann, t0_az=80.0)
+        kt2, _, _ = deramp_constants(**ann2)
+        ks = (2 * 7000.0 / self.C0) * 5.405e9 * np.radians(1.59)
+        np.testing.assert_allclose(kt2[0], 9.0 * ks / (9.0 - ks), rtol=1e-12)
+
+    def test_deramp_flattens_synthetic_tops_ramp(self):
+        from eo_tools_spark.operators.slc import deramp_constants
+
+        ann = self.toy_annotation(fm=(-2000.0, -3.0e4, 0.0), dc=(60.0, 1e3, 0.0))
+        kt, eta_ref, eta = deramp_constants(**ann)
+        ramp = np.pi * kt[None, :] * (eta[:, None] - eta_ref[None, :]) ** 2
+        sig = np.exp(1j * ramp)  # a pure TOPS-ramped signal
+        from eo_tools_spark.operators.slc import tops_deramp_phase
+
+        phi = tops_deramp_phase(**ann)
+        flat = sig * np.exp(1j * phi)
+        np.testing.assert_allclose(np.angle(flat), 0.0, atol=1e-9)
+
+
+class TestDistributedDeramp:
+    def test_deramp_reramp_roundtrip_spark(self, spark):
+        """deramp→reramp over table rows is the identity (complex64
+        tolerance) — the e2e chain the reference runs at
+        process.py:2357-2427."""
+        from eo_tools_spark.operators.slc import deramp_bursts
+
+        naz, nrg = 20, 16
+        rng = np.random.default_rng(2)
+        ann = TestDerampConstants().toy_annotation()
+        ann["lines_per_burst"] = naz
+        ann["nrg"] = nrg
+        bursts = []
+        arrs = {}
+        for b in (1, 2):
+            a = (rng.normal(size=(naz, nrg)) + 1j * rng.normal(size=(naz, nrg))).astype(np.complex64)
+            arrs[b] = a
+            bursts.append(("P1", "IW2", b, bytearray(a.tobytes()), naz, nrg, float(b - 1) * naz * 0.002))
+        df = spark.createDataFrame(
+            bursts,
+            "product_id string, subswath string, burst int, data binary, "
+            "naz int, nrg int, t0_az double",
+        )
+        side = {k: v for k, v in ann.items()
+                if k not in ("t0_az", "lines_per_burst", "nrg")}
+        dr = deramp_bursts(df, side, direction=1)
+        rt = {r.burst: r for r in deramp_bursts(dr, side, direction=-1).collect()}
+        for b in (1, 2):
+            got = np.frombuffer(bytes(rt[b].data), dtype=np.complex64).reshape(naz, nrg)
+            np.testing.assert_allclose(got, arrs[b], rtol=1e-5, atol=1e-6)
+
+    def test_deramp_actually_changes_phase(self, spark):
+        from eo_tools_spark.operators.slc import deramp_bursts
+
+        naz, nrg = 12, 8
+        ann = TestDerampConstants().toy_annotation()
+        a = np.ones((naz, nrg), dtype=np.complex64)
+        df = spark.createDataFrame(
+            [("P1", "IW1", 1, bytearray(a.tobytes()), naz, nrg, 0.0)],
+            "product_id string, subswath string, burst int, data binary, "
+            "naz int, nrg int, t0_az double",
+        )
+        side = {k: v for k, v in ann.items()
+                if k not in ("t0_az", "lines_per_burst", "nrg")}
+        out = deramp_bursts(df, side, direction=1).collect()[0]
+        got = np.frombuffer(bytes(out.data), dtype=np.complex64).reshape(naz, nrg)
+        assert np.abs(np.angle(got)).max() > 0.01
+        np.testing.assert_allclose(np.abs(got), 1.0, rtol=1e-5)
