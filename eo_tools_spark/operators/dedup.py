@@ -19,17 +19,100 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     LongType,
     StructField,
     StructType,
 )
+
+log = logging.getLogger("eo_tools_spark.dedup")
+
+
+def cap_hot_buckets(
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    label: str = "lsh",
+) -> DataFrame:
+    """Drop LSH band buckets with more than ``max_bucket`` members.
+
+    A degenerate band key (boilerplate text, all-zero phash regions)
+    makes one bucket quadratic in the candidate self-join — the classic
+    100 TB scale-killer. Buckets above the cap are removed BEFORE the
+    join, and the drop is logged (bucket count + row count), never
+    silent. Exact duplicates inside a dropped bucket should be caught by
+    ``exact_dedup`` first — the cap loses only near-dup pairs whose
+    bucket exceeded ``max_bucket``, which at that size are almost always
+    exact-dup families.
+
+    Cost: one extra aggregation over ``banded`` (the hot-key summary
+    action) — persist the signature frame upstream if signatures are
+    expensive. The anti-join side holds only hot keys (≤ N/max_bucket
+    rows), so AQE broadcasts it.
+    """
+    if max_bucket is None:
+        return banded
+    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    hot = counts.where(F.col("_bucket_n") > max_bucket)
+    s = hot.agg(
+        F.count(F.lit(1)).alias("k"), F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("r")
+    ).first()
+    if s["k"]:
+        log.warning(
+            "%s: dropping %d hot band buckets covering %d rows (max_bucket=%d)",
+            label, s["k"], s["r"], max_bucket,
+        )
+    return banded.join(hot.select(*key_cols), key_cols, "left_anti")
+
+
+def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> Column:
+    """posexplode(band, key) banding scheme for a hamming ≤ k self-join
+    on a 64-bit hash column.
+
+    - Wide chunks (64/(k+1) ≥ min_width): classic pigeonhole — split
+      into c = k+1 chunks; ≤k errors leave ≥1 clean chunk.
+    - Narrow chunks (large k, e.g. phash k=6 → 9-bit chunks, only 512
+      distinct keys → huge buckets): chunk-PAIR banding — split into
+      c = k+2 chunks; ≤k errors leave ≥2 clean chunks, so some PAIR of
+      chunks matches exactly. C(c,2) keys of 2× width: the exploded
+      fan-out grows ~(c-1)/2×, but bucket occupancy drops by the wider
+      key space and candidate pairs drop QUADRATICALLY with it.
+
+    Both schemes are deterministic supersets of the true pair set — the
+    exact popcount verify downstream keeps results identical.
+    """
+    c = max_hamming + 1
+    width = 64 // c
+    if width >= min_width:
+        # width == 64 (k=0): mask literal (1<<64)-1 overflows BIGINT —
+        # the full value IS the key
+        key = (
+            hash_col if width >= 64
+            else f"({hash_col} >> (c * {width})) & {(1 << width) - 1}"
+        )
+        return F.posexplode(
+            F.expr(f"transform(sequence(0, {c - 1}), c -> {key})")
+        )
+    c = max_hamming + 2
+    width = 64 // c
+    mask = (1 << width) - 1
+
+    def chunk(i: int) -> str:
+        return f"(shiftright({hash_col}, {i * width}) & {mask})"
+
+    keys = ", ".join(
+        f"(shiftleft({chunk(i)}, {width}) | {chunk(j)})"
+        for i in range(c)
+        for j in range(i + 1, c)
+    )
+    return F.posexplode(F.expr(f"array({keys})"))
 
 # deterministic affine family over uint64 (odd multipliers)
 _RNG = np.random.default_rng(0xE0705)
@@ -107,11 +190,15 @@ def lsh_pairs(
     sig_df: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b, distinct).
 
     sig length must be divisible by ``bands``. Band keys are xxhash64 of
     the band slice (engine-internal key — no cross-engine parity needed).
+    Buckets over ``max_bucket`` members are dropped with a logged metric
+    (see cap_hot_buckets) — run exact_dedup first to canonicalize the
+    exact-dup families that create such buckets.
     """
     banded = sig_df.select(
         id_col,
@@ -123,6 +210,7 @@ def lsh_pairs(
             )
         ).alias("band", "key"),
     )
+    banded = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -195,28 +283,25 @@ def simhash_signatures(
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
-def simhash_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 4096,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
-    pair within distance k agrees exactly on ≥1 chunk → candidates from
-    chunk-equality groupBy join, then exact popcount verify (JVM bit ops).
+    Pigeonhole banding (hamming_band_cols): chunk equality (or
+    chunk-pair equality for narrow chunks) → candidates, then exact
+    popcount verify (JVM bit ops). Hot buckets (degenerate simhashes,
+    e.g. boilerplate) are capped with a logged drop (cap_hot_buckets).
     """
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
-    # width == 64 (max_hamming=0): the mask literal (1<<64)-1 overflows
-    # BIGINT — the full value IS the key, no mask needed
-    key_expr = (
-        "simhash" if width >= 64
-        else f"(simhash >> (c * {width})) & {(1 << width) - 1}"
-    )
     chunks = sim_df.select(
         id_col,
         "simhash",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {nchunks - 1}), c -> {key_expr})")
-        ).alias("chunk", "ckey"),
+        hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
+    chunks = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -247,6 +332,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Cosine≥τ near-dup pairs via random-hyperplane LSH.
 
@@ -281,6 +367,7 @@ def embedding_neardup(
 
     sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
     exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
+    exploded = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

@@ -137,23 +137,23 @@ def thumbnails(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame
     )
 
 
-def phash_neardup(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_neardup(
+    images: DataFrame, max_hamming: int = 6, max_bucket: int | None = 4096
+) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance —
-    pigeonhole chunk banding on the phash column (native bit ops, no
-    decode, no UDF). Same physical pattern as simhash_pairs."""
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
-    key_expr = (
-        "phash" if width >= 64  # mask literal would overflow BIGINT
-        else f"(phash >> (c * {width})) & {(1 << width) - 1}"
-    )
+    pigeonhole banding on the phash column (native bit ops, no decode,
+    no UDF). For the default k=6 single chunks would be 9 bits (512
+    distinct keys → massive buckets); hamming_band_cols switches to
+    chunk-PAIR banding (16-bit keys), shrinking candidate volume
+    quadratically. Hot buckets capped with a logged drop."""
+    from eo_tools_spark.operators.dedup import cap_hot_buckets, hamming_band_cols
+
     chunks = images.select(
         "image_id",
         "phash",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {nchunks - 1}), c -> {key_expr})")
-        ).alias("chunk", "ckey"),
+        hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
+    chunks = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

@@ -110,11 +110,23 @@ def ivf_topk(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: scan only vectors whose IVF cell is among each query's
-    nprobe nearest centroids. Same output schema as brute_topk."""
+    nprobe nearest centroids. Same output schema as brute_topk.
+
+    Centroid training sample is a DETERMINISTIC hash filter on the id —
+    identical centroids (hence identical ANN results) across sessions
+    and resumed runs; an unordered limit() would let the scan order pick
+    the sample. The modulus targets ~2·sample_rows expected rows and the
+    sort+head pins the exact set."""
     spark = emb_df.sparkSession
-    sample = np.vstack(
-        [r[0] for r in emb_df.select(emb_col).limit(sample_rows).collect()]
+    n_total = emb_df.count()
+    m = max(1, n_total // max(1, sample_rows) // 2)
+    sample_df = (
+        emb_df.select(id_col, emb_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        .orderBy(id_col)
+        .limit(sample_rows)
     )
+    sample = np.vstack([r[1] for r in sample_df.collect()])
     C = train_centroids(sample, ncells)
     Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
     qids = queries["query_id"].to_numpy()

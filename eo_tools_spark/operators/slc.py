@@ -130,6 +130,15 @@ def nearest_poly_index(poly_times: np.ndarray, t_mid: float) -> int:
 C0 = 299792458.0
 
 
+def iso_burst_t0(azimuth_time_iso: str, orbit_t0) -> float:
+    """Burst azimuth start time in orbit-relative seconds:
+    (isoparse(azimuthTime) − state_vectors.t0).total_seconds()
+    (core.py:571-575)."""
+    from eo_tools_spark.sources.annotation import iso_seconds
+
+    return iso_seconds(azimuth_time_iso, orbit_t0)
+
+
 def _poly2_eval(coeffs: np.ndarray, tau, slant_range_time: float):
     """Annotation 2nd-order polynomial in (τ - slantRangeTime)
     (core.py:597-603 ka_fun / core.py:617-623 fdc_fun)."""

@@ -54,17 +54,25 @@ def get_spark(
         # AOI / orbit / annotation side tables are tiny; always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # Large-binary payload columns (image bytes, ~10-40 KB/value)
-        # pathologically degrade the vectorized parquet reader: measured
-        # 24 s vs 0.5 s for a 1.3 GB bytes-column scan (48x) on this
-        # workload — the columnar batch allocator thrashes on multi-KB
-        # byte arrays. The row-based reader matches DuckDB scan speed.
-        # Numeric-table scans at our sizes lose <2x, and the flagship
-        # join never reads `bytes` anyway (column pruning).
-        .config("spark.sql.parquet.enableVectorizedReader", "false")
+        # Vectorized parquet reader stays ON globally (numeric scans
+        # want it). Large-binary payload columns (image bytes, ~20 KB/
+        # value) degrade it badly — 164 s vs 40 s on a 41 GB bytes scan
+        # at local[32] (the columnar batch allocator thrashes on multi-KB
+        # byte arrays) — so binary-heavy tables are read through
+        # read_binary_parquet(), which disables it PER-READ only.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def read_binary_parquet(spark: SparkSession, *paths: str):
+    """Read a parquet table whose rows carry multi-KB binary payloads
+    (image/media bytes). Uses the row-based parquet reader for THIS read
+    only — the vectorized reader's columnar batches (4096 rows × ~20 KB)
+    thrash the allocator on such columns (measured 164 s vs 40 s on a
+    41 GB scan at local[32]); numeric tables elsewhere keep the
+    vectorized fast path."""
+    return spark.read.option("enableVectorizedReader", "false").parquet(*paths)

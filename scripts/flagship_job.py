@@ -39,7 +39,9 @@ def main() -> None:
     from eo_tools_spark.sources.snapshots import SnapshotTable
     from eo_tools_spark.sources.synthetic import PARTITION_RES
 
-    images = spark.read.parquet(args.images)
+    from eo_tools_spark.session import read_binary_parquet
+
+    images = read_binary_parquet(spark, args.images)
     if args.limit:
         # deterministic subset (ids are zero-padded): .limit() would pick
         # an arbitrary, resubmission-dependent row set and break the
