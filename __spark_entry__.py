@@ -247,7 +247,11 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eo_tools_spark.sources.synthetic import images_table
 
     imgs = images_table(spark, _IMG_N)
-    dup = imgs.limit(20).withColumn("image_id", F.concat(F.lit("dup-"), F.col("image_id")))
+    # deterministic duplicate subset (ids are zero-padded; limit() would
+    # pick partition-order-dependent rows and break the pinned oracle)
+    dup = imgs.where(F.col("image_id") < f"img-{20:012d}").withColumn(
+        "image_id", F.concat(F.lit("dup-"), F.col("image_id"))
+    )
     return phash_neardup(imgs.union(dup), max_hamming=3)
 
 
@@ -371,4 +375,37 @@ def oracle_sql() -> dict[str, str]:
     }
     for name, (duck_sql, _tables) in _DUAL_QUERIES.items():
         out[name] = duck_sql
+
+    # image queries: the image table is synthesized deterministically
+    # (make_image is pure in (i, seed)), so expected outputs are
+    # precomputed OUTSIDE Spark by scripts/make_image_oracle.py and
+    # pinned as parquet fixtures DuckDB reads — real row/schema/hash
+    # comparisons instead of rows-only checks.
+    _oracle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dist", "oracle")
+    _rt = os.path.join(_oracle_dir, "image_roundtrip_400.parquet")
+    _pp = os.path.join(_oracle_dir, "image_phash_pairs_400.parquet")
+    _meta = os.path.join(_oracle_dir, "images_meta_400.parquet")
+    if os.path.exists(_rt):
+        out["image_roundtrip"] = (
+            "SELECT image_id, fmt, psnr, pixels_ok, caption_ok "
+            f"FROM read_parquet('{_rt}')"
+        )
+    if os.path.exists(_pp):
+        out["image_phash_neardup"] = (
+            f"SELECT id_a, id_b, hamming FROM read_parquet('{_pp}')"
+        )
+    if os.path.exists(_meta):
+        from eo_tools_spark.sources.derived import AOI_BOXES as _BOXES
+
+        pip_parts = [
+            f"SELECT image_id, '{aid}' AS aoi_id, lon, lat "
+            f"FROM read_parquet('{_meta}') "
+            f"WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1}"
+            for aid, (x0, y0, x1, y1) in _BOXES.items()
+        ]
+        out["image_tile_assign"] = (
+            "WITH pip AS (" + " UNION ALL ".join(pip_parts) + ") "
+            f"SELECT aoi_id, {tile_id_sql('lon', 'lat')} AS dem_tile_id, "
+            "COUNT(*) AS n_images FROM pip GROUP BY 1, 2"
+        )
     return out

@@ -121,57 +121,8 @@ def halo_map(
             return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
         c = center.iloc[0]
         th, tw, kind = int(c.th), int(c.tw), c.kind
-        h = halo
-        dt = _DTYPES[kind]
-        pad = np.zeros((th + 2 * h, tw + 2 * h), dtype=dt)
-        # valid extent contributed to each margin: full h when the
-        # neighbor exists and is big enough, the neighbor's size when it
-        # is a PARTIAL edge tile smaller than the halo, 0 when absent
-        valid = {"top": 0, "bottom": 0, "left": 0, "right": 0}
-        for r in pdf.itertuples():
-            blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
-            dy, dx = int(r.dy), int(r.dx)
-            if dy == 0:
-                ys, piece_y = slice(h, h + th), slice(0, None)
-            elif dy == -1:
-                ys, piece_y = slice(0, h), slice(-h, None)
-            else:
-                ys, piece_y = slice(h + th, None), slice(0, h)
-            if dx == 0:
-                xs, piece_x = slice(h, h + tw), slice(0, None)
-            elif dx == -1:
-                xs, piece_x = slice(0, h), slice(-h, None)
-            else:
-                xs, piece_x = slice(h + tw, None), slice(0, h)
-            piece = blk[piece_y, piece_x]
-            # top/left pieces anchor at the margin's inner edge (they
-            # border the center); bottom/right anchor at its start
-            ph, pw = piece.shape
-            y0 = ys.start if dy >= 0 else h - ph
-            x0 = xs.start if dx >= 0 else h - pw
-            pad[y0 : y0 + ph, x0 : x0 + pw] = piece
-            if dy == -1 and dx == 0:
-                valid["top"] = max(valid["top"], ph)
-            if dy == 1 and dx == 0:
-                valid["bottom"] = max(valid["bottom"], ph)
-            if dx == -1 and dy == 0:
-                valid["left"] = max(valid["left"], pw)
-            if dx == 1 and dy == 0:
-                valid["right"] = max(valid["right"], pw)
-        # reflect-fill the UNFILLED part of each margin (missing
-        # neighbors AND partial edge neighbors smaller than the halo) —
-        # rows then cols, the same axis order as np.pad(mode='symmetric')
-        vt, vb = valid["top"], valid["bottom"]
-        for k in range(h - vt):  # global top edge sits at padded row h-vt
-            pad[h - vt - 1 - k, :] = pad[h - vt + k, :]
-        for k in range(h - vb):  # global bottom edge at padded row h+th+vb
-            pad[h + th + vb + k, :] = pad[h + th + vb - 1 - k, :]
-        vl, vr = valid["left"], valid["right"]
-        for k in range(h - vl):
-            pad[:, h - vl - 1 - k] = pad[:, h - vl + k]
-        for k in range(h - vr):
-            pad[:, h + tw + vr + k] = pad[:, h + tw + vr - 1 - k]
-        out = fn(pad, th, tw, h)
+        pad = _assemble_padded(pdf, th, tw, halo, kind)
+        out = fn(pad, th, tw, halo)
         ok = out_kind or kind
         return pd.DataFrame(
             [
@@ -192,6 +143,117 @@ def halo_map(
         contrib.groupBy("raster_id", "gty", "gtx")
         .applyInPandas(assemble, schema=TILE_SCHEMA)
     )
+
+
+def _assemble_padded(pdf: pd.DataFrame, th: int, tw: int, h: int, kind: str) -> np.ndarray:
+    """Assemble one channel's (th+2h)×(tw+2h) padded neighborhood from
+    its ≤9 contribution rows (dy, dx, data, th, tw) — reflect-filled at
+    global edges. Shared by halo_map and halo_map_multi."""
+    dt = _DTYPES[kind]
+    pad = np.zeros((th + 2 * h, tw + 2 * h), dtype=dt)
+    # valid extent contributed to each margin: full h when the
+    # neighbor exists and is big enough, the neighbor's size when it
+    # is a PARTIAL edge tile smaller than the halo, 0 when absent
+    valid = {"top": 0, "bottom": 0, "left": 0, "right": 0}
+    for r in pdf.itertuples():
+        blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+        dy, dx = int(r.dy), int(r.dx)
+        if dy == 0:
+            ys, piece_y = slice(h, h + th), slice(0, None)
+        elif dy == -1:
+            ys, piece_y = slice(0, h), slice(-h, None)
+        else:
+            ys, piece_y = slice(h + th, None), slice(0, h)
+        if dx == 0:
+            xs, piece_x = slice(h, h + tw), slice(0, None)
+        elif dx == -1:
+            xs, piece_x = slice(0, h), slice(-h, None)
+        else:
+            xs, piece_x = slice(h + tw, None), slice(0, h)
+        piece = blk[piece_y, piece_x]
+        # top/left pieces anchor at the margin's inner edge (they
+        # border the center); bottom/right anchor at its start
+        ph, pw = piece.shape
+        y0 = ys.start if dy >= 0 else h - ph
+        x0 = xs.start if dx >= 0 else h - pw
+        pad[y0 : y0 + ph, x0 : x0 + pw] = piece
+        if dy == -1 and dx == 0:
+            valid["top"] = max(valid["top"], ph)
+        if dy == 1 and dx == 0:
+            valid["bottom"] = max(valid["bottom"], ph)
+        if dx == -1 and dy == 0:
+            valid["left"] = max(valid["left"], pw)
+        if dx == 1 and dy == 0:
+            valid["right"] = max(valid["right"], pw)
+    # reflect-fill the UNFILLED part of each margin (missing
+    # neighbors AND partial edge neighbors smaller than the halo) —
+    # rows then cols, the same axis order as np.pad(mode='symmetric')
+    vt, vb = valid["top"], valid["bottom"]
+    for k in range(h - vt):  # global top edge sits at padded row h-vt
+        pad[h - vt - 1 - k, :] = pad[h - vt + k, :]
+    for k in range(h - vb):  # global bottom edge at padded row h+th+vb
+        pad[h + th + vb + k, :] = pad[h + th + vb - 1 - k, :]
+    vl, vr = valid["left"], valid["right"]
+    for k in range(h - vl):
+        pad[:, h - vl - 1 - k] = pad[:, h - vl + k]
+    for k in range(h - vr):
+        pad[:, h + tw + vr + k] = pad[:, h + tw + vr - 1 - k]
+    return pad
+
+
+def halo_map_multi(
+    tiles: DataFrame,
+    halo: int,
+    fn: Callable[[dict, int, int, int], np.ndarray],
+    out_kind: str,
+    out_raster_id: str,
+) -> DataFrame:
+    """ONE halo exchange over several co-gridded channels (rows sharing
+    (ty, tx) across distinct raster_ids): ``fn(channels, th, tw, halo)``
+    gets a dict raster_id → padded array. Fusing k consecutive/parallel
+    stencil ops this way replaces k halo shuffles + the zip joins that
+    recombine them with a single groupBy — the shuffle-count fix for
+    chained stencil pipelines (coherence: 10 exchanges → 2)."""
+    contrib = tiles.withColumn(
+        "_off",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy -> "
+                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
+            )
+        ),
+    ).select(
+        "raster_id",
+        (F.col("ty") + F.col("_off.dy")).alias("gty"),
+        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
+        (-F.col("_off.dy")).alias("dy"),
+        (-F.col("_off.dx")).alias("dx"),
+        "ty", "tx", "data", "th", "tw", "kind",
+    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gty, gtx = key
+        channels: dict[str, np.ndarray] = {}
+        th = tw = None
+        for rid, sub in pdf.groupby("raster_id", sort=True):
+            center = sub[(sub.dy == 0) & (sub.dx == 0)]
+            if center.empty:  # phantom target beyond the raster edge
+                return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+            c = center.iloc[0]
+            th, tw = int(c.th), int(c.tw)
+            channels[rid] = _assemble_padded(sub, th, tw, halo, c.kind)
+        if not channels:
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+        out = fn(channels, th, tw, halo)
+        return pd.DataFrame(
+            [
+                (out_raster_id, int(gty), int(gtx),
+                 out.astype(_DTYPES[out_kind]).tobytes(), th, tw, out_kind)
+            ],
+            columns=[f.name for f in TILE_SCHEMA.fields],
+        )
+
+    return contrib.groupBy("gty", "gtx").applyInPandas(assemble, schema=TILE_SCHEMA)
 
 
 def _box_mean_padded(pad: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
@@ -280,13 +342,80 @@ def tiles_interferogram(p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int
     return tiles_presum(ifg, mlt_az, mlt_rg) if (mlt_az > 1 or mlt_rg > 1) else ifg
 
 
+def coherence_products(
+    p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int = 1
+) -> DataFrame:
+    """ONE p⋈s join emitting all three coherence product channels
+    (ifg=p·conj(s) c8, prm2=|p|² f4, sec2=|s|² f4) with the presum
+    multilook fused in (pure per-tile math — no extra shuffle). Replaces
+    three tiles_zip joins + three tiles_presum groupBys. Dtype casts
+    replicate the unfused chain exactly (c8/f4 at each stage boundary)."""
+    aj = p.select(
+        F.col("ty"), F.col("tx"),
+        F.col("data").alias("da"), F.col("th"), F.col("tw"), F.col("kind").alias("ka"),
+    )
+    bj = s.select(
+        F.col("ty"), F.col("tx"), F.col("data").alias("db"), F.col("kind").alias("kb")
+    )
+    joined = aj.join(bj, ["ty", "tx"])
+
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                x = _decode(bytes(r.da), int(r.th), int(r.tw), r.ka)
+                y = _decode(bytes(r.db), int(r.th), int(r.tw), r.kb)
+                chans = [
+                    ("ifg", (x * np.conj(y)).astype(np.complex64), "c8"),
+                    ("prm2", np.nan_to_num((x * np.conj(x)).real).astype(np.float32), "f4"),
+                    ("sec2", np.nan_to_num((y * np.conj(y)).real).astype(np.float32), "f4"),
+                ]
+                for rid, arr, kind in chans:
+                    if mlt_az > 1 or mlt_rg > 1:
+                        arr = R.presum(arr, mlt_az, mlt_rg).astype(_DTYPES[kind])
+                    rows.append(
+                        (rid, int(r.ty), int(r.tx), arr.tobytes(),
+                         arr.shape[0], arr.shape[1], kind)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return joined.mapInPandas(do, schema=TILE_SCHEMA)
+
+
 def tiles_coherence(
     p: DataFrame, s: DataFrame,
     box_az: int = 5, box_rg: int = 5, mlt_az: int = 1, mlt_rg: int = 1,
     magnitude: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
     """Distributed coherence, semantics of process.py:1670-1793:
-    per-tile products → presum → halo boxcar → ratio → erosion mask."""
+    per-tile products → presum → halo boxcar → ratio → erosion mask.
+
+    ``fused=True`` (default): 2 exchanges total — one product join
+    (coherence_products) + ONE multi-channel halo exchange computing
+    boxcars, ratio, and erosion mask together (halo_map_multi). The
+    unfused path (10 exchanges: 3 zips + 3 presums + 4 halos + 3 zips)
+    is kept as the law-test reference; outputs are bit-identical (the
+    fused kernel replays the same float32/complex64 cast sequence)."""
+    if fused:
+        prods = coherence_products(p, s, mlt_az, mlt_rg)
+
+        def kern(ch: dict, th: int, tw: int, hh: int) -> np.ndarray:
+            num = _box_mean_padded(ch["ifg"], th, tw, hh, box_az, box_rg).astype(np.complex64)
+            d1 = _box_mean_padded(ch["prm2"], th, tw, hh, box_az, box_rg).astype(np.float32)
+            d2 = _box_mean_padded(ch["sec2"], th, tw, hh, box_az, box_rg).astype(np.float32)
+            mask = np.where(
+                _erode_padded(~np.isnan(ch["ifg"]), th, tw, hh, box_az, box_rg), 1.0, np.nan
+            ).astype(np.float32)
+            step1 = (num / np.sqrt(d1)).astype(np.complex64)
+            step2 = (step1 / np.sqrt(d2)).astype(np.complex64)
+            return np.abs(step2) * mask if magnitude else step2 * mask
+
+        return halo_map_multi(
+            prods, max(box_az, box_rg), kern,
+            out_kind="f4" if magnitude else "c8", out_raster_id="coh",
+        )
+
     ifg = tiles_interferogram(p, s, mlt_az, mlt_rg)
     prm2 = tiles_presum(
         tiles_zip(p, p, lambda x, y: np.nan_to_num((x * np.conj(y)).real), "f4", "prm2"),

@@ -227,3 +227,46 @@ class TestEigh:
                 ev = np.linalg.eigvalsh(M)
                 assert l2[i, j] == pytest.approx(ev[0], rel=1e-9, abs=1e-12)
                 assert l1[i, j] == pytest.approx(ev[1], rel=1e-9, abs=1e-12)
+
+
+class TestFusedCoherence:
+    """VERDICT r1 item 10: chained stencil ops fused into one halo
+    exchange — results identical, shuffle count collapsed."""
+
+    def test_fused_equals_unfused_bitexact(self, spark):
+        p, s = rand_complex(21), rand_complex(22)
+        s = (0.6 * p + 0.4 * s).astype(np.complex64)
+        # plant NaNs so the erosion-mask path is exercised
+        p[3:5, 7:9] = np.nan + 1j * np.nan
+        tp = raster_to_tiles(spark, p, "p", TILE)
+        ts = raster_to_tiles(spark, s, "s", TILE)
+        fused = tiles_to_raster(tiles_coherence(tp, ts, 5, 5, fused=True), TILE)
+        unfused = tiles_to_raster(tiles_coherence(tp, ts, 5, 5, fused=False), TILE)
+        # the fused kernel replays the unfused cast chain → bit equality
+        np.testing.assert_array_equal(
+            np.nan_to_num(fused, nan=-1.0), np.nan_to_num(unfused, nan=-1.0)
+        )
+
+    def test_fused_equals_unfused_multilook_complex(self, spark):
+        p, s = rand_complex(23, 64, 64, 0.02), rand_complex(24, 64, 64, 0.02)
+        tp = raster_to_tiles(spark, p, "p", 32)
+        ts = raster_to_tiles(spark, s, "s", 32)
+        f = tiles_to_raster(tiles_coherence(tp, ts, 3, 3, 2, 2, magnitude=False, fused=True), 16)
+        u = tiles_to_raster(tiles_coherence(tp, ts, 3, 3, 2, 2, magnitude=False, fused=False), 16)
+        np.testing.assert_array_equal(
+            np.nan_to_num(f, nan=-1.0), np.nan_to_num(u, nan=-1.0)
+        )
+
+    def test_fused_plan_has_fewer_exchanges(self, spark):
+        p, s = rand_complex(25), rand_complex(26)
+        tp = raster_to_tiles(spark, p, "p", TILE)
+        ts = raster_to_tiles(spark, s, "s", TILE)
+
+        def n_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange")
+
+        nf = n_exchanges(tiles_coherence(tp, ts, 5, 5, fused=True))
+        nu = n_exchanges(tiles_coherence(tp, ts, 5, 5, fused=False))
+        assert nf < nu, (nf, nu)
+        assert nf <= 3  # product join + halo groupBy (+ input prep)
