@@ -35,6 +35,11 @@ from pyspark.sql.types import (
 log = logging.getLogger("eo_tools_spark.dedup")
 
 
+#: label → last Observation attached by cap_hot_buckets; read
+#: drop_report(label) after an action to audit what the cap removed.
+_drop_observations: dict[str, object] = {}
+
+
 def cap_hot_buckets(
     banded: DataFrame,
     key_cols: list[str],
@@ -46,30 +51,50 @@ def cap_hot_buckets(
     A degenerate band key (boilerplate text, all-zero phash regions)
     makes one bucket quadratic in the candidate self-join — the classic
     100 TB scale-killer. Buckets above the cap are removed BEFORE the
-    join, and the drop is logged (bucket count + row count), never
-    silent. Exact duplicates inside a dropped bucket should be caught by
+    join. Exact duplicates inside a dropped bucket should be caught by
     ``exact_dedup`` first — the cap loses only near-dup pairs whose
     bucket exceeded ``max_bucket``, which at that size are almost always
     exact-dup families.
 
-    Cost: one extra aggregation over ``banded`` (the hot-key summary
-    action) — persist the signature frame upstream if signatures are
-    expensive. The anti-join side holds only hot keys (≤ N/max_bucket
-    rows), so AQE broadcasts it.
+    Cost: ZERO extra scans — the bucket size comes from a window count
+    partitioned by the same keys the candidate self-join shuffles on
+    (the exchange is shared/reused), unlike a separate groupBy+anti-join
+    which would recompute the signature frame. The cap is never silent:
+    a Spark ``observe`` metric (rows_dropped / rows_kept, computed
+    during the SAME job, visible in listeners/UI) is attached and
+    retrievable via ``drop_report(label)`` after any action.
     """
     if max_bucket is None:
         return banded
-    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
-    hot = counts.where(F.col("_bucket_n") > max_bucket)
-    s = hot.agg(
-        F.count(F.lit(1)).alias("k"), F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("r")
-    ).first()
-    if s["k"]:
-        log.warning(
-            "%s: dropping %d hot band buckets covering %d rows (max_bucket=%d)",
-            label, s["k"], s["r"], max_bucket,
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    withn = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    try:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        withn = withn.observe(
+            obs,
+            F.sum((F.col("_bucket_n") > max_bucket).cast("long")).alias("rows_dropped"),
+            F.sum((F.col("_bucket_n") <= max_bucket).cast("long")).alias("rows_kept"),
         )
-    return banded.join(hot.select(*key_cols), key_cols, "left_anti")
+        _drop_observations[label] = obs
+    except Exception:  # older Spark without Observation — cap still applies
+        pass
+    return withn.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+
+
+def drop_report(label: str) -> dict | None:
+    """Hot-bucket drop metrics from the most recent capped query for
+    ``label`` — call AFTER an action has run on the returned frame."""
+    obs = _drop_observations.get(label)
+    if obs is None:
+        return None
+    try:
+        return dict(obs.get)
+    except Exception:
+        return None
 
 
 def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> Column:
