@@ -152,9 +152,14 @@ def adaptive_cover(
     it), so a point matches at most one cover cell per AOI.
 
     Returns ``(cover_df, res_by_id)`` compatible with
-    ``aoi_point_join(cover=...)``. Cost: one cheap counting aggregation
-    per iteration (scene side scanned with the same multi-res cell
-    arithmetic as the join itself).
+    ``aoi_point_join(cover=...)``. Cost: ONE counting scan of the scene
+    side per distinct base resolution (usually one total) — scenes are
+    counted once at the FINEST candidate resolution restricted to the
+    initial boundary cells, rolled up the quadtree on the driver, and
+    every split iteration then runs driver-only against the rolled-up
+    counts. (Round-1 version rescanned the big side once per iteration —
+    a real cost at 100 TB.) The collected counts are bounded by
+    |boundary cells| × 4^max_iters, a few thousand rows.
     """
     from eo_tools_spark.geo.geom import clip_convex, polygon_area, polygon_intersects
 
@@ -174,31 +179,44 @@ def adaptive_cover(
             return "interior"
         return "boundary"
 
-    for _ in range(max_iters):
-        cdf = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
-        res_set = sorted({int(c) >> 58 for _, c, _ in rows})
-        if len(res_set) == 1:
-            with_cell = scenes.select(S.cell_col(lon, lat, res_set[0]).alias("_cell"))
-        else:
-            with_cell = scenes.select(
-                F.explode(
-                    F.array(*[S.cell_col(lon, lat, r) for r in res_set])
-                ).alias("_cell")
-            )
-        counts = {
-            r.cell: r.n
-            for r in with_cell.join(F.broadcast(cdf.select("cell").distinct()), with_cell["_cell"] == F.col("cell"))
-            .groupBy("cell")
+    # --- one counting scan per distinct base resolution: count scenes
+    # at the finest candidate res inside the initial boundary cells,
+    # then roll up to every intermediate res on the driver (the cell
+    # scheme is an exactly-nested quadtree, so the rollup is exact)
+    by_res: dict[int, set[int]] = {}
+    for _, c, b in rows:
+        if b:
+            by_res.setdefault(int(c) >> 58, set()).add(int(c))
+    counts: dict[int, int] = {}
+    mask29 = (1 << 29) - 1
+    for rb, bcells in sorted(by_res.items()):
+        rf = min(rb + max_iters, C.MAX_RES)
+        cnt_rows = (
+            scenes.where(S.cell_col(lon, lat, rb).isin([int(c) for c in bcells]))
+            .groupBy(S.cell_col(lon, lat, rf).alias("fcell"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }
+        )
+        for r in cnt_rows:
+            fc, n = int(r.fcell), int(r.n)
+            ix, iy = (fc >> 29) & mask29, fc & mask29
+            for rr in range(rb, rf + 1):
+                sh = rf - rr
+                anc = (rr << 58) | ((ix >> sh) << 29) | (iy >> sh)
+                counts[anc] = counts.get(anc, 0) + n
+
+    # --- split loop: driver-only, no further cluster work
+    for _ in range(max_iters):
         new_rows = []
         split_any = False
         for aoi_id, cell, boundary in rows:
             res = int(cell) >> 58
+            # count lookups stay inside the rolled-up range by
+            # construction: iteration k only splits cells at res rb+k-1,
+            # so the deepest count ever read is rb+max_iters-1 < rf
             if (
                 boundary
-                and counts.get(cell, 0) > max_rows_per_cell
+                and counts.get(int(cell), 0) > max_rows_per_cell
                 and res < C.MAX_RES
             ):
                 for child in C.cell_children(int(cell)):

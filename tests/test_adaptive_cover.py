@@ -84,3 +84,45 @@ def test_adaptive_cover_partitions_aoi(spark):
         .count()
     )
     assert matches.where("count > 1").isEmpty()
+
+
+def test_cell_nesting_exact():
+    """The one-scan rollup in adaptive_cover assumes exact quadtree
+    nesting: a point's cell at res r is the parent of its cell at
+    res r+1, for every res — including cell-edge coordinates."""
+    from eo_tools_spark.geo.cells import cell_of_points
+
+    rng = np.random.default_rng(4)
+    lon = np.concatenate([rng.uniform(-180, 180, 2000), [0.0, -180.0, 90.0]])
+    lat = np.concatenate([rng.uniform(-85, 85, 2000), [0.0, -45.0, 45.0]])
+    mask29 = (1 << 29) - 1
+    for r in range(4, 12):
+        c0 = cell_of_points(lon, lat, r).astype(np.int64)
+        c1 = cell_of_points(lon, lat, r + 1).astype(np.int64)
+        ix1, iy1 = (c1 >> 29) & mask29, c1 & mask29
+        parent = (np.int64(r) << 58) | ((ix1 >> 1) << 29) | (iy1 >> 1)
+        np.testing.assert_array_equal(c0, parent)
+
+
+def test_one_scan_rollup_matches_per_level_counts(spark):
+    """Rolled-up counts == direct per-level counts (the thing the
+    round-1 per-iteration rescan measured)."""
+    from eo_tools_spark.geo.cells import cell_of_points
+
+    scenes = hotspot_scenes(spark, n=20000)
+    pdf = scenes.toPandas()
+    cover, _ = adaptive_cover(
+        scenes, AOI, base_res=8, max_rows_per_cell=1500, max_iters=3
+    )
+    rows = cover.collect()
+    # every boundary cover cell's true point count must respect the
+    # split rule: > cap only if it could not split further (res cap)
+    for r in rows:
+        if not r.boundary:
+            continue
+        res = int(r.cell) >> 58
+        n = int(
+            (cell_of_points(pdf.lon.to_numpy(), pdf.lat.to_numpy(), res) == r.cell).sum()
+        )
+        if n > 1500:
+            assert res >= 8 + 3, (r.cell, res, n)
