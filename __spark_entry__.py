@@ -219,6 +219,109 @@ def _register_dual_queries() -> None:
 _register_dual_queries()
 
 
+# --------------------------------------------------------- annotation ETL
+
+def q_annotation_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML→typed-rows ETL verified at scale: per order row, build a
+    synthetic annotation XML (pure function of the row), run the
+    engine's parser (sources/annotation.parse_annotation inside
+    mapInPandas — the distributed ETL path), and return the typed
+    scalars + a fold over the parsed burst arrays. The DuckDB oracle
+    computes the same values in closed form from the source columns —
+    so the parse itself is what's being checked."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from eo_tools_spark.sources.annotation import parse_annotation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("lines_per_burst", IntegerType()),
+            StructField("samples_per_burst", IntegerType()),
+            StructField("burst_count", IntegerType()),
+            StructField("fv_total", LongType()),
+        ]
+    )
+
+    def xml_of(k: int, ck: int) -> str:
+        lpb = k % 1500 + 1
+        spb = ck % 20000 + 1
+        bc = k % 9 + 1
+        bursts = "".join(
+            f"<burst><azimuthTime>2023-09-04T06:37:{31 + b}</azimuthTime>"
+            f"<firstValidSample count=\"3\">{b} {b + 1} {b + 2}</firstValidSample>"
+            f"<lastValidSample count=\"3\">{b + 3} {b + 4} {b + 5}</lastValidSample></burst>"
+            for b in range(1, bc + 1)
+        )
+        return (
+            "<product>"
+            "<adsHeader><startTime>2023-09-04T06:37:31</startTime></adsHeader>"
+            "<generalAnnotation><productInformation>"
+            "<rangeSamplingRate>6.4e7</rangeSamplingRate>"
+            "<azimuthSteeringRate>1.59</azimuthSteeringRate>"
+            "<radarFrequency>5.405e9</radarFrequency>"
+            "</productInformation>"
+            "<azimuthFmRateList count=\"1\"><azimuthFmRate>"
+            "<azimuthTime>2023-09-04T06:37:30</azimuthTime>"
+            "<azimuthFmRatePolynomial count=\"3\">-2325.0 450000.0 -7.6e7</azimuthFmRatePolynomial>"
+            "</azimuthFmRate></azimuthFmRateList>"
+            "</generalAnnotation>"
+            "<imageAnnotation><imageInformation>"
+            "<azimuthTimeInterval>2.05e-3</azimuthTimeInterval>"
+            "<slantRangeTime>5.33e-3</slantRangeTime>"
+            f"<numberOfSamples>{spb}</numberOfSamples>"
+            "</imageInformation></imageAnnotation>"
+            "<dopplerCentroid><dcEstimateList count=\"1\"><dcEstimate>"
+            "<azimuthTime>2023-09-04T06:37:29</azimuthTime>"
+            "<dataDcPolynomial count=\"3\">-20.0 72000.0 -1.05e7</dataDcPolynomial>"
+            "</dcEstimate></dcEstimateList></dopplerCentroid>"
+            "<swathTiming>"
+            f"<linesPerBurst>{lpb}</linesPerBurst>"
+            f"<samplesPerBurst>{spb}</samplesPerBurst>"
+            f"<burstList count=\"{bc}\">{bursts}</burstList>"
+            "</swathTiming>"
+            "</product>"
+        )
+
+    def etl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples():
+                a = parse_annotation(xml_of(int(r.o_orderkey), int(r.o_custkey)))
+                fv_total = sum(sum(b["first_valid"]) for b in a["bursts"])
+                rows.append(
+                    (int(r.o_orderkey), a["lines_per_burst"], a["samples_per_burst"],
+                     a["burst_count"], fv_total)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["k", "lines_per_burst", "samples_per_burst", "burst_count", "fv_total"],
+            )
+            rows = []
+
+    return orders.mapInPandas(etl, schema=schema)
+
+
+ANNOTATION_ETL_ORACLE = (
+    # fv per burst b: b + (b+1) + (b+2) = 3b+3; total over b=1..bc:
+    # 3·bc(bc+1)/2 + 3·bc
+    "SELECT o_orderkey AS k, "
+    "CAST(o_orderkey % 1500 + 1 AS INT) AS lines_per_burst, "
+    "CAST(o_custkey % 20000 + 1 AS INT) AS samples_per_burst, "
+    "CAST(o_orderkey % 9 + 1 AS INT) AS burst_count, "
+    "CAST(3 * (o_orderkey % 9 + 1) * (o_orderkey % 9 + 2) / 2 "
+    "+ 3 * (o_orderkey % 9 + 1) AS BIGINT) AS fv_total "
+    "FROM orders"
+)
+
+
 # -------------------------------------------------------- image pipeline
 # rows-only checks: the image table is generated (deterministically) by
 # the engine itself; pixel synthesis is not SQL-expressible, so these
@@ -301,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_roundtrip"] = q_image_roundtrip
     out["image_phash_neardup"] = q_image_phash_neardup
     out["image_tile_assign"] = q_image_tile_assign
+    out["annotation_etl"] = q_annotation_etl
     return out
 
 
@@ -375,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
     }
     for name, (duck_sql, _tables) in _DUAL_QUERIES.items():
         out[name] = duck_sql
+    out["annotation_etl"] = ANNOTATION_ETL_ORACLE
 
     # image queries: the image table is synthesized deterministically
     # (make_image is pure in (i, seed)), so expected outputs are

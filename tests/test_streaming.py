@@ -129,3 +129,33 @@ def test_stream_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert {(r.image_id, r.aoi_id) for r in table.read().collect()} == exp
+
+
+def test_stream_exact_dedup(spark, tmp_path, sf_dir):
+    """Streaming dedup emits each distinct text once across
+    micro-batches; survivors are a superset-exact match of the batch
+    distinct-fingerprint set."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.streaming.pipeline import stream_exact_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(400)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    )
+    src = str(tmp_path / "dsrc")
+    docs.repartition(8).write.parquet(src)  # 8 files → several micro-batches
+
+    q = stream_exact_dedup(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "dout"), str(tmp_path / "dck"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "dout")).toPandas()
+    exp_fps = {
+        r.fp for r in docs.select(F.md5("text").alias("fp")).distinct().collect()
+    }
+    assert set(got["fp"]) == exp_fps          # every distinct content present
+    assert len(got) == len(set(got["fp"]))    # exactly once
