@@ -486,10 +486,14 @@ def oracle_sql() -> dict[str, str]:
     # precomputed OUTSIDE Spark by scripts/make_image_oracle.py and
     # pinned as parquet fixtures DuckDB reads — real row/schema/hash
     # comparisons instead of rows-only checks.
+    # filenames derive from _IMG_N: if the query size ever changes
+    # without regenerating fixtures (scripts/make_image_oracle.py), the
+    # existence check fails and the queries fall back to rows-only
+    # instead of silently comparing against stale expectations
     _oracle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dist", "oracle")
-    _rt = os.path.join(_oracle_dir, "image_roundtrip_400.parquet")
-    _pp = os.path.join(_oracle_dir, "image_phash_pairs_400.parquet")
-    _meta = os.path.join(_oracle_dir, "images_meta_400.parquet")
+    _rt = os.path.join(_oracle_dir, f"image_roundtrip_{_IMG_N}.parquet")
+    _pp = os.path.join(_oracle_dir, f"image_phash_pairs_{_IMG_N}.parquet")
+    _meta = os.path.join(_oracle_dir, f"images_meta_{_IMG_N}.parquet")
     if os.path.exists(_rt):
         out["image_roundtrip"] = (
             "SELECT image_id, fmt, psnr, pixels_ok, caption_ok "

@@ -266,14 +266,14 @@ def run_queries() -> dict:
     # round-1 driver truncated it); full per-partition lineage goes to a
     # side file, the line carries only an aggregate summary
     row_counts = sorted(r["rows"] for r in lineage_rows)
-    walls = [r["wall_ms"] for r in lineage_rows]
     lineage_summary = {
         "n_partitions": len(lineage_rows),
         "rows_min": row_counts[0] if row_counts else 0,
         "rows_median": row_counts[len(row_counts) // 2] if row_counts else 0,
         "rows_max": row_counts[-1] if row_counts else 0,
-        "wall_ms_total": round(sum(walls), 1),
-        "wall_ms_max": round(max(walls), 1) if walls else 0,
+        # wall_ms is stamped per BATCH (one commit), not per partition —
+        # summing it across partition rows would overstate it n_partitions×
+        "batch_wall_ms": lineage_rows[0]["wall_ms"] if lineage_rows else 0,
     }
     lineage_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "lineage.json")
     os.makedirs(os.path.dirname(lineage_path), exist_ok=True)

@@ -59,10 +59,13 @@ def cap_hot_buckets(
     Cost: ZERO extra scans — the bucket size comes from a window count
     partitioned by the same keys the candidate self-join shuffles on
     (the exchange is shared/reused), unlike a separate groupBy+anti-join
-    which would recompute the signature frame. The cap is never silent:
-    a Spark ``observe`` metric (rows_dropped / rows_kept, computed
-    during the SAME job, visible in listeners/UI) is attached and
-    retrievable via ``drop_report(label)`` after any action.
+    which would recompute the signature frame. Observability: a Spark
+    ``observe`` metric (rows_dropped / rows_kept) is computed during the
+    SAME job and exported to listeners/Spark UI; call
+    ``drop_report(label)`` after an action to retrieve it AND emit the
+    warning log line — an audit step callers/operators must run
+    explicitly (pure-lazy DataFrames have no post-action hook to log
+    from automatically).
     """
     if max_bucket is None:
         return banded
@@ -87,14 +90,21 @@ def cap_hot_buckets(
 
 def drop_report(label: str) -> dict | None:
     """Hot-bucket drop metrics from the most recent capped query for
-    ``label`` — call AFTER an action has run on the returned frame."""
+    ``label`` — call AFTER an action has run on the returned frame.
+    Logs a WARNING when rows were dropped (the not-silent audit line)."""
     obs = _drop_observations.get(label)
     if obs is None:
         return None
     try:
-        return dict(obs.get)
+        rep = dict(obs.get)
     except Exception:
         return None
+    if rep.get("rows_dropped"):
+        log.warning(
+            "%s: hot-bucket cap dropped %s banded rows (kept %s)",
+            label, rep.get("rows_dropped"), rep.get("rows_kept"),
+        )
+    return rep
 
 
 def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> Column:
@@ -221,9 +231,10 @@ def lsh_pairs(
 
     sig length must be divisible by ``bands``. Band keys are xxhash64 of
     the band slice (engine-internal key — no cross-engine parity needed).
-    Buckets over ``max_bucket`` members are dropped with a logged metric
-    (see cap_hot_buckets) — run exact_dedup first to canonicalize the
-    exact-dup families that create such buckets.
+    Buckets over ``max_bucket`` members are dropped with an observe
+    metric (audit via drop_report, see cap_hot_buckets) — run
+    exact_dedup first to canonicalize the exact-dup families that
+    create such buckets.
     """
     banded = sig_df.select(
         id_col,
@@ -319,7 +330,8 @@ def simhash_pairs(
     Pigeonhole banding (hamming_band_cols): chunk equality (or
     chunk-pair equality for narrow chunks) → candidates, then exact
     popcount verify (JVM bit ops). Hot buckets (degenerate simhashes,
-    e.g. boilerplate) are capped with a logged drop (cap_hot_buckets).
+    e.g. boilerplate) are capped with an observe-metric drop
+    (cap_hot_buckets; audit via drop_report).
     """
     chunks = sim_df.select(
         id_col,

@@ -250,21 +250,167 @@ def _remap_real(img: np.ndarray, r: np.ndarray, c: np.ndarray, kernel: str) -> n
     rr, cc = r[ok], c[ok]
     r0 = np.floor(rr) - H
     c0 = np.floor(cc) - H
+    # reference window is [floor-H, ceil+H]; the uniform 2H+2-tap loop
+    # adds one extra tap at integer coordinates. Its weight is 0, but
+    # 0·NaN = NaN, so it must be EXCLUDED (masked), not just zeroed —
+    # while zero-weight taps INSIDE the window keep the reference's NaN
+    # propagation (the reference multiplies them too).
+    r_hi = np.ceil(rr) + H
+    c_hi = np.ceil(cc) + H
     val = np.zeros(rr.shape, dtype=np.float64)
     img64 = img.astype(np.float64, copy=False)
-    # 2H+2 taps covers both the fractional case (floor≠ceil) and the
-    # integer case (extra tap weight is exactly 0 for every kernel)
     for ki in range(2 * H + 2):
         i = r0 + ki
         wi = ker(rr - i)
+        in_i = i <= r_hi
         i2 = np.clip(i, 0, h - 1).astype(np.int64)
         for kj in range(2 * H + 2):
             j = c0 + kj
             wj = ker(cc - j)
             j2 = np.clip(j, 0, w - 1).astype(np.int64)
-            val += wi * wj * img64[i2, j2]
+            val += np.where(in_i & (j <= c_hi), wi * wj * img64[i2, j2], 0.0)
     out[ok] = val
     return out
+
+
+def sar2geo_tiles(
+    lut: DataFrame,
+    sar_tiles: DataFrame,
+    naz: int,
+    nrg: int,
+    tile: int,
+    kernel: str = "bicubic",
+    out_kind: str = "c8",
+    raster_id: str | None = None,
+) -> DataFrame:
+    """Distributed LUT gather join (sar2geo/align semantics,
+    /root/reference/eo_tools/S1/process.py:1461-1549 + core.py:921-934):
+    every geo-grid LUT tile gathers the SAR pixels its (az, rg) values
+    reference, kernel-resampled with the reference's remap (incl. the
+    halo margin H = kernel_margin(kernel) around the referenced range,
+    util.py:176-186).
+
+    Plan shape (the join IS data-dependent — which SAR tiles an output
+    tile needs depends on the LUT VALUES, not its position):
+    1. one narrow pass over LUT tiles emits (dem_tile_id, ty, tx)
+       needed-tile keys from the az/rg min/max ± H (tiny output,
+       ~1-6 keys per LUT tile for near-identity LUTs);
+    2. equi-join those keys with the SAR tile table (shuffle on the
+       tile key — the only big exchange);
+    3. cogroup by dem_tile_id with the LUT rows (LUT bytes are NOT
+       replicated per SAR tile) and remap each output tile against its
+       assembled local patch. Global-border clamp is preserved: the
+       patch is clipped to [0, naz)×[0, nrg), so patch edges coincide
+       with image edges exactly where clamping can occur.
+
+    ``lut`` rows: LUT_SCHEMA (az/rg float64 bytes, th, tw).
+    ``sar_tiles`` rows: tiles.TILE_SCHEMA with nominal size ``tile``.
+    Output: (dem_tile_id, data, th, tw, kind).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from eo_tools_spark.operators.tiles import _decode, _DTYPES
+
+    H = kernel_margin(kernel)
+
+    key_schema = StructType(
+        [
+            StructField("dem_tile_id", StringType()),
+            StructField("ty", IntegerType()),
+            StructField("tx", IntegerType()),
+        ]
+    )
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                az = np.frombuffer(bytes(r.az), dtype=np.float64)
+                rg = np.frombuffer(bytes(r.rg), dtype=np.float64)
+                ok = ~np.isnan(az) & ~np.isnan(rg)
+                ok &= (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg)
+                if not ok.any():
+                    continue
+                a0 = max(int(np.floor(az[ok].min())) - H, 0)
+                a1 = min(int(np.ceil(az[ok].max())) + H, naz - 1)
+                c0 = max(int(np.floor(rg[ok].min())) - H, 0)
+                c1 = min(int(np.ceil(rg[ok].max())) + H, nrg - 1)
+                for ty in range(a0 // tile, a1 // tile + 1):
+                    for tx in range(c0 // tile, c1 // tile + 1):
+                        rows.append((r.dem_tile_id, ty, tx))
+            yield pd.DataFrame(rows, columns=["dem_tile_id", "ty", "tx"])
+
+    # one gather targets ONE raster: filter when told which, and guard
+    # at execution otherwise (a multi-raster tile table joined on bare
+    # (ty, tx) would silently interleave pixels from different rasters)
+    if raster_id is not None:
+        sar_tiles = sar_tiles.where(F.col("raster_id") == raster_id)
+    need = lut.select("dem_tile_id", "az", "rg").mapInPandas(keys, schema=key_schema)
+    picked = need.join(sar_tiles, ["ty", "tx"])
+
+    out_schema = StructType(
+        [
+            StructField("dem_tile_id", StringType()),
+            StructField("data", BinaryType()),
+            StructField("th", IntegerType()),
+            StructField("tw", IntegerType()),
+            StructField("kind", StringType()),
+        ]
+    )
+
+    def gather(key, sar_pdf: pd.DataFrame, lut_pdf: pd.DataFrame) -> pd.DataFrame:
+        if lut_pdf.empty or sar_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        rids = sar_pdf["raster_id"].unique()
+        if len(rids) > 1:
+            raise ValueError(
+                f"sar2geo_tiles: tile table holds {len(rids)} rasters "
+                f"({sorted(rids)[:4]}...); pass raster_id= to pick one"
+            )
+        lr = lut_pdf.iloc[0]
+        th, tw = int(lr.th), int(lr.tw)
+        az = np.frombuffer(bytes(lr.az), dtype=np.float64).reshape(th, tw)
+        rg = np.frombuffer(bytes(lr.rg), dtype=np.float64).reshape(th, tw)
+        # local patch bounds (global-border clipped, see docstring)
+        ok = ~np.isnan(az) & ~np.isnan(rg)
+        ok &= (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg)
+        a0 = max(int(np.floor(az[ok].min())) - H, 0)
+        a1 = min(int(np.ceil(az[ok].max())) + H, naz - 1)
+        c0 = max(int(np.floor(rg[ok].min())) - H, 0)
+        c1 = min(int(np.ceil(rg[ok].max())) + H, nrg - 1)
+        kind = sar_pdf.iloc[0].kind
+        nanv = (np.nan + 1j * np.nan) if kind == "c8" else np.nan
+        patch = np.full(
+            (a1 - a0 + 1, c1 - c0 + 1),
+            nanv,
+            dtype=np.complex128 if kind == "c8" else np.float64,
+        )
+        for r in sar_pdf.itertuples():
+            blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+            y0, x0 = int(r.ty) * tile, int(r.tx) * tile
+            ys = slice(max(a0 - y0, 0), min(a1 + 1 - y0, int(r.th)))
+            xs = slice(max(c0 - x0, 0), min(c1 + 1 - x0, int(r.tw)))
+            if ys.start >= ys.stop or xs.start >= xs.stop:
+                continue
+            patch[y0 + ys.start - a0 : y0 + ys.stop - a0,
+                  x0 + xs.start - c0 : x0 + xs.stop - c0] = blk[ys, xs]
+        # shift coords into patch space; remap's in-bounds test must
+        # still reject global OOB, so NaN them first
+        az_l = np.where(ok, az, np.nan) - a0
+        rg_l = np.where(ok, rg, np.nan) - c0
+        out = remap(patch, az_l, rg_l, kernel)
+        return pd.DataFrame(
+            [(key[0], out.astype(_DTYPES[out_kind]).tobytes(), th, tw, out_kind)],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        picked.groupBy("dem_tile_id")
+        .cogroup(lut.groupBy("dem_tile_id"))
+        .applyInPandas(gather, schema=out_schema)
+    )
 
 
 def remap(img: np.ndarray, rows: np.ndarray, cols: np.ndarray, kernel: str = "bicubic") -> np.ndarray:

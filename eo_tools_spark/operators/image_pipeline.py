@@ -145,7 +145,8 @@ def phash_neardup(
     no UDF). For the default k=6 single chunks would be 9 bits (512
     distinct keys → massive buckets); hamming_band_cols switches to
     chunk-PAIR banding (16-bit keys), shrinking candidate volume
-    quadratically. Hot buckets capped with a logged drop."""
+    quadratically. Hot buckets capped with an observe-metric drop
+    (audit via dedup.drop_report)."""
     from eo_tools_spark.operators.dedup import cap_hot_buckets, hamming_band_cols
 
     chunks = images.select(

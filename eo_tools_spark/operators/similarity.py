@@ -112,18 +112,16 @@ def ivf_topk(
     """ANN top-k: scan only vectors whose IVF cell is among each query's
     nprobe nearest centroids. Same output schema as brute_topk.
 
-    Centroid training sample is a DETERMINISTIC hash filter on the id —
-    identical centroids (hence identical ANN results) across sessions
-    and resumed runs; an unordered limit() would let the scan order pick
-    the sample. The modulus targets ~2·sample_rows expected rows and the
-    sort+head pins the exact set."""
+    Centroid training sample is DETERMINISTIC: the sample_rows smallest
+    xxhash64(id) values — a seeded pseudo-random sample identical across
+    sessions, partitionings, and resumed runs (an unordered limit()
+    would let scan order pick it). One TakeOrdered job (per-partition
+    top-k + driver merge, ≤ sample_rows rows per partition shipped), no
+    count() pre-pass."""
     spark = emb_df.sparkSession
-    n_total = emb_df.count()
-    m = max(1, n_total // max(1, sample_rows) // 2)
     sample_df = (
         emb_df.select(id_col, emb_col)
-        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(sample_rows)
     )
     sample = np.vstack([r[1] for r in sample_df.collect()])

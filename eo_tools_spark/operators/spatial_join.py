@@ -184,10 +184,16 @@ def adaptive_cover(
     # then roll up to every intermediate res on the driver (the cell
     # scheme is an exactly-nested quadtree, so the rollup is exact)
     by_res: dict[int, set[int]] = {}
-    for _, c, b in rows:
+    rb_of_aoi: dict[str, int] = {}
+    for aoi_id, c, b in rows:
+        rb_of_aoi.setdefault(aoi_id, int(c) >> 58)
         if b:
             by_res.setdefault(int(c) >> 58, set()).add(int(c))
-    counts: dict[int, int] = {}
+    # counts keyed by (base-res group, cell): with mixed per-AOI base
+    # resolutions the same quadtree cell can appear in two groups' scans
+    # (a scene inside both AOIs' boundary cells is counted by both) —
+    # a flat cell key would double-add where the res ranges overlap
+    counts: dict[tuple[int, int], int] = {}
     mask29 = (1 << 29) - 1
     for rb, bcells in sorted(by_res.items()):
         rf = min(rb + max_iters, C.MAX_RES)
@@ -203,7 +209,7 @@ def adaptive_cover(
             for rr in range(rb, rf + 1):
                 sh = rf - rr
                 anc = (rr << 58) | ((ix >> sh) << 29) | (iy >> sh)
-                counts[anc] = counts.get(anc, 0) + n
+                counts[(rb, anc)] = counts.get((rb, anc), 0) + n
 
     # --- split loop: driver-only, no further cluster work
     for _ in range(max_iters):
@@ -216,7 +222,7 @@ def adaptive_cover(
             # so the deepest count ever read is rb+max_iters-1 < rf
             if (
                 boundary
-                and counts.get(int(cell), 0) > max_rows_per_cell
+                and counts.get((rb_of_aoi[aoi_id], int(cell)), 0) > max_rows_per_cell
                 and res < C.MAX_RES
             ):
                 for child in C.cell_children(int(cell)):

@@ -54,12 +54,18 @@ def get_spark(
         # AOI / orbit / annotation side tables are tiny; always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # Vectorized parquet reader stays ON globally (numeric scans
-        # want it). Large-binary payload columns (image bytes, ~20 KB/
-        # value) degrade it badly — 164 s vs 40 s on a 41 GB bytes scan
-        # at local[32] (the columnar batch allocator thrashes on multi-KB
-        # byte arrays) — so binary-heavy tables are read through
-        # read_binary_parquet(), which disables it PER-READ only.
+        # Vectorized parquet reader OFF globally. Two measurements:
+        # (a) multi-KB binary columns (image bytes) degrade it badly —
+        #     164 s vs 40 s on a 41 GB bytes scan at local[32] (the
+        #     columnar batch allocator thrashes on large byte arrays);
+        # (b) numeric-only scans at this workload's sizes show NO
+        #     measurable penalty from the row reader (lineitem sf0.1
+        #     aggregate scan: 0.174 s row vs 0.170 s vectorized, warm).
+        # Per-read scoping is NOT possible: Spark 4.1.2 silently ignores
+        # spark.read.option("enableVectorizedReader", ...) — verified by
+        # plan inspection (FileScan stays `Batched: true`); only the
+        # session conf is honored. So the safe global default wins.
+        .config("spark.sql.parquet.enableVectorizedReader", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
@@ -70,9 +76,17 @@ def get_spark(
 
 def read_binary_parquet(spark: SparkSession, *paths: str):
     """Read a parquet table whose rows carry multi-KB binary payloads
-    (image/media bytes). Uses the row-based parquet reader for THIS read
-    only — the vectorized reader's columnar batches (4096 rows × ~20 KB)
-    thrash the allocator on such columns (measured 164 s vs 40 s on a
-    41 GB scan at local[32]); numeric tables elsewhere keep the
-    vectorized fast path."""
-    return spark.read.option("enableVectorizedReader", "false").parquet(*paths)
+    (image/media bytes). With get_spark() the row-based reader is
+    already the session default (see the conf comment above — Spark
+    4.1.2 ignores the per-read option, so scoping happens at the
+    session level); this wrapper additionally ASSERTS the safe setting
+    so a foreign session can't silently scan bytes vectorized."""
+    conf = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
+    if conf.lower() != "false":
+        raise RuntimeError(
+            "binary-payload tables must be read with "
+            "spark.sql.parquet.enableVectorizedReader=false (the vectorized "
+            "reader degrades ~4x on multi-KB byte arrays; the per-read "
+            "option is ignored by Spark) — use eo_tools_spark.session.get_spark"
+        )
+    return spark.read.parquet(*paths)

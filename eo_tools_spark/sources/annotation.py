@@ -225,7 +225,14 @@ def parse_annotation_table(xml_df):
 
     One narrow mapInPandas pass per output table — no shuffle; the XML
     payload never leaves its partition. Outputs are the typed side
-    tables the operators consume (deramp, masking, pairing)."""
+    tables the operators consume (deramp, masking, pairing).
+
+    Cost note: each output you MATERIALIZE runs its own parse of the
+    XML (three passes if you collect all three). The parse is ~ms per
+    ~MB annotation, so even a 10^6-product catalog pays minutes per
+    pass; if that matters, persist() the source frame (the parse is
+    CPU-bound, the XML read dominates) or materialize only the tables
+    you need."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,

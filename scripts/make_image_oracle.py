@@ -22,10 +22,10 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from __spark_entry__ import _IMG_N as N  # noqa: E402  single source of truth
 from eo_tools_spark.functions import imaging as IM  # noqa: E402
 from eo_tools_spark.sources.synthetic import make_image  # noqa: E402
 
-N = 400
 N_DUP = 20
 SEED = 42
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "dist", "oracle")

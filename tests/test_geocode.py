@@ -259,3 +259,99 @@ class TestRemapReferenceParity:
     def test_unknown_kernel_raises(self):
         with pytest.raises(ValueError):
             remap(np.ones((2, 2)), np.zeros(1), np.zeros(1), "lanczos")
+
+    def test_integer_coord_next_to_nan_not_contaminated(self):
+        """The uniform-tap loop's EXTRA tap (integer coords) must be
+        excluded, not zero-weighted: 0·NaN would poison the sum. The
+        reference window (floor..ceil collapses) never touches the
+        neighbor at all."""
+        img = np.ones((4, 4))
+        img[2, 2] = np.nan
+        for kernel in ("nearest", "bilinear"):
+            out = remap(img, np.array([1.0]), np.array([2.0]), kernel)
+            assert out[0] == pytest.approx(1.0), kernel
+
+    @pytest.mark.parametrize("kernel", ALL_KERNELS)
+    def test_nan_image_parity_with_reference(self, kernel):
+        """NaN-masked images (the standard output of apply_valid_mask):
+        in-window NaN propagation must match the reference loop exactly
+        — including zero-weight in-window taps, which DO poison the sum
+        in the reference (0·NaN = NaN in its numba loop)."""
+        rng = np.random.default_rng(13)
+        img = rng.normal(size=(10, 10))
+        img[0, :] = np.nan        # masked border lines
+        img[:, 7] = np.nan        # masked column
+        img[5, 5] = np.nan        # interior hole
+        rows = np.concatenate([
+            rng.uniform(0, 9, 30),
+            np.arange(10, dtype=float),    # integer coords
+            np.array([4.0, 5.0, 6.0]),     # integers near the hole
+        ])
+        cols = np.concatenate([
+            rng.uniform(0, 9, 30),
+            np.arange(10, dtype=float),
+            np.array([5.0, 4.0, 5.0]),
+        ])
+        got = remap(img, rows, cols, kernel)
+        exp = _ref_remap(img, rows, cols, kernel)
+        np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12, equal_nan=True)
+
+
+class TestSar2GeoTiles:
+    """Distributed LUT gather join == global remap (sar2geo/align,
+    process.py:1461-1549), all kernels, borders + OOB + NaN coords."""
+
+    @pytest.mark.parametrize("kernel", ["nearest", "bilinear", "bicubic", "bicubic6"])
+    def test_matches_global_remap(self, spark, kernel):
+        from eo_tools_spark.operators.geocode import sar2geo_tiles
+        from eo_tools_spark.operators.tiles import raster_to_tiles
+
+        rng = np.random.default_rng(17)
+        naz, nrg, tile = 96, 128, 32
+        img = (rng.normal(size=(naz, nrg)) + 1j * rng.normal(size=(naz, nrg))).astype(np.complex64)
+        sar = raster_to_tiles(spark, img, "sar", tile)
+
+        luts = []
+        expected = {}
+        for i, (alo, ahi, clo, chi) in enumerate(
+            [(0.0, 20.0, 0.0, 30.0),        # touches global top-left border
+             (40.0, 95.0, 60.0, 127.0),     # touches bottom-right (clamp band)
+             (10.0, 80.0, 5.0, 120.0)]      # wide span → many SAR tiles
+        ):
+            th, tw = 7, 9
+            az = rng.uniform(alo, ahi, (th, tw))
+            rg = rng.uniform(clo, chi, (th, tw))
+            az[0, 0] = np.nan                  # NaN coord
+            rg[1, 1] = nrg + 5.0               # global OOB
+            az[2, 2] = -0.5                    # negative OOB
+            tid = f"lut{i}"
+            expected[tid] = remap(img, az, rg, kernel).astype(np.complex64)
+            luts.append((tid, az.tobytes(), rg.tobytes(), th, tw))
+        lut_df = spark.createDataFrame(
+            luts, "dem_tile_id string, az binary, rg binary, th int, tw int"
+        )
+
+        out = {
+            r.dem_tile_id: np.frombuffer(bytes(r.data), dtype=np.complex64).reshape(r.th, r.tw)
+            for r in sar2geo_tiles(lut_df, sar, naz, nrg, tile, kernel).collect()
+        }
+        assert set(out) == set(expected)
+        for tid in expected:
+            np.testing.assert_allclose(
+                out[tid], expected[tid], rtol=1e-6, atol=1e-6, equal_nan=True
+            )
+
+    def test_all_oob_lut_tile_produces_no_row(self, spark):
+        from eo_tools_spark.operators.geocode import sar2geo_tiles
+        from eo_tools_spark.operators.tiles import raster_to_tiles
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(32, 32)).astype(np.float32)
+        sar = raster_to_tiles(spark, img, "sar", 16)
+        az = np.full((4, 4), 100.0)
+        rg = np.full((4, 4), 100.0)
+        lut_df = spark.createDataFrame(
+            [("dead", az.tobytes(), rg.tobytes(), 4, 4)],
+            "dem_tile_id string, az binary, rg binary, th int, tw int",
+        )
+        assert sar2geo_tiles(lut_df, sar, 32, 32, 16, "bilinear").count() == 0
