@@ -330,27 +330,37 @@ def run_scaling() -> None:
         int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4")),
         int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16")),
     )
+    # best-of-2 fresh JVMs per level: single-run JVM/page-cache variance
+    # is ±20-30% on this shared host (measured; e.g. 11.0k vs 14.0k
+    # images/s back-to-back at local[16]) — one sample per level makes
+    # the efficiency ratio a coin flip. Interleaved lo/hi keeps cache
+    # state symmetric.
     results = {}
-    for cpus in (lo, hi):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_BENCH_IMAGES=n,
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3000,
-        )
-        if out.returncode != 0 or not out.stdout.strip():
-            sys.stderr.write(out.stderr[-4000:])
-            raise RuntimeError(
-                f"scaling child at local[{cpus}] failed (rc={out.returncode})"
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_BENCH_IMAGES=n,
             )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3000,
+            )
+            if out.returncode != 0 or not out.stdout.strip():
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"scaling child at local[{cpus}] failed (rc={out.returncode})"
+                )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            best = results.get(cpus)
+            if best is None or r["pipeline_images_per_sec"] > best["pipeline_images_per_sec"]:
+                results[cpus] = r
 
     t8 = results[lo]["pipeline_images_per_sec"]
     t32 = results[hi]["pipeline_images_per_sec"]
@@ -369,7 +379,9 @@ def run_scaling() -> None:
             "spatial join -> tile assignment -> decode + phash verification "
             f"of every matched image, over a {results[lo]['n_images']:,}-row "
             f"image+caption table) runs at local[{lo}] and local[{hi}] in fresh "
-            "JVMs on the same input files.\n\n"
+            f"JVMs on the same input files; best of {reps} interleaved "
+            "fresh-JVM runs per level (single-run variance on this shared "
+            "host is ±20-30%).\n\n"
             "| cores | pipeline images/sec | q7 sec | join-only images/sec | q1 sec |\n"
             "|---|---|---|---|---|\n"
             f"| {lo} | {t8} | {results[lo]['queries']['q7_full_pipeline']} | {j8} | {results[lo]['queries']['q1_spatial_join_tile_assign']} |\n"

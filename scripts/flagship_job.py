@@ -28,6 +28,11 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     spark = SparkSession.builder.appName("eo-tools-spark-flagship").getOrCreate()
+    # load-bearing for the bytes scan: the vectorized reader degrades
+    # ~4x on multi-KB binary columns and the per-read option is ignored
+    # by Spark 4.1 — set the (runtime-settable) SQL conf explicitly so
+    # the job doesn't depend on spark-submit --conf
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
 
     from eo_tools_spark.functions.spatial import tile_id_col
     from eo_tools_spark.operators.spatial_join import (

@@ -126,3 +126,38 @@ def test_one_scan_rollup_matches_per_level_counts(spark):
         )
         if n > 1500:
             assert res >= 8 + 3, (r.cell, res, n)
+
+
+def test_mixed_base_res_no_double_count(spark):
+    """Two overlapping AOIs with DIFFERENT base resolutions (pick_res):
+    a scene inside both AOIs' boundary cells is counted by both rb-group
+    scans — counts must be kept per group, or shared quadtree ancestors
+    double and cells split below the cap (round-2 review finding)."""
+    rng = np.random.default_rng(21)
+    n = 1200
+    # all scenes in a tight blob that straddles BOTH AOIs' boundaries
+    lon = 10.4 + rng.random(n) * 0.01
+    lat = 40.4 + rng.random(n) * 0.01
+    scenes = spark.createDataFrame(
+        pd.DataFrame({"scene_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+    aois = {
+        "big": np.array(
+            [[10.0, 40.0], [11.4, 40.0], [11.4, 41.4], [10.0, 41.4], [10.0, 40.0]]
+        ),
+        "small": np.array(
+            [[10.4, 40.4], [10.6, 40.4], [10.6, 40.6], [10.4, 40.6], [10.4, 40.4]]
+        ),
+    }
+    # cap ABOVE the true count (1200 < 1500): nothing may split; the
+    # double-count bug sees ~2400 in shared ancestors and splits anyway
+    adap, _ = adaptive_cover(scenes, aois, max_rows_per_cell=1500, max_iters=3)
+    base, _ = build_aoi_cover(spark, aois)
+    assert adap.count() == base.count()
+    # and the join through the adaptive cover still matches the base one
+    a = aoi_point_join(scenes, aois, cover=(adap, None)).toPandas()
+    b = aoi_point_join(scenes, aois, cover=(base, None)).toPandas()
+    k = ["scene_id", "aoi_id"]
+    assert a[k].sort_values(k).reset_index(drop=True).equals(
+        b[k].sort_values(k).reset_index(drop=True)
+    )

@@ -117,3 +117,52 @@ class TestInsarPipeline:
         assert np.isfinite(az).all()
         # az indices are monotone along the track — the LUT is invertible
         assert (np.diff(az) > 0).all()
+
+
+class TestDistributedAlign:
+    def test_full_chain_with_distributed_gather(self, spark):
+        """The full chain with the alignment step DISTRIBUTED: the
+        coregistration LUT is tiled and sar2geo_tiles gathers the
+        secondary through it (data-dependent tile join), replacing the
+        round-1 driver-side remap. Must equal the driver-side chain and
+        stay coherent."""
+        from eo_tools_spark.operators.geocode import sar2geo_tiles
+        from eo_tools_spark.operators.tiles import tiles_coherence
+
+        prm, sec = make_products()
+        g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
+        az_p, rg_p = g[0] * 4.0, g[1] * 4.0
+        az_s, rg_s = az_p - 1.0, rg_p - 2.0
+        az_co, rg_co = coregister(az_p, rg_p, az_s, rg_s, NAZ, NRG)
+
+        T = 32
+        ts = raster_to_tiles(spark, sec, "s", T)
+        lut_rows = []
+        for ty in range(NAZ // T):
+            for tx in range(NRG // T):
+                a = az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                r = rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                lut_rows.append((f"t{ty}_{tx}", a.tobytes(), r.tobytes(), T, T))
+        lut_df = spark.createDataFrame(
+            lut_rows, "dem_tile_id string, az binary, rg binary, th int, tw int"
+        )
+        got_tiles = {
+            r.dem_tile_id: np.frombuffer(bytes(r.data), dtype=np.complex64).reshape(T, T)
+            for r in sar2geo_tiles(lut_df, ts, NAZ, NRG, T, "bicubic").collect()
+        }
+        nan_tile = np.full((T, T), np.nan + 1j * np.nan, dtype=np.complex64)
+        aligned = np.full((NAZ, NRG), np.nan, dtype=np.complex64)
+        for ty in range(NAZ // T):
+            for tx in range(NRG // T):
+                aligned[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T] = got_tiles.get(
+                    f"t{ty}_{tx}", nan_tile
+                )
+
+        exp = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
+        np.testing.assert_allclose(aligned, exp, rtol=1e-5, atol=1e-6, equal_nan=True)
+
+        # downstream: coherence of the distributed-aligned pair is high
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ta = raster_to_tiles(spark, np.nan_to_num(aligned), "a", T)
+        coh = tiles_to_raster(tiles_coherence(tp, ta, 5, 5), T)
+        assert np.nanmean(coh[8:-8, 8:-8]) > 0.85
