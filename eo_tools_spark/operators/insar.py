@@ -1,0 +1,84 @@
+"""Top-level InSAR composition — the engine's analog of the reference's
+`process_insar` product stage (/root/reference/eo_tools/process.py:47-222:
+align secondary → interferogram / coherence / amplitude), composed from
+the distributed primitives:
+
+    coreg LUT tiles ──► align_secondary_tiles (sar2geo gather join)
+                               │
+    primary tiles ──┬──────────┴──► tiles_interferogram
+                    └──► tiles_coherence (fused single halo exchange)
+
+Everything stays in the tile model (TILE_SCHEMA rows) end to end — no
+driver-side arrays. The caller brings the coregistration LUT (from
+geocode_dem_tiles + coregister, or any (az, rg) source) tiled on the
+PRIMARY grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eo_tools_spark.operators.geocode import sar2geo_tiles
+from eo_tools_spark.operators.tiles import (
+    TILE_SCHEMA,
+    tiles_coherence,
+    tiles_interferogram,
+)
+
+
+def align_secondary_tiles(
+    sec_tiles: DataFrame,
+    lut_tiles: DataFrame,
+    naz: int,
+    nrg: int,
+    tile: int,
+    kernel: str = "bicubic",
+    raster_id: str = "aligned",
+) -> DataFrame:
+    """Resample the secondary into the primary grid through a coreg LUT
+    tiled ON the primary grid (rows: ty, tx, az binary, rg binary, th,
+    tw) — the distributed form of the reference's `align`
+    (core.py:921-934) with the default bicubic kernel.
+
+    Output: TILE_SCHEMA rows on the primary tiling (complex64)."""
+    lut = lut_tiles.select(
+        F.concat_ws("_", F.col("ty").cast("string"), F.col("tx").cast("string")).alias(
+            "dem_tile_id"
+        ),
+        "az", "rg", "th", "tw",
+    )
+    out = sar2geo_tiles(lut, sec_tiles, naz, nrg, tile, kernel, out_kind="c8")
+    split = F.split(F.col("dem_tile_id"), "_")
+    return out.select(
+        F.lit(raster_id).alias("raster_id"),
+        split.getItem(0).cast("int").alias("ty"),
+        split.getItem(1).cast("int").alias("tx"),
+        "data", "th", "tw", "kind",
+    )
+
+
+def insar_products(
+    prm_tiles: DataFrame,
+    sec_tiles: DataFrame,
+    lut_tiles: DataFrame,
+    naz: int,
+    nrg: int,
+    tile: int,
+    kernel: str = "bicubic",
+    box_az: int = 5,
+    box_rg: int = 5,
+    mlt_az: int = 1,
+    mlt_rg: int = 1,
+    magnitude: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Aligned-pair product stage: returns (aligned_sec, interferogram,
+    coherence) tile frames — the `process.py:161-207 → 1591-1793`
+    products, all-distributed. Coherence uses the fused single-exchange
+    path; the aligned frame is reused by both products (mark it
+    `.persist()` upstream if both are materialized)."""
+    aligned = align_secondary_tiles(sec_tiles, lut_tiles, naz, nrg, tile, kernel)
+    ifg = tiles_interferogram(prm_tiles, aligned, mlt_az, mlt_rg)
+    coh = tiles_coherence(
+        prm_tiles, aligned, box_az, box_rg, mlt_az, mlt_rg, magnitude=magnitude
+    )
+    return aligned, ifg, coh

@@ -166,3 +166,41 @@ class TestDistributedAlign:
         ta = raster_to_tiles(spark, np.nan_to_num(aligned), "a", T)
         coh = tiles_to_raster(tiles_coherence(tp, ta, 5, 5), T)
         assert np.nanmean(coh[8:-8, 8:-8]) > 0.85
+
+
+class TestInsarProductsAPI:
+    def test_insar_products_composition(self, spark):
+        """operators/insar.insar_products == the oracle chain (align →
+        ifg → coherence), everything distributed tile-side."""
+        from eo_tools_spark.operators.insar import insar_products
+
+        prm, sec = make_products()
+        g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
+        az_p, rg_p = g[0] * 4.0, g[1] * 4.0
+        az_co, rg_co = coregister(az_p, rg_p, az_p - 1.0, rg_p - 2.0, NAZ, NRG)
+
+        T = 32
+        lut_rows = []
+        for ty in range(NAZ // T):
+            for tx in range(NRG // T):
+                a = az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                r = rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                lut_rows.append((ty, tx, a.tobytes(), r.tobytes(), T, T))
+        lut_df = spark.createDataFrame(
+            lut_rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+        )
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ts = raster_to_tiles(spark, sec, "s", T)
+
+        aligned, ifg, coh = insar_products(tp, ts, lut_df, NAZ, NRG, T)
+        ali = tiles_to_raster(aligned, T)
+        ifg_got = tiles_to_raster(ifg, T)
+        coh_got = tiles_to_raster(coh, T)
+
+        exp_ali = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
+        np.testing.assert_allclose(ali, exp_ali, rtol=1e-5, atol=1e-6, equal_nan=True)
+        ifg_exp = (prm * np.conj(exp_ali)).astype(np.complex64)
+        np.testing.assert_allclose(ifg_got, ifg_exp, rtol=1e-5, atol=1e-6, equal_nan=True)
+        coh_exp = R.coherence(prm, exp_ali, 5, 5).astype(np.float32)
+        np.testing.assert_allclose(coh_got, coh_exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+        assert np.nanmean(coh_exp[8:-8, 8:-8]) > 0.85
