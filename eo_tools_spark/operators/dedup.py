@@ -57,15 +57,19 @@ def cap_hot_buckets(
     exact-dup families.
 
     Cost: ZERO extra scans — the bucket size comes from a window count
-    partitioned by the same keys the candidate self-join shuffles on
-    (the exchange is shared/reused), unlike a separate groupBy+anti-join
-    which would recompute the signature frame. Observability: a Spark
-    ``observe`` metric (rows_dropped / rows_kept) is computed during the
-    SAME job and exported to listeners/Spark UI; call
-    ``drop_report(label)`` after an action to retrieve it AND emit the
-    warning log line — an audit step callers/operators must run
-    explicitly (pure-lazy DataFrames have no post-action hook to log
-    from automatically).
+    partitioned by the same keys the candidate self-join shuffles on,
+    unlike a separate groupBy+anti-join which would recompute the
+    signature frame. In a SELF-join it suffices to cap ONE side: a hot
+    bucket with zero rows on the capped side produces zero pairs however
+    large the other side's bucket is (each uncapped hot row streams
+    through the join probing an empty build set — linear, never
+    quadratic), and non-hot pairs survive exactly once via the id_a <
+    id_b predicate. Observability: a Spark ``observe`` metric
+    (rows_dropped / rows_kept) is computed during the SAME job and
+    exported to listeners/Spark UI; call ``drop_report(label)`` after an
+    action to retrieve it AND emit the warning log line — an audit step
+    callers/operators must run explicitly (pure-lazy DataFrames have no
+    post-action hook to log from automatically).
     """
     if max_bucket is None:
         return banded
@@ -246,8 +250,10 @@ def lsh_pairs(
             )
         ).alias("band", "key"),
     )
-    banded = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
-    a = banded.alias("a")
+    capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
+    # one-sided cap: see cap_hot_buckets — kills hot-bucket pairs without
+    # paying the window count on both self-join sides
+    a = capped.alias("a")
     b = banded.alias("b")
     return (
         a.join(
@@ -338,8 +344,8 @@ def simhash_pairs(
         "simhash",
         hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
-    chunks = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
+    a, b = capped.alias("a"), chunks.alias("b")  # one-sided cap suffices
     cand = (
         a.join(
             b,
@@ -404,8 +410,8 @@ def embedding_neardup(
 
     sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
     exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
-    exploded = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
-    a, b = exploded.alias("a"), exploded.alias("b")
+    capped = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
+    a, b = capped.alias("a"), exploded.alias("b")  # one-sided cap suffices
     cand = (
         a.join(
             b,

@@ -154,8 +154,8 @@ def phash_neardup(
         "phash",
         hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
-    chunks = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
+    a, b = capped.alias("a"), chunks.alias("b")  # one-sided cap suffices
     return (
         a.join(
             b,
