@@ -18,11 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+import numpy as np
+
 from eo_tools_spark.operators.geocode import sar2geo_tiles
 from eo_tools_spark.operators.tiles import (
     TILE_SCHEMA,
     tiles_coherence,
+    tiles_goldstein,
     tiles_interferogram,
+    tiles_map,
 )
 
 
@@ -70,15 +74,29 @@ def insar_products(
     mlt_az: int = 1,
     mlt_rg: int = 1,
     magnitude: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Aligned-pair product stage: returns (aligned_sec, interferogram,
-    coherence) tile frames — the `process.py:161-207 → 1591-1793`
-    products, all-distributed. Coherence uses the fused single-exchange
-    path; the aligned frame is reused by both products (mark it
-    `.persist()` upstream if both are materialized)."""
+    filter_ifg: bool = False,
+    goldstein_alpha: float = 0.5,
+    amplitude: bool = False,
+) -> dict[str, DataFrame]:
+    """Aligned-pair product stage: the `process.py:161-207 → 1591-1793`
+    products, all-distributed. Returns {"aligned", "ifg", "coh"} plus
+    "amp" when ``amplitude`` (|primary|, process.py:1611). ``filter_ifg``
+    applies the Goldstein phase filter to the interferogram
+    (process_insar's filter flag, process.py:124-127 → 2069-2126).
+    Coherence uses the fused single-exchange path; the aligned frame is
+    reused by the products (mark it `.persist()` upstream if several are
+    materialized)."""
     aligned = align_secondary_tiles(sec_tiles, lut_tiles, naz, nrg, tile, kernel)
     ifg = tiles_interferogram(prm_tiles, aligned, mlt_az, mlt_rg)
-    coh = tiles_coherence(
-        prm_tiles, aligned, box_az, box_rg, mlt_az, mlt_rg, magnitude=magnitude
-    )
-    return aligned, ifg, coh
+    if filter_ifg:
+        ifg = tiles_goldstein(ifg, alpha=goldstein_alpha)
+    out = {
+        "aligned": aligned,
+        "ifg": ifg,
+        "coh": tiles_coherence(
+            prm_tiles, aligned, box_az, box_rg, mlt_az, mlt_rg, magnitude=magnitude
+        ),
+    }
+    if amplitude:
+        out["amp"] = tiles_map(prm_tiles, np.abs, "f4", "amp")
+    return out

@@ -306,6 +306,29 @@ def tiles_presum(tiles: DataFrame, m: int, n: int) -> DataFrame:
     return tiles.groupBy("raster_id", "ty", "tx").applyInPandas(do, schema=TILE_SCHEMA)
 
 
+def tiles_map(
+    tiles: DataFrame,
+    fn: Callable[[np.ndarray], np.ndarray],
+    out_kind: str,
+    raster_id: str,
+) -> DataFrame:
+    """Elementwise per-tile transform (no halo, no shuffle) — e.g.
+    amplitude |z| (process.py:1611 np.abs over the SLC)."""
+
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                out = fn(_decode(bytes(r.data), int(r.th), int(r.tw), r.kind))
+                rows.append(
+                    (raster_id, int(r.ty), int(r.tx),
+                     out.astype(_DTYPES[out_kind]).tobytes(), int(r.th), int(r.tw), out_kind)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(do, schema=TILE_SCHEMA)
+
+
 def tiles_zip(
     a: DataFrame, b: DataFrame, fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     out_kind: str, raster_id: str,

@@ -192,10 +192,11 @@ class TestInsarProductsAPI:
         tp = raster_to_tiles(spark, prm, "p", T)
         ts = raster_to_tiles(spark, sec, "s", T)
 
-        aligned, ifg, coh = insar_products(tp, ts, lut_df, NAZ, NRG, T)
-        ali = tiles_to_raster(aligned, T)
-        ifg_got = tiles_to_raster(ifg, T)
-        coh_got = tiles_to_raster(coh, T)
+        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T, amplitude=True)
+        ali = tiles_to_raster(prods["aligned"], T)
+        ifg_got = tiles_to_raster(prods["ifg"], T)
+        coh_got = tiles_to_raster(prods["coh"], T)
+        amp_got = tiles_to_raster(prods["amp"], T)
 
         exp_ali = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
         np.testing.assert_allclose(ali, exp_ali, rtol=1e-5, atol=1e-6, equal_nan=True)
@@ -204,3 +205,37 @@ class TestInsarProductsAPI:
         coh_exp = R.coherence(prm, exp_ali, 5, 5).astype(np.float32)
         np.testing.assert_allclose(coh_got, coh_exp, rtol=1e-4, atol=1e-5, equal_nan=True)
         assert np.nanmean(coh_exp[8:-8, 8:-8]) > 0.85
+        np.testing.assert_allclose(
+            amp_got, np.abs(prm).astype(np.float32), rtol=1e-6, atol=1e-7
+        )
+
+    def test_insar_products_goldstein_flag(self, spark):
+        """filter_ifg applies the distributed Goldstein filter — equals
+        the global-array goldstein of the same interferogram."""
+        from eo_tools_spark.operators.insar import insar_products
+
+        prm, sec = make_products()
+        g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
+        az_p, rg_p = g[0] * 4.0, g[1] * 4.0
+        az_co, rg_co = coregister(az_p, rg_p, az_p - 1.0, rg_p - 2.0, NAZ, NRG)
+        T = 32
+        lut_rows = [
+            (ty, tx,
+             az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(),
+             rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(), T, T)
+            for ty in range(NAZ // T) for tx in range(NRG // T)
+        ]
+        lut_df = spark.createDataFrame(
+            lut_rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+        )
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ts = raster_to_tiles(spark, sec, "s", T)
+        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T, filter_ifg=True)
+        got = tiles_to_raster(prods["ifg"], T)
+        # manual chain with the SAME aligned input (incl. its NaN edges)
+        from eo_tools_spark.operators.tiles import tiles_goldstein
+
+        exp_ali = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
+        ta = raster_to_tiles(spark, exp_ali, "a", T)
+        exp = tiles_to_raster(tiles_goldstein(tiles_interferogram(tp, ta)), T)
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
