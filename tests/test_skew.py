@@ -99,3 +99,40 @@ def test_flagship_plan_broadcast(spark, sf_dir):
 
     out = aoi_point_join(scenes_view(spark, sf_dir), aoi_rings())
     assert_broadcast_no_shuffle(out)
+
+
+def test_sar2geo_plan_shape(spark):
+    """The distributed gather join's plan: exactly one big exchange for
+    the (ty,tx) tile join + the cogroup exchanges — no extra shuffles
+    sneaking in (VERDICT r2 plan-audit discipline)."""
+    import numpy as np
+
+    from eo_tools_spark.operators.geocode import sar2geo_tiles
+    from eo_tools_spark.operators.tiles import raster_to_tiles
+    from eo_tools_spark.plans.skew import explain_str
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(64, 64)).astype(np.float32)
+    sar = raster_to_tiles(spark, img, "sar", 32)
+    az = rng.uniform(0, 63, (8, 8))
+    lut = spark.createDataFrame(
+        [("L0", az.tobytes(), az.T.copy().tobytes(), 8, 8)],
+        "dem_tile_id string, az binary, rg binary, th int, tw int",
+    )
+    plan = explain_str(sar2geo_tiles(lut, sar, 64, 64, 32, "bicubic", out_kind="f4"))
+    # tile equi-join + 2 cogroup-side exchanges on dem_tile_id; the big
+    # SAR side shuffles at most twice (join key, then cogroup key)
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_capped_lsh_plan_single_window(spark):
+    """One-sided hot-bucket cap: exactly ONE Window (count-over-bucket)
+    in the self-join plan, not one per side."""
+    from eo_tools_spark.operators.dedup import simhash_pairs
+    from eo_tools_spark.plans.skew import explain_str
+
+    df = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "doc_id long, simhash long"
+    )
+    plan = explain_str(simhash_pairs(df, max_hamming=3, max_bucket=100))
+    assert plan.count("Window") == 1, plan
