@@ -100,3 +100,52 @@ def insar_products(
     if amplitude:
         out["amp"] = tiles_map(prm_tiles, np.abs, "f4", "amp")
     return out
+
+
+def geocode_and_merge(
+    per_swath: list[tuple[DataFrame, DataFrame, int, int]],
+    tile: int,
+    kernel: str = "bicubic",
+    out_kind: str = "f4",
+    aoi=None,
+    geo_origin: tuple[float, float] | None = None,
+    geo_px: float | None = None,
+) -> DataFrame:
+    """Geocode-and-merge stage (`process.py:1305-1458`
+    `geocode_and_merge_iw` semantics): per subswath, gather the SAR-
+    geometry product into the SHARED geo grid through its LUT
+    (`sar2geo`, process.py:1461-1549), then mosaic the subswaths with
+    first-non-nodata priority in list order (rasterio merge 'first',
+    process.py:1408-1456), then optionally NaN-clip to an AOI ring
+    (process.py:1440-1453).
+
+    ``per_swath``: [(sar_tiles, lut_tiles, naz, nrg), ...] — lut_tiles
+    on the common GEO tiling (ty, tx, az, rg, th, tw), az/rg addressing
+    that swath's own SAR grid. ``aoi`` + ``geo_origin``/``geo_px``
+    georeference the clip. Output: one TILE_SCHEMA frame ('mosaic').
+    """
+    from eo_tools_spark.operators.tiles import tiles_clip_aoi, tiles_mosaic
+
+    layers = []
+    for pri, (sar_tiles, lut_tiles, naz, nrg) in enumerate(per_swath):
+        geo = align_secondary_tiles(
+            sar_tiles, lut_tiles, naz, nrg, tile, kernel, raster_id=f"sw{pri}"
+        )
+        if out_kind != "c8":
+            # geocoded backscatter/coherence products are real rasters;
+            # sar2geo_tiles resamples via the complex path, take .real
+            geo = _to_real(geo, out_kind)
+        layers.append(geo.withColumn("priority", F.lit(pri)))
+    merged = layers[0]
+    for extra in layers[1:]:
+        merged = merged.unionByName(extra)
+    mosaic = tiles_mosaic(merged)
+    if aoi is not None:
+        if geo_origin is None or geo_px is None:
+            raise ValueError("aoi clip needs geo_origin and geo_px")
+        mosaic = tiles_clip_aoi(mosaic, aoi, geo_origin[0], geo_origin[1], geo_px, tile)
+    return mosaic
+
+
+def _to_real(tiles: DataFrame, out_kind: str) -> DataFrame:
+    return tiles_map(tiles, lambda a: a.real, out_kind, "geo")

@@ -239,3 +239,59 @@ class TestInsarProductsAPI:
         ta = raster_to_tiles(spark, exp_ali, "a", T)
         exp = tiles_to_raster(tiles_goldstein(tiles_interferogram(tp, ta)), T)
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+
+class TestGeocodeAndMerge:
+    def test_two_swath_mosaic_and_clip(self, spark):
+        """geocode_and_merge (process.py:1305-1458): two overlapping
+        'subswaths' gather into the shared geo grid, first-priority
+        wins in the overlap, AOI clip NaNs the outside."""
+        from eo_tools_spark.operators.insar import geocode_and_merge
+
+        rng = np.random.default_rng(31)
+        G = 64          # geo grid side
+        T = 32
+        truth = rng.normal(size=(G, G)).astype(np.float32)
+
+        # swath A sees geo cols [0, 40), swath B sees [24, 64)
+        sar_a = truth[:, 0:40].copy()
+        sar_b = truth[:, 24:64].copy()
+        ta = raster_to_tiles(spark, sar_a, "A", T)
+        tb = raster_to_tiles(spark, sar_b, "B", T)
+
+        def lut_for(col_lo, col_hi, col_off):
+            rows = []
+            for ty in range(G // T):
+                for tx in range(G // T):
+                    rr, cc = np.mgrid[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].astype(float)
+                    az = rr.copy()
+                    rg = cc - col_off
+                    bad = (cc < col_lo) | (cc >= col_hi)
+                    az[bad] = np.nan
+                    rg[bad] = np.nan
+                    rows.append((ty, tx, az.tobytes(), rg.tobytes(), T, T))
+            return spark.createDataFrame(
+                rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+            )
+
+        lut_a = lut_for(0, 40, 0)
+        lut_b = lut_for(24, 64, 24)
+
+        mosaic = geocode_and_merge(
+            [(ta, lut_a, G, 40), (tb, lut_b, G, 40)], T, kernel="nearest"
+        )
+        got = tiles_to_raster(mosaic, T)
+        np.testing.assert_allclose(got, truth, rtol=1e-6, equal_nan=True)
+
+        # AOI clip: keep only the box x∈[8,48), y∈[8,48) in pixel space
+        # (geo: origin (0, 64), px=1 → pixel (r,c) at (c+0.5, 63.5-r))
+        ring = np.array([[8.0, 16.0], [48.0, 16.0], [48.0, 56.0], [8.0, 56.0], [8.0, 16.0]])
+        clipped = geocode_and_merge(
+            [(ta, lut_a, G, 40), (tb, lut_b, G, 40)], T, kernel="nearest",
+            aoi=ring, geo_origin=(0.0, 64.0), geo_px=1.0,
+        )
+        gc = tiles_to_raster(clipped, T)
+        assert np.isnan(gc[0, 0]) and np.isnan(gc[63, 63])
+        inside = gc[16:48, 16:48]
+        assert not np.isnan(inside).any()
+        np.testing.assert_allclose(inside, truth[16:48, 16:48], rtol=1e-6)
