@@ -275,11 +275,16 @@ def run_queries() -> dict:
         # summing it across partition rows would overstate it n_partitions×
         "batch_wall_ms": lineage_rows[0]["wall_ms"] if lineage_rows else 0,
     }
-    lineage_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "lineage.json")
+    # one detail file PER (cores, table-size) config: scaling runs spawn
+    # several children and a single shared filename would be overwritten
+    # by whichever child ran last, contradicting the per-level summaries
+    # embedded in BASELINE.md
+    detail_name = f"lineage_c{CPUS}_n{n_images}.json"
+    lineage_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", detail_name)
     os.makedirs(os.path.dirname(lineage_path), exist_ok=True)
     with open(lineage_path, "w") as f:
         json.dump(lineage_rows, f)
-    lineage_summary["detail_file"] = "BENCH/lineage.json"
+    lineage_summary["detail_file"] = f"BENCH/{detail_name}"
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["q1_spatial_join_tile_assign"], 1)
@@ -336,7 +341,7 @@ def run_scaling() -> None:
     # the efficiency ratio a coin flip. Interleaved lo/hi keeps cache
     # state symmetric.
     results = {}
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
     for _ in range(reps):
         for cpus in (lo, hi):
             env = dict(

@@ -22,11 +22,12 @@ import numpy as np
 
 from eo_tools_spark.operators.geocode import sar2geo_tiles
 from eo_tools_spark.operators.tiles import (
-    TILE_SCHEMA,
+    tiles_boxcar,
     tiles_coherence,
     tiles_goldstein,
     tiles_interferogram,
     tiles_map,
+    tiles_presum,
 )
 
 
@@ -38,20 +39,22 @@ def align_secondary_tiles(
     tile: int,
     kernel: str = "bicubic",
     raster_id: str = "aligned",
+    out_kind: str = "c8",
 ) -> DataFrame:
     """Resample the secondary into the primary grid through a coreg LUT
     tiled ON the primary grid (rows: ty, tx, az binary, rg binary, th,
     tw) — the distributed form of the reference's `align`
     (core.py:921-934) with the default bicubic kernel.
 
-    Output: TILE_SCHEMA rows on the primary tiling (complex64)."""
+    Output: TILE_SCHEMA rows on the primary tiling (``out_kind``:
+    c8 for SLC alignment, f4 for real geocoded products)."""
     lut = lut_tiles.select(
         F.concat_ws("_", F.col("ty").cast("string"), F.col("tx").cast("string")).alias(
             "dem_tile_id"
         ),
         "az", "rg", "th", "tw",
     )
-    out = sar2geo_tiles(lut, sec_tiles, naz, nrg, tile, kernel, out_kind="c8")
+    out = sar2geo_tiles(lut, sec_tiles, naz, nrg, tile, kernel, out_kind=out_kind)
     split = F.split(F.col("dem_tile_id"), "_")
     return out.select(
         F.lit(raster_id).alias("raster_id"),
@@ -74,21 +77,30 @@ def insar_products(
     mlt_az: int = 1,
     mlt_rg: int = 1,
     magnitude: bool = True,
-    filter_ifg: bool = False,
+    filter_ifg: bool = True,
+    goldstein: bool = False,
     goldstein_alpha: float = 0.5,
     amplitude: bool = False,
 ) -> dict[str, DataFrame]:
     """Aligned-pair product stage: the `process.py:161-207 → 1591-1793`
     products, all-distributed. Returns {"aligned", "ifg", "coh"} plus
-    "amp" when ``amplitude`` (|primary|, process.py:1611). ``filter_ifg``
-    applies the Goldstein phase filter to the interferogram
-    (process_insar's filter flag, process.py:124-127 → 2069-2126).
+    "amp" when ``amplitude`` (presummed |primary|, process.py:1611-1613:
+    amp = presum(np.abs(slc), mlt)).
+
+    ``filter_ifg`` (reference default True, process.py:66 + 1774-1781):
+    the emitted interferogram is ifg_box — the same (box_az, box_rg)
+    BOXCAR used for the coherence numerator — not the raw product.
+    ``goldstein`` additionally applies the Goldstein phase filter
+    (an ENGINE EXTRA: the reference ships goldstein() at
+    process.py:2069-2126 but never wires it into process_insar).
     Coherence uses the fused single-exchange path; the aligned frame is
     reused by the products (mark it `.persist()` upstream if several are
     materialized)."""
     aligned = align_secondary_tiles(sec_tiles, lut_tiles, naz, nrg, tile, kernel)
     ifg = tiles_interferogram(prm_tiles, aligned, mlt_az, mlt_rg)
     if filter_ifg:
+        ifg = tiles_boxcar(ifg, box_az, box_rg)
+    if goldstein:
         ifg = tiles_goldstein(ifg, alpha=goldstein_alpha)
     out = {
         "aligned": aligned,
@@ -98,7 +110,10 @@ def insar_products(
         ),
     }
     if amplitude:
-        out["amp"] = tiles_map(prm_tiles, np.abs, "f4", "amp")
+        amp = tiles_map(prm_tiles, np.abs, "f4", "amp")
+        if mlt_az > 1 or mlt_rg > 1:
+            amp = tiles_presum(amp, mlt_az, mlt_rg)
+        out["amp"] = amp
     return out
 
 
@@ -122,24 +137,30 @@ def geocode_and_merge(
     ``per_swath``: [(sar_tiles, lut_tiles, naz, nrg), ...] — lut_tiles
     on the common GEO tiling (ty, tx, az, rg, th, tw), az/rg addressing
     that swath's own SAR grid. ``aoi`` + ``geo_origin``/``geo_px``
-    georeference the clip. Output: one TILE_SCHEMA frame ('mosaic').
+    georeference the clip. Output: one TILE_SCHEMA frame ('mosaic')
+    covering the FULL union extent of the LUT tilings — geo tiles no
+    swath reaches come back as NaN nodata tiles (rasterio merge fills
+    the union bbox with nodata; a silently-missing tile would read as
+    'covered' to a consumer).
     """
     from eo_tools_spark.operators.tiles import tiles_clip_aoi, tiles_mosaic
 
     layers = []
+    extents = None
     for pri, (sar_tiles, lut_tiles, naz, nrg) in enumerate(per_swath):
         geo = align_secondary_tiles(
-            sar_tiles, lut_tiles, naz, nrg, tile, kernel, raster_id=f"sw{pri}"
+            sar_tiles, lut_tiles, naz, nrg, tile, kernel,
+            raster_id=f"sw{pri}", out_kind=out_kind,
         )
-        if out_kind != "c8":
-            # geocoded backscatter/coherence products are real rasters;
-            # sar2geo_tiles resamples via the complex path, take .real
-            geo = _to_real(geo, out_kind)
         layers.append(geo.withColumn("priority", F.lit(pri)))
+        ext = lut_tiles.select("ty", "tx", "th", "tw")
+        extents = ext if extents is None else extents.unionByName(ext)
     merged = layers[0]
     for extra in layers[1:]:
         merged = merged.unionByName(extra)
-    mosaic = tiles_mosaic(merged)
+    mosaic = _fill_missing_tiles(
+        tiles_mosaic(merged), extents.distinct(), out_kind
+    )
     if aoi is not None:
         if geo_origin is None or geo_px is None:
             raise ValueError("aoi clip needs geo_origin and geo_px")
@@ -147,5 +168,37 @@ def geocode_and_merge(
     return mosaic
 
 
-def _to_real(tiles: DataFrame, out_kind: str) -> DataFrame:
-    return tiles_map(tiles, lambda a: a.real, out_kind, "geo")
+def _fill_missing_tiles(mosaic: DataFrame, extent: DataFrame, out_kind: str) -> DataFrame:
+    """Left-join the mosaic onto the full geo extent; (ty, tx) keys with
+    no produced tile become NaN nodata tiles of the extent's shape."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from eo_tools_spark.operators.tiles import TILE_SCHEMA, _DTYPES
+
+    # NB: itertuples renames leading-underscore columns positionally —
+    # keep the disambiguated names underscore-free
+    joined = extent.join(
+        mosaic.withColumnRenamed("th", "mth").withColumnRenamed("tw", "mtw"),
+        ["ty", "tx"],
+        "left",
+    )
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.data is not None:
+                    rows.append(
+                        ("mosaic", int(r.ty), int(r.tx), bytes(r.data),
+                         int(r.mth), int(r.mtw), r.kind)
+                    )
+                else:
+                    th, tw = int(r.th), int(r.tw)
+                    nanv = (np.nan + 1j * np.nan) if out_kind == "c8" else np.nan
+                    blank = np.full((th, tw), nanv, dtype=_DTYPES[out_kind])
+                    rows.append(("mosaic", int(r.ty), int(r.tx), blank.tobytes(), th, tw, out_kind))
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return joined.mapInPandas(fill, schema=TILE_SCHEMA)

@@ -192,7 +192,9 @@ class TestInsarProductsAPI:
         tp = raster_to_tiles(spark, prm, "p", T)
         ts = raster_to_tiles(spark, sec, "s", T)
 
-        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T, amplitude=True)
+        prods = insar_products(
+            tp, ts, lut_df, NAZ, NRG, T, amplitude=True, filter_ifg=False
+        )
         ali = tiles_to_raster(prods["aligned"], T)
         ifg_got = tiles_to_raster(prods["ifg"], T)
         coh_got = tiles_to_raster(prods["coh"], T)
@@ -209,36 +211,83 @@ class TestInsarProductsAPI:
             amp_got, np.abs(prm).astype(np.float32), rtol=1e-6, atol=1e-7
         )
 
-    def test_insar_products_goldstein_flag(self, spark):
-        """filter_ifg applies the distributed Goldstein filter — equals
-        the global-array goldstein of the same interferogram."""
+    def _lut_df(self, spark, az_co, rg_co, T):
+        rows = [
+            (ty, tx,
+             az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(),
+             rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(), T, T)
+            for ty in range(NAZ // T) for tx in range(NRG // T)
+        ]
+        return spark.createDataFrame(
+            rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+        )
+
+    def test_insar_products_filter_ifg_is_boxcar(self, spark):
+        """filter_ifg (reference DEFAULT True) emits ifg_box — the same
+        (box_az, box_rg) boxcar used for the coherence numerator
+        (process.py:66, 1774-1781) — NOT the raw product and NOT a
+        Goldstein filter."""
         from eo_tools_spark.operators.insar import insar_products
+        from eo_tools_spark.operators.tiles import tiles_boxcar
 
         prm, sec = make_products()
         g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
         az_p, rg_p = g[0] * 4.0, g[1] * 4.0
         az_co, rg_co = coregister(az_p, rg_p, az_p - 1.0, rg_p - 2.0, NAZ, NRG)
         T = 32
-        lut_rows = [
-            (ty, tx,
-             az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(),
-             rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(), T, T)
-            for ty in range(NAZ // T) for tx in range(NRG // T)
-        ]
-        lut_df = spark.createDataFrame(
-            lut_rows, "ty int, tx int, az binary, rg binary, th int, tw int"
-        )
+        lut_df = self._lut_df(spark, az_co, rg_co, T)
         tp = raster_to_tiles(spark, prm, "p", T)
         ts = raster_to_tiles(spark, sec, "s", T)
-        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T, filter_ifg=True)
+        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T)  # default flags
         got = tiles_to_raster(prods["ifg"], T)
-        # manual chain with the SAME aligned input (incl. its NaN edges)
+        exp_ali = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
+        ta = raster_to_tiles(spark, exp_ali, "a", T)
+        exp = tiles_to_raster(tiles_boxcar(tiles_interferogram(tp, ta), 5, 5), T)
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+    def test_insar_products_goldstein_engine_extra(self, spark):
+        """goldstein=True applies the distributed Goldstein filter —
+        equals the manual tiled chain on the same aligned input."""
+        from eo_tools_spark.operators.insar import insar_products
         from eo_tools_spark.operators.tiles import tiles_goldstein
 
+        prm, sec = make_products()
+        g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
+        az_p, rg_p = g[0] * 4.0, g[1] * 4.0
+        az_co, rg_co = coregister(az_p, rg_p, az_p - 1.0, rg_p - 2.0, NAZ, NRG)
+        T = 32
+        lut_df = self._lut_df(spark, az_co, rg_co, T)
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ts = raster_to_tiles(spark, sec, "s", T)
+        prods = insar_products(
+            tp, ts, lut_df, NAZ, NRG, T, filter_ifg=False, goldstein=True
+        )
+        got = tiles_to_raster(prods["ifg"], T)
         exp_ali = remap(sec, az_co, rg_co, "bicubic").astype(np.complex64)
         ta = raster_to_tiles(spark, exp_ali, "a", T)
         exp = tiles_to_raster(tiles_goldstein(tiles_interferogram(tp, ta)), T)
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+    def test_insar_products_amplitude_multilooked(self, spark):
+        """amp = presum(|slc|, mlt) (process.py:1611-1613) — the grid
+        matches the other multilooked products."""
+        from eo_tools_spark.operators.insar import insar_products
+        from eo_tools_spark.functions.raster import presum
+
+        prm, sec = make_products()
+        g = np.mgrid[0 : NAZ // 4, 0 : NRG // 4].astype(float)
+        az_p, rg_p = g[0] * 4.0, g[1] * 4.0
+        az_co, rg_co = coregister(az_p, rg_p, az_p - 1.0, rg_p - 2.0, NAZ, NRG)
+        T = 32
+        lut_df = self._lut_df(spark, az_co, rg_co, T)
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ts = raster_to_tiles(spark, sec, "s", T)
+        prods = insar_products(
+            tp, ts, lut_df, NAZ, NRG, T, mlt_az=2, mlt_rg=2, amplitude=True
+        )
+        amp = tiles_to_raster(prods["amp"], T // 2)
+        exp = presum(np.abs(prm), 2, 2).astype(np.float32)
+        np.testing.assert_allclose(amp, exp, rtol=1e-5, atol=1e-6)
 
 
 class TestGeocodeAndMerge:
@@ -295,3 +344,31 @@ class TestGeocodeAndMerge:
         inside = gc[16:48, 16:48]
         assert not np.isnan(inside).any()
         np.testing.assert_allclose(inside, truth[16:48, 16:48], rtol=1e-6)
+
+    def test_uncovered_geo_tile_is_nan_not_missing(self, spark):
+        """A geo tile no swath reaches must come back as a NaN nodata
+        tile (rasterio merge fills the union bbox), not silently vanish."""
+        from eo_tools_spark.operators.insar import geocode_and_merge
+
+        rng = np.random.default_rng(5)
+        G, T = 64, 32
+        truth = rng.normal(size=(G, G)).astype(np.float32)
+        sar = raster_to_tiles(spark, truth[:, 0:32].copy(), "A", T)
+        # LUT only covers geo cols [0, 32) → right-hand tiles uncovered
+        rows = []
+        for ty in range(G // T):
+            for tx in range(G // T):
+                rr, cc = np.mgrid[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].astype(float)
+                az, rg = rr.copy(), cc.copy()
+                bad = cc >= 32
+                az[bad] = np.nan
+                rg[bad] = np.nan
+                rows.append((ty, tx, az.tobytes(), rg.tobytes(), T, T))
+        lut = spark.createDataFrame(
+            rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+        )
+        mosaic = geocode_and_merge([(sar, lut, G, 32)], T, kernel="nearest")
+        assert mosaic.count() == (G // T) ** 2  # ALL tiles present
+        got = tiles_to_raster(mosaic, T)
+        np.testing.assert_allclose(got[:, 0:32], truth[:, 0:32], rtol=1e-6)
+        assert np.isnan(got[:, 32:]).all()
