@@ -101,6 +101,66 @@ def hermite_interp(t: np.ndarray, pos: np.ndarray, vel: np.ndarray, tq: np.ndarr
     return pq, vq
 
 
+def barycentric_interp(t: np.ndarray, vals: np.ndarray, tq: np.ndarray) -> np.ndarray:
+    """Barycentric Lagrange interpolation (exact degree-(n−1) polynomial
+    through all knots) — the reference's 'bary' orbit interpolator
+    (core.py:1111-1125, scipy BarycentricInterpolator semantics).
+    vals (n, k) → (m, k)."""
+    t = np.asarray(t, dtype=np.float64)
+    tq = np.asarray(tq, dtype=np.float64)
+    V = np.asarray(vals, dtype=np.float64)
+    n = len(t)
+    # barycentric weights w_j = 1 / prod_{i≠j}(t_j - t_i), scaled for
+    # conditioning (only ratios matter)
+    diff = t[:, None] - t[None, :]
+    np.fill_diagonal(diff, 1.0)
+    scale = (t.max() - t.min()) / 4.0
+    w = 1.0 / np.prod(diff / scale, axis=1)
+    d = tq[:, None] - t[None, :]  # (m, n)
+    exact = d == 0
+    d = np.where(exact, 1.0, d)
+    c = w[None, :] / d  # (m, n)
+    out = (c @ V) / c.sum(axis=1, keepdims=True)
+    hit_rows, hit_cols = np.nonzero(exact)
+    out[hit_rows] = V[hit_cols]
+    return out
+
+
+def polynomial_interp(t: np.ndarray, vals: np.ndarray, tq: np.ndarray, deg: int = 5) -> np.ndarray:
+    """Degree-5 least-squares polynomial fit per component — the
+    reference's 'poly' orbit interpolator (core.py:1128-1149,
+    numpy Polynomial.fit(t, ·, 5) semantics, incl. its internal domain
+    scaling). vals (n, k) → (m, k)."""
+    from numpy.polynomial import Polynomial
+
+    t = np.asarray(t, dtype=np.float64)
+    tq = np.asarray(tq, dtype=np.float64)
+    V = np.asarray(vals, dtype=np.float64)
+    cols = [Polynomial.fit(t, V[:, k], deg)(tq) for k in range(V.shape[1])]
+    return np.vstack(cols).T
+
+
+def orbit_interpolate(
+    t: np.ndarray,
+    pos: np.ndarray,
+    vel: np.ndarray,
+    tq: np.ndarray,
+    method: str = "chspline",
+):
+    """Dispatch over the reference's orbit_interpolator option
+    (core.py:398, 448-453: 'chspline' | 'bary' | 'poly'). Returns
+    (positions (m,3), velocities (m,3))."""
+    if method == "chspline":
+        return hermite_interp(t, pos, vel, tq)
+    if method == "bary":
+        return barycentric_interp(t, pos, tq), barycentric_interp(t, vel, tq)
+    if method == "poly":
+        return polynomial_interp(t, pos, tq), polynomial_interp(t, vel, tq)
+    raise ValueError(
+        f"unknown orbit interpolator {method!r} (chspline | bary | poly)"
+    )
+
+
 T_PAD = 360.0  # seconds, core.py:441-446
 
 

@@ -169,3 +169,60 @@ class TestGoldstein:
             np.pad(arr, 32, mode="symmetric"), alpha=0.5
         )[32:-32, 32:-32].astype(np.complex64)
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+class TestOrbitInterpolators:
+    """Reference orbit_interpolator options (core.py:398, 448-453,
+    1095-1149): chspline / bary / poly."""
+
+    def make_orbit(self):
+        # exact cubic trajectory: all three interpolators must recover
+        # it exactly (Hermite is C1-exact on cubics, barycentric is
+        # exact on any poly through the knots, deg-5 LSQ fits exactly)
+        t = np.linspace(0.0, 90.0, 10)
+        pos = np.stack(
+            [1e6 + 7e3 * t - 0.5 * t**2 + 1e-3 * t**3,
+             2e5 + 50.0 * t + 0.1 * t**2,
+             -3e5 + 10.0 * t],
+            axis=1,
+        )
+        vel = np.stack(
+            [7e3 - 1.0 * t + 3e-3 * t**2, 50.0 + 0.2 * t, np.full_like(t, 10.0)],
+            axis=1,
+        )
+        return t, pos, vel
+
+    @pytest.mark.parametrize("method", ["chspline", "bary", "poly"])
+    def test_exact_on_polynomial_orbit(self, method):
+        from eo_tools_spark.operators.coreg import orbit_interpolate
+
+        t, pos, vel = self.make_orbit()
+        tq = np.array([7.3, 33.3, 61.7, 88.8])
+        pq, vq = orbit_interpolate(t, pos, vel, tq, method)
+        exp_p = np.stack(
+            [1e6 + 7e3 * tq - 0.5 * tq**2 + 1e-3 * tq**3,
+             2e5 + 50.0 * tq + 0.1 * tq**2,
+             -3e5 + 10.0 * tq],
+            axis=1,
+        )
+        np.testing.assert_allclose(pq, exp_p, rtol=1e-9)
+        exp_v = np.stack(
+            [7e3 - 1.0 * tq + 3e-3 * tq**2, 50.0 + 0.2 * tq, np.full_like(tq, 10.0)],
+            axis=1,
+        )
+        np.testing.assert_allclose(vq, exp_v, rtol=1e-9)
+
+    @pytest.mark.parametrize("method", ["chspline", "bary", "poly"])
+    def test_knots_reproduced(self, method):
+        from eo_tools_spark.operators.coreg import orbit_interpolate
+
+        t, pos, vel = self.make_orbit()
+        pq, _ = orbit_interpolate(t, pos, vel, t.copy(), method)
+        np.testing.assert_allclose(pq, pos, rtol=1e-9)
+
+    def test_unknown_method_raises(self):
+        from eo_tools_spark.operators.coreg import orbit_interpolate
+
+        t, pos, vel = self.make_orbit()
+        with pytest.raises(ValueError):
+            orbit_interpolate(t, pos, vel, np.array([1.0]), "spline9000")
