@@ -42,7 +42,8 @@ def test_integer_grid_is_identity(kernel, seed):
     img = rng.normal(size=(7, 9))
     rows, cols = np.meshgrid(np.arange(7.0), np.arange(9.0), indexing="ij")
     out = remap(img, rows, cols, kernel)
-    np.testing.assert_allclose(out, img, rtol=1e-12)
+    # cubic kernels sum zero-weight neighbor taps → ~1e-15 float noise
+    np.testing.assert_allclose(out, img, rtol=1e-9, atol=1e-12)
 
 
 @settings(max_examples=30, deadline=None)
