@@ -209,6 +209,34 @@ def location_grid_burst_count(grid: list[dict]) -> int:
     return len({p["line"] for p in grid}) - 1
 
 
+def burst_polygons(grid: list[dict]) -> dict[int, list[tuple[float, float]]]:
+    """Geolocation grid → per-burst footprint quads — the reference's
+    parse_subswath_geometry (auxils.py:78-121), generalized from its
+    hardcoded 21 points/line to the grid's actual stride.
+
+    Corner indices per burst b (1-based), with P points per line
+    (reference: tr=0, tl=20, bl=41, br=21, stride 21):
+    tr=(b−1)·P, tl=(b−1)·P+P−1, bl=b·P+P−1, br=b·P; corner order
+    [top-right, top-left, bottom-left, bottom-right], coordinates as
+    (lon, lat) (auxils.py:80-84 swaps (lat, lon) → (lon, lat)).
+    Rows must be in annotation order (line-major) — parse_annotation
+    preserves document order.
+    """
+    lines = sorted({p["line"] for p in grid})
+    n_bursts = len(lines) - 1
+    per_line = len(grid) // len(lines)
+    coords = [(p["lon"], p["lat"]) for p in grid]
+
+    out: dict[int, list[tuple[float, float]]] = {}
+    for b in range(1, n_bursts + 1):
+        tr = (b - 1) * per_line
+        tl = (b - 1) * per_line + per_line - 1
+        bl = b * per_line + per_line - 1
+        br = b * per_line
+        out[b] = [coords[tr], coords[tl], coords[bl], coords[br]]
+    return out
+
+
 # ------------------------------------------------------ Spark ETL wrapper
 
 ANNOTATION_SUMMARY_COLUMNS = [

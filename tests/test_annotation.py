@@ -276,3 +276,57 @@ class TestSparkAnnotationETL:
         # 2 fm + 2 dc per annotation
         assert len(p) == 3 * 4
         assert set(p["kind"]) == {"fm_rate", "dc_estimate"}
+
+
+class TestBurstPolygons:
+    """parse_subswath_geometry semantics (auxils.py:78-121): grid →
+    per-burst quads, corner order [TR, TL, BL, BR], (lon, lat) coords."""
+
+    def test_quads_from_fixture_grid(self):
+        from eo_tools_spark.sources.annotation import burst_polygons
+
+        a = parse_annotation(annotation_xml(burst_count=3, lines_per_burst=100))
+        quads = burst_polygons(a["geolocation_grid"])
+        assert set(quads) == {1, 2, 3}
+        # fixture grid: 2 points/line at pixels (0, 23054); line ln has
+        # lat 40+0.1·ln, lon 2+0.2·px/23054 → TR=(lon(px0),lat(l_{b-1})),
+        # TL=(lon(px23054),lat(l_{b-1})), BL/BR on line b
+        for b, q in quads.items():
+            lat_top = 40.0 + 0.1 * (b - 1)
+            lat_bot = 40.0 + 0.1 * b
+            assert q[0] == pytest.approx((2.0, lat_top))          # TR
+            assert q[1] == pytest.approx((2.2, lat_top))          # TL
+            assert q[2] == pytest.approx((2.2, lat_bot))          # BL
+            assert q[3] == pytest.approx((2.0, lat_bot))          # BR
+
+    def test_reference_stride_21(self):
+        """The reference's exact hardcoded indices (tr 0, tl 20, bl 41,
+        br 21, stride 21) fall out of the generalized formula at
+        P=21 points/line."""
+        from eo_tools_spark.sources.annotation import burst_polygons
+
+        grid = []
+        for ln in range(3):          # 2 bursts
+            for px in range(21):
+                grid.append(
+                    {"line": ln * 1500, "pixel": px * 1000,
+                     "lat": 40.0 + ln, "lon": float(px)}
+                )
+        quads = burst_polygons(grid)
+        assert quads[1][0] == (0.0, 40.0)    # idx 0  (TR)
+        assert quads[1][1] == (20.0, 40.0)   # idx 20 (TL)
+        assert quads[1][2] == (20.0, 41.0)   # idx 41 (BL)
+        assert quads[1][3] == (0.0, 41.0)    # idx 21 (BR)
+        assert quads[2][0] == (0.0, 41.0)    # idx 21 (stride 21)
+
+    def test_feeds_footprint_wkb(self):
+        """Quads plug into the engine's WKB footprint tables (the
+        get_burst_geometry consumer path)."""
+        from eo_tools_spark.geo.wkb import polygon_to_wkb, wkb_to_coords
+        from eo_tools_spark.sources.annotation import burst_polygons
+
+        a = parse_annotation(annotation_xml(burst_count=2, lines_per_burst=100))
+        quads = burst_polygons(a["geolocation_grid"])
+        wkb = polygon_to_wkb(quads[1])
+        rings = wkb_to_coords(wkb)
+        assert len(rings) == 1 and len(rings[0]) >= 4
