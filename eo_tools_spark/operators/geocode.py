@@ -167,6 +167,53 @@ def geocode_dem_tiles(
     return dem_tiles.mapInPandas(geocode, schema=LUT_SCHEMA)
 
 
+def resize_bilinear_f(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Float bilinear resize, GDAL center convention with edge clamp —
+    the rasterio on-read Resampling.bilinear the reference's DEM
+    upsampling uses (core.py:1155-1166)."""
+    h, w = arr.shape
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    wy = np.clip(y - y0, 0, 1)[:, None]
+    wx = np.clip(x - x0, 0, 1)[None, :]
+    g = arr.astype(np.float64)
+    return (
+        g[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + g[np.ix_(y0, x1)] * (1 - wy) * wx
+        + g[np.ix_(y1, x0)] * wy * (1 - wx)
+        + g[np.ix_(y1, x1)] * wy * wx
+    )
+
+
+def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
+    """DEM on-read upsampling (reference DEFAULT path: dem_upsampling
+    = 1.8, process.py:93 + core.py:1153-1176): per DEM tile, bilinear-
+    resample the elevation grid to (int(th·f), int(tw·f)) — rasterio
+    out_shape + Resampling.bilinear semantics — keeping the tile bbox.
+    Narrow mapInPandas, no shuffle; feeds geocode_dem_tiles unchanged."""
+    if factor == 1:
+        return dem_tiles
+    schema = dem_tiles.schema
+
+    def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = r._asdict()
+                th, tw = int(d["th"]), int(d["tw"])
+                elev = np.frombuffer(bytes(d["elev"]), dtype=np.float32).reshape(th, tw)
+                nh, nw = int(th * factor), int(tw * factor)
+                d["elev"] = resize_bilinear_f(elev, nh, nw).astype(np.float32).tobytes()
+                d["th"], d["tw"] = nh, nw
+                out.append(d)
+            yield pd.DataFrame(out)
+
+    return dem_tiles.mapInPandas(up, schema=schema)
+
+
 def radar_index_mask(az: np.ndarray, rg: np.ndarray, naz: int, nrg: int):
     """Validity mask: NaN outside [0, naz) × [0, nrg)
     (core.py:490-495 semantics)."""

@@ -355,3 +355,63 @@ class TestSar2GeoTiles:
             "dem_tile_id string, az binary, rg binary, th int, tw int",
         )
         assert sar2geo_tiles(lut_df, sar, 32, 32, 16, "bilinear").count() == 0
+
+
+class TestDemUpsampling:
+    """load_dem_coords on-read bilinear upsampling (core.py:1153-1176,
+    reference default dem_upsampling=1.8)."""
+
+    def test_shapes_and_linear_exact(self, spark):
+        from eo_tools_spark.operators.geocode import upsample_dem_tiles
+
+        th = tw = 10
+        yy, xx = np.mgrid[0:th, 0:tw].astype(np.float64)
+        elev = (3.0 * xx + 2.0 * yy + 5.0).astype(np.float32)
+        dem = spark.createDataFrame(
+            [("T1", 0.0, 0.0, 1.0, 1.0, elev.tobytes(), th, tw)],
+            "dem_tile_id string, minx double, miny double, maxx double, "
+            "maxy double, elev binary, th int, tw int",
+        )
+        out = upsample_dem_tiles(dem, 1.8).collect()[0]
+        assert (out.th, out.tw) == (int(10 * 1.8), int(10 * 1.8)) == (18, 18)
+        up = np.frombuffer(bytes(out.data) if hasattr(out, "data") else bytes(out.elev),
+                           dtype=np.float32).reshape(18, 18)
+        # bilinear under the center convention reproduces a linear ramp
+        # exactly in the interior (clamped half-pixel borders excluded)
+        y = (np.arange(18) + 0.5) * 10 / 18 - 0.5
+        x = (np.arange(18) + 0.5) * 10 / 18 - 0.5
+        exp = 3.0 * x[None, :] + 2.0 * y[:, None] + 5.0
+        np.testing.assert_allclose(up[1:-1, 1:-1], exp[1:-1, 1:-1], rtol=1e-6)
+
+    def test_factor_one_passthrough(self, spark):
+        from eo_tools_spark.operators.geocode import upsample_dem_tiles
+
+        elev = np.zeros((4, 4), dtype=np.float32)
+        dem = spark.createDataFrame(
+            [("T1", 0.0, 0.0, 1.0, 1.0, elev.tobytes(), 4, 4)],
+            "dem_tile_id string, minx double, miny double, maxx double, "
+            "maxy double, elev binary, th int, tw int",
+        )
+        assert upsample_dem_tiles(dem, 1) is dem
+
+    def test_feeds_geocode(self, spark):
+        """Upsampled tiles run through geocode_dem_tiles unchanged —
+        the reference's default chain (upsample → lat/lon grid → LUT)."""
+        from eo_tools_spark.operators.geocode import upsample_dem_tiles
+
+        th = tw = 8
+        elev = np.zeros((th, tw), dtype=np.float32)
+        dem = spark.createDataFrame(
+            [("T1", 0.0, 0.0, 0.001, 0.001, elev.tobytes(), th, tw)],
+            "dem_tile_id string, minx double, miny double, maxx double, "
+            "maxy double, elev binary, th int, tw int",
+        )
+        x0, y0, z0 = lla_to_ecef(0.0005, 0.0005, 0.0)
+        Pr = np.vstack(
+            (x0 + np.linspace(-1000, 1000, 10), np.full(10, y0), np.full(10, z0 + 700e3))
+        ).T
+        Vr = np.vstack((np.full(10, 222.2), np.zeros(10), np.zeros(10))).T
+        lut = geocode_dem_tiles(upsample_dem_tiles(dem, 1.8), Pr, Vr).toPandas()
+        nh = int(th * 1.8)
+        az = np.frombuffer(lut.iloc[0].az, dtype=np.float64).reshape(nh, nh)
+        assert np.isfinite(az).all()
