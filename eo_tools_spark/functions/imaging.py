@@ -230,8 +230,12 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
-def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    h, w = img.shape[:2]
+def resize_bilinear_float(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Float bilinear resize, GDAL pixel-center convention with edge
+    clamp (rasterio on-read Resampling.bilinear) — shared core for the
+    uint8 thumbnail path below and the DEM upsampling in
+    operators/geocode.upsample_dem_tiles."""
+    h, w = arr.shape[:2]
     y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
     y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
@@ -239,11 +243,15 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
     wy = np.clip(y - y0, 0, 1)[:, None]
     wx = np.clip(x - x0, 0, 1)[None, :]
-    g = img.astype(np.float64)
-    out = (
+    g = arr.astype(np.float64)
+    return (
         g[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
         + g[np.ix_(y0, x1)] * (1 - wy) * wx
         + g[np.ix_(y1, x0)] * wy * (1 - wx)
         + g[np.ix_(y1, x1)] * wy * wx
     )
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    out = resize_bilinear_float(img, out_h, out_w)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -167,38 +167,37 @@ def geocode_dem_tiles(
     return dem_tiles.mapInPandas(geocode, schema=LUT_SCHEMA)
 
 
-def resize_bilinear_f(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Float bilinear resize, GDAL center convention with edge clamp —
-    the rasterio on-read Resampling.bilinear the reference's DEM
-    upsampling uses (core.py:1155-1166)."""
-    h, w = arr.shape
-    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
-    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
-    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
-    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
-    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
-    wy = np.clip(y - y0, 0, 1)[:, None]
-    wx = np.clip(x - x0, 0, 1)[None, :]
-    g = arr.astype(np.float64)
-    return (
-        g[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
-        + g[np.ix_(y0, x1)] * (1 - wy) * wx
-        + g[np.ix_(y1, x0)] * wy * (1 - wx)
-        + g[np.ix_(y1, x1)] * wy * wx
-    )
-
-
 def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
     """DEM on-read upsampling (reference DEFAULT path: dem_upsampling
     = 1.8, process.py:93 + core.py:1153-1176): per DEM tile, bilinear-
     resample the elevation grid to (int(th·f), int(tw·f)) — rasterio
-    out_shape + Resampling.bilinear semantics — keeping the tile bbox.
-    Narrow mapInPandas, no shuffle; feeds geocode_dem_tiles unchanged."""
+    out_shape + Resampling.bilinear semantics. Narrow mapInPandas, no
+    shuffle; feeds geocode_dem_tiles.
+
+    Semantics notes:
+    - A DEM tile here is the analog of ONE reference DEM FILE
+      (retrieve_dem writes one self-contained raster per burst-range
+      union; load_dem_coords upsamples that single file). Edge clamping
+      therefore matches rasterio's behavior at file borders EXACTLY —
+      this is per-file resampling, NOT a halo stencil over blocks of a
+      larger raster. If you tile one DEM into several rows, upsample
+      before tiling.
+    - Coordinate registration: the resample uses GDAL's pixel-CENTER
+      convention; geocode_dem_tiles assigns lat/lon with a node-based
+      linspace over the bbox. The bbox of each output row is ADJUSTED
+      so the node linspace lands exactly on the resampled sample
+      positions (the sample position is linear in the output index, so
+      a node grid through its endpoints reproduces it exactly) — the
+      engine equivalent of the reference's affine-transform rescale
+      (core.py:1168-1171).
+    """
     if factor == 1:
         return dem_tiles
     schema = dem_tiles.schema
 
     def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from eo_tools_spark.functions.imaging import resize_bilinear_float
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
@@ -206,7 +205,22 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
                 th, tw = int(d["th"]), int(d["tw"])
                 elev = np.frombuffer(bytes(d["elev"]), dtype=np.float32).reshape(th, tw)
                 nh, nw = int(th * factor), int(tw * factor)
-                d["elev"] = resize_bilinear_f(elev, nh, nw).astype(np.float32).tobytes()
+                d["elev"] = resize_bilinear_float(elev, nh, nw).astype(np.float32).tobytes()
+                # sample position of output index j (input px units):
+                # s_j = (j+0.5)·n/out − 0.5; remap bbox so that
+                # linspace(min', max', out) == coords(s_0 .. s_out-1)
+                dx = (d["maxx"] - d["minx"]) / (tw - 1)
+                dy = (d["maxy"] - d["miny"]) / (th - 1)
+                sx0 = 0.5 * tw / nw - 0.5
+                sx1 = (nw - 0.5) * tw / nw - 0.5
+                sy0 = 0.5 * th / nh - 0.5
+                sy1 = (nh - 0.5) * th / nh - 0.5
+                minx = d["minx"]
+                maxy = d["maxy"]  # north-up: row 0 at maxy
+                d["minx"] = minx + sx0 * dx
+                d["maxx"] = minx + sx1 * dx
+                d["maxy"] = maxy - sy0 * dy
+                d["miny"] = maxy - sy1 * dy
                 d["th"], d["tw"] = nh, nw
                 out.append(d)
             yield pd.DataFrame(out)

@@ -47,9 +47,12 @@ def s2_color_composite(
 ) -> DataFrame:
     """3-band → uint8 color tiles: channel_i = uint8(255·clip(b_i, 0, 1))
     (S2.py:244-247). ``band_tiles`` maps band name → reflectance tile
-    frame (tiles.TILE_SCHEMA, f4). Raises ValueError for an unknown
-    composite and KeyError for a missing band — the reference's
-    validation contract (S2.py:249-256, 283-287)."""
+    frame (tiles.TILE_SCHEMA, f4; each frame must hold ONE raster —
+    guarded at execution, like sar2geo_tiles). Raises ValueError for an
+    unknown composite and FileNotFoundError for a missing band — the
+    reference's exact validation contract (S2.py:249-256, 283-287).
+    Tiles missing from any band are silently absent from the composite
+    (inner join) — check counts upstream for partial-ingest detection."""
     if name not in COMPOSITES:
         raise ValueError(
             f"Unknown composite name. Possible choices are {', '.join(COMPOSITES)}."
@@ -57,7 +60,7 @@ def s2_color_composite(
     bands = COMPOSITES[name]
     missing = [b for b in bands if b not in band_tiles]
     if missing:
-        raise KeyError(
+        raise FileNotFoundError(
             f"Missing band. Please create {', '.join(bands)} bands with process_s2_tiles."
         )
 
@@ -72,22 +75,31 @@ def s2_color_composite(
         else:
             joined = joined.join(side.drop("th", "tw"), ["ty", "tx"])
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                th, tw = int(r.th), int(r.tw)
-                chans = []
-                for i in range(3):
-                    band = np.frombuffer(
-                        bytes(getattr(r, f"d{i}")), dtype=np.float32
-                    ).reshape(th, tw)
-                    chans.append((255 * band.clip(0, 1)).astype(np.uint8))
-                rgb = np.stack(chans, axis=-1)
-                rows.append((int(r.ty), int(r.tx), rgb.tobytes(), th, tw, name))
-            yield pd.DataFrame(rows, columns=[f.name for f in RGB_SCHEMA.fields])
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = key
+        if len(pdf) > 1:
+            # a band frame held several rasters → the (ty, tx) join
+            # multiplied rows; composing interleaved rasters is garbage
+            raise ValueError(
+                f"s2_color_composite: {len(pdf)} rows for tile ({ty}, {tx}) "
+                "— a band frame holds more than one raster; filter each "
+                "band_tiles value to a single raster_id first"
+            )
+        r = pdf.iloc[0]
+        th, tw = int(r.th), int(r.tw)
+        chans = []
+        for i in range(3):
+            band = np.frombuffer(bytes(r[f"d{i}"]), dtype=np.float32).reshape(th, tw)
+            chans.append((255 * band.clip(0, 1)).astype(np.uint8))
+        rgb = np.stack(chans, axis=-1)
+        return pd.DataFrame(
+            [(int(ty), int(tx), rgb.tobytes(), th, tw, name)],
+            columns=[f.name for f in RGB_SCHEMA.fields],
+        )
 
-    return joined.mapInPandas(pack, schema=RGB_SCHEMA)
+    # groupBy reuses the join's (ty, tx) hash partitioning — no extra
+    # exchange — and gives pack() the full row set per tile for the guard
+    return joined.groupBy("ty", "tx").applyInPandas(pack, schema=RGB_SCHEMA)
 
 
 #: Sentinel-2 MSI band facts (public ESA mission constants): name,

@@ -222,6 +222,8 @@ def burst_polygons(grid: list[dict]) -> dict[int, list[tuple[float, float]]]:
     Rows must be in annotation order (line-major) — parse_annotation
     preserves document order.
     """
+    if not grid:
+        return {}
     lines = sorted({p["line"] for p in grid})
     n_bursts = len(lines) - 1
     per_line = len(grid) // len(lines)

@@ -374,13 +374,37 @@ class TestDemUpsampling:
         )
         out = upsample_dem_tiles(dem, 1.8).collect()[0]
         assert (out.th, out.tw) == (int(10 * 1.8), int(10 * 1.8)) == (18, 18)
-        up = np.frombuffer(bytes(out.data) if hasattr(out, "data") else bytes(out.elev),
-                           dtype=np.float32).reshape(18, 18)
+        up = np.frombuffer(bytes(out.elev), dtype=np.float32).reshape(18, 18)
         # bilinear under the center convention reproduces a linear ramp
         # exactly in the interior (clamped half-pixel borders excluded)
         y = (np.arange(18) + 0.5) * 10 / 18 - 0.5
         x = (np.arange(18) + 0.5) * 10 / 18 - 0.5
         exp = 3.0 * x[None, :] + 2.0 * y[:, None] + 5.0
+        np.testing.assert_allclose(up[1:-1, 1:-1], exp[1:-1, 1:-1], rtol=1e-6)
+
+    def test_bbox_registration_matches_geocode_convention(self, spark):
+        """The output bbox is adjusted so geocode_dem_tiles' node-based
+        linspace lands EXACTLY on the resampled sample positions
+        (engine analog of the reference's affine rescale,
+        core.py:1168-1171): elevation linear in lon must satisfy
+        elev[j] == ramp(linspace(minx', maxx', nw)[j]) in the interior."""
+        from eo_tools_spark.operators.geocode import upsample_dem_tiles
+
+        th = tw = 10
+        minx, maxx, miny, maxy = 5.0, 6.8, 40.0, 41.8
+        lons = np.linspace(minx, maxx, tw)
+        lats = np.linspace(maxy, miny, th)  # north-up
+        elev = (100.0 * lons[None, :] + 7.0 * lats[:, None]).astype(np.float32)
+        dem = spark.createDataFrame(
+            [("T1", minx, miny, maxx, maxy, elev.tobytes(), th, tw)],
+            "dem_tile_id string, minx double, miny double, maxx double, "
+            "maxy double, elev binary, th int, tw int",
+        )
+        out = upsample_dem_tiles(dem, 1.8).collect()[0]
+        up = np.frombuffer(bytes(out.elev), dtype=np.float32).reshape(out.th, out.tw)
+        lons2 = np.linspace(out.minx, out.maxx, out.tw)
+        lats2 = np.linspace(out.maxy, out.miny, out.th)
+        exp = 100.0 * lons2[None, :] + 7.0 * lats2[:, None]
         np.testing.assert_allclose(up[1:-1, 1:-1], exp[1:-1, 1:-1], rtol=1e-6)
 
     def test_factor_one_passthrough(self, spark):

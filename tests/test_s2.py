@@ -40,8 +40,28 @@ class TestS2Composite:
 
     def test_missing_band_raises(self, spark):
         b = {"B4": None, "B3": None}  # B2 missing
-        with pytest.raises(KeyError, match="Missing band"):
+        # FileNotFoundError — the reference's exact exception
+        # (_check_bands_exist, S2.py:251-255)
+        with pytest.raises(FileNotFoundError, match="Missing band"):
             s2_color_composite(b, "RGB")
+
+    def test_multi_raster_band_frame_raises(self, spark):
+        """A band frame holding two rasters must fail loudly, not
+        silently interleave pixels."""
+        from pyspark.sql import functions as F
+
+        bands = {}
+        for i, b in enumerate(["B4", "B3", "B2"]):
+            one = raster_to_tiles(spark, band_raster(i), b, 16)
+            two = raster_to_tiles(spark, band_raster(50 + i), b + "x", 16)
+            bands[b] = one.unionByName(two) if b == "B4" else one
+        with pytest.raises(Exception, match="more than one raster"):
+            s2_color_composite(bands, "RGB").collect()
+
+    def test_empty_grid_burst_polygons(self):
+        from eo_tools_spark.sources.annotation import burst_polygons
+
+        assert burst_polygons([]) == {}
 
     def test_band_info(self, spark):
         df = s2_band_info(spark).toPandas()
