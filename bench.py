@@ -238,6 +238,36 @@ def run_queries() -> dict:
 
     timed("q5_esd_phase_mean", q5)
 
+    # q10 — fused InSAR coherence over a distributed synthetic SLC pair
+    # (fixed 2048x2048 regardless of sf — a SAR-tile-pipeline capacity
+    # probe: ONE product join + ONE multi-channel halo exchange)
+    def q10():
+        import numpy as np
+        import pandas as pd
+
+        from eo_tools_spark.operators.tiles import TILE_SCHEMA, tiles_coherence
+
+        N, T = 2048, 256
+        nt = N // T
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    ty, tx = int(i) // nt, int(i) % nt
+                    rng = np.random.default_rng(1000 + int(i))
+                    for rid in ("p", "s"):
+                        a = (rng.normal(size=(T, T)) + 1j * rng.normal(size=(T, T))).astype(np.complex64)
+                        rows.append((rid, ty, tx, a.tobytes(), T, T, "c8"))
+                yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+        tiles = spark.range(nt * nt, numPartitions=CPUS).mapInPandas(gen, schema=TILE_SCHEMA)
+        tp = tiles.where(F.col("raster_id") == "p")
+        ts = tiles.where(F.col("raster_id") == "s")
+        return tiles_coherence(tp, ts, 5, 5).count()
+
+    timed("q10_fused_coherence", q10)
+
     # per-partition lineage/throughput metrics: commit the flagship
     # output as one snapshot and surface its partition metrics
     import shutil
