@@ -212,9 +212,15 @@ def run_queries() -> dict:
         docs = demo_slice.select(
             F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
         )
-        sig = minhash_signatures(docs, num_hashes=64, shingle=2)
-        pairs = lsh_pairs(sig, bands=16)
-        return verify_jaccard(pairs, docs, threshold=0.8).count()
+        # persist: the signature frame feeds the cap's counting pass and
+        # both self-join sides — 3 computations without it (the standard
+        # pattern for expensive map-side signatures, see cap_hot_buckets)
+        sig = minhash_signatures(docs, num_hashes=64, shingle=2).persist()
+        try:
+            pairs = lsh_pairs(sig, bands=16)
+            return verify_jaccard(pairs, docs, threshold=0.8).count()
+        finally:
+            sig.unpersist()
 
     timed("q8_minhash_lsh_dedup", q8)
 

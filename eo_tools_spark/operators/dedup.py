@@ -56,40 +56,49 @@ def cap_hot_buckets(
     bucket exceeded ``max_bucket``, which at that size are almost always
     exact-dup families.
 
-    Cost: ZERO extra scans — the bucket size comes from a window count
-    partitioned by the same keys the candidate self-join shuffles on,
-    unlike a separate groupBy+anti-join which would recompute the
-    signature frame. In a SELF-join it suffices to cap ONE side: a hot
-    bucket with zero rows on the capped side produces zero pairs however
-    large the other side's bucket is (each uncapped hot row streams
-    through the join probing an empty build set — linear, never
-    quadratic), and non-hot pairs survive exactly once via the id_a <
-    id_b predicate. Observability: a Spark ``observe`` metric
-    (rows_dropped / rows_kept) is computed during the SAME job and
-    exported to listeners/Spark UI; call ``drop_report(label)`` after an
-    action to retrieve it AND emit the warning log line — an audit step
-    callers/operators must run explicitly (pure-lazy DataFrames have no
-    post-action hook to log from automatically).
+    Mechanism (skew-immune BY CONSTRUCTION): bucket sizes come from a
+    groupBy count — partial map-side aggregation collapses even a
+    degenerate key to one row per task, so the counting pass itself
+    cannot blow up on the skew it guards against. (A window count
+    CANNOT be used here: WindowExec buffers each partition-key frame in
+    an ExternalAppendOnlyUnsafeRowArray, so a hot bucket materializes
+    inside the guard — measured OOM at 2M clustered phashes.) Hot keys
+    (≤ N/max_bucket rows by construction) are removed with an
+    explicitly-broadcast anti-join — the big banded side never
+    shuffles for the cap. Cost: one extra aggregation pass over
+    ``banded`` (signatures recompute; persist upstream if expensive).
+
+    In a SELF-join it suffices to cap ONE side: a hot bucket with zero
+    rows on the capped side produces zero pairs however large the other
+    side's bucket is, and non-hot pairs survive exactly once via the
+    id_a < id_b predicate. Observability: Spark ``observe`` metrics
+    (n_hot_buckets / rows_dropped) are computed on the counting pass of
+    the SAME job and exported to listeners/Spark UI; call
+    ``drop_report(label)`` after an action to retrieve them AND emit
+    the warning log line — an audit step callers/operators must run
+    explicitly (pure-lazy DataFrames have no post-action hook to log
+    from automatically).
     """
     if max_bucket is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols)
-    withn = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
     try:
         from pyspark.sql import Observation
 
         obs = Observation()
-        withn = withn.observe(
+        counts = counts.observe(
             obs,
-            F.sum((F.col("_bucket_n") > max_bucket).cast("long")).alias("rows_dropped"),
-            F.sum((F.col("_bucket_n") <= max_bucket).cast("long")).alias("rows_kept"),
+            F.sum((F.col("_bucket_n") > max_bucket).cast("long")).alias("n_hot_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bucket_n") > max_bucket, F.col("_bucket_n"))),
+                F.lit(0),
+            ).alias("rows_dropped"),
         )
         _drop_observations[label] = obs
     except Exception:  # older Spark without Observation — cap still applies
         pass
-    return withn.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+    hot = counts.where(F.col("_bucket_n") > max_bucket).select(*key_cols)
+    return banded.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def drop_report(label: str) -> dict | None:
@@ -105,8 +114,8 @@ def drop_report(label: str) -> dict | None:
         return None
     if rep.get("rows_dropped"):
         log.warning(
-            "%s: hot-bucket cap dropped %s banded rows (kept %s)",
-            label, rep.get("rows_dropped"), rep.get("rows_kept"),
+            "%s: hot-bucket cap dropped %s banded rows across %s hot buckets",
+            label, rep.get("rows_dropped"), rep.get("n_hot_buckets"),
         )
     return rep
 
@@ -251,10 +260,12 @@ def lsh_pairs(
         ).alias("band", "key"),
     )
     capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
-    # one-sided cap: see cap_hot_buckets — kills hot-bucket pairs without
-    # paying the window count on both self-join sides
+    # one-sided cap (see cap_hot_buckets); merge hint: Spark's size
+    # estimate of an exploded mapInPandas frame is garbage and can pick
+    # a broadcast join of the MULTI-GB banded side (measured OOM at 2M
+    # rows) — sort-merge spills gracefully and AQE still splits skew
     a = capped.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -345,7 +356,9 @@ def simhash_pairs(
         hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
-    a, b = capped.alias("a"), chunks.alias("b")  # one-sided cap suffices
+    # one-sided cap; merge hint prevents a misestimated broadcast of the
+    # exploded frame (see lsh_pairs)
+    a, b = capped.alias("a"), chunks.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -411,7 +424,9 @@ def embedding_neardup(
     sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
     exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
     capped = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
-    a, b = capped.alias("a"), exploded.alias("b")  # one-sided cap suffices
+    # one-sided cap; merge hint prevents a misestimated broadcast of the
+    # exploded frame (see lsh_pairs)
+    a, b = capped.alias("a"), exploded.hint("merge").alias("b")
     cand = (
         a.join(
             b,

@@ -155,7 +155,9 @@ def phash_neardup(
         hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
-    a, b = capped.alias("a"), chunks.alias("b")  # one-sided cap suffices
+    # one-sided cap; merge hint prevents a misestimated broadcast of the
+    # exploded frame (see dedup.lsh_pairs)
+    a, b = capped.alias("a"), chunks.hint("merge").alias("b")
     return (
         a.join(
             b,

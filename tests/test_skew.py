@@ -125,9 +125,12 @@ def test_sar2geo_plan_shape(spark):
     assert plan.count("Exchange") <= 4, plan
 
 
-def test_capped_lsh_plan_single_window(spark):
-    """One-sided hot-bucket cap: exactly ONE Window (count-over-bucket)
-    in the self-join plan, not one per side."""
+def test_capped_lsh_plan_shape(spark):
+    """Hot-bucket cap plan: NO Window operator (WindowExec buffers hot
+    frames — the guard would OOM on the skew it guards), counts via
+    partial-aggregating groupBy, hot keys removed by a BROADCAST
+    anti-join, and the big exploded self-join is NEVER broadcast
+    (merge hint — size misestimates broadcast multi-GB frames)."""
     from eo_tools_spark.operators.dedup import simhash_pairs
     from eo_tools_spark.plans.skew import explain_str
 
@@ -135,4 +138,7 @@ def test_capped_lsh_plan_single_window(spark):
         [(i, i * 7919) for i in range(50)], "doc_id long, simhash long"
     )
     plan = explain_str(simhash_pairs(df, max_hamming=3, max_bucket=100))
-    assert plan.count("Window") == 1, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # the only broadcast is the tiny hot-key anti-join side
+    assert plan.count("BroadcastHashJoin") <= 1, plan
