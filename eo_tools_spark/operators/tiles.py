@@ -256,6 +256,60 @@ def halo_map_multi(
     return contrib.groupBy("gty", "gtx").applyInPandas(assemble, schema=TILE_SCHEMA)
 
 
+def halo_map_multi_out(
+    tiles: DataFrame,
+    halo: int,
+    fn: Callable[[dict, int, int, int], dict],
+    out_kinds: dict[str, str],
+) -> DataFrame:
+    """halo_map_multi with SEVERAL output channels: ``fn`` returns a
+    dict raster_id → array and one output tile row is emitted per
+    entry. Fuses pipelines that produce multiple stencil outputs from
+    the same neighborhood (dual-pol covariance: c11/c22/c12 [+ H/alpha]
+    from one vv/vh product exchange) into ONE shuffle."""
+    contrib = tiles.withColumn(
+        "_off",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy -> "
+                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
+            )
+        ),
+    ).select(
+        "raster_id",
+        (F.col("ty") + F.col("_off.dy")).alias("gty"),
+        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
+        (-F.col("_off.dy")).alias("dy"),
+        (-F.col("_off.dx")).alias("dx"),
+        "ty", "tx", "data", "th", "tw", "kind",
+    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gty, gtx = key
+        channels: dict[str, np.ndarray] = {}
+        th = tw = None
+        for rid, sub in pdf.groupby("raster_id", sort=True):
+            center = sub[(sub.dy == 0) & (sub.dx == 0)]
+            if center.empty:
+                return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+            c = center.iloc[0]
+            th, tw = int(c.th), int(c.tw)
+            channels[rid] = _assemble_padded(sub, th, tw, halo, c.kind)
+        if not channels:
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+        outs = fn(channels, th, tw, halo)
+        return pd.DataFrame(
+            [
+                (rid, int(gty), int(gtx),
+                 arr.astype(_DTYPES[out_kinds[rid]]).tobytes(), th, tw, out_kinds[rid])
+                for rid, arr in outs.items()
+            ],
+            columns=[f.name for f in TILE_SCHEMA.fields],
+        )
+
+    return contrib.groupBy("gty", "gtx").applyInPandas(assemble, schema=TILE_SCHEMA)
+
+
 def _box_mean_padded(pad: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
     """Boxcar (NaN zero-fill + restore) of the center tile given its
     padded neighborhood — window offsets match scipy convolve."""
