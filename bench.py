@@ -256,20 +256,28 @@ def run_queries() -> dict:
         N, T = 2048, 256
         nt = N // T
 
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for i in pdf["id"]:
-                    ty, tx = int(i) // nt, int(i) % nt
-                    rng = np.random.default_rng(1000 + int(i))
-                    for rid in ("p", "s"):
-                        a = (rng.normal(size=(T, T)) + 1j * rng.normal(size=(T, T))).astype(np.complex64)
-                        rows.append((rid, ty, tx, a.tobytes(), T, T, "c8"))
-                yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+        # one generator per pol: each join side scans only its own
+        # frame (a combined frame + filter would regenerate BOTH pols
+        # on each of the two scans)
+        def gen_for(which: str):
+            def gen(batches):
+                for pdf in batches:
+                    rows = []
+                    for i in pdf["id"]:
+                        ty, tx = int(i) // nt, int(i) % nt
+                        rng = np.random.default_rng(1000 + int(i))
+                        blocks = {
+                            rid: (rng.normal(size=(T, T)) + 1j * rng.normal(size=(T, T))).astype(np.complex64)
+                            for rid in ("p", "s")  # keep the rng stream identical
+                        }
+                        rows.append((which, ty, tx, blocks[which].tobytes(), T, T, "c8"))
+                    yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
-        tiles = spark.range(nt * nt, numPartitions=CPUS).mapInPandas(gen, schema=TILE_SCHEMA)
-        tp = tiles.where(F.col("raster_id") == "p")
-        ts = tiles.where(F.col("raster_id") == "s")
+            return gen
+
+        src = spark.range(nt * nt, numPartitions=CPUS)
+        tp = src.mapInPandas(gen_for("p"), schema=TILE_SCHEMA)
+        ts = src.mapInPandas(gen_for("s"), schema=TILE_SCHEMA)
         return tiles_coherence(tp, ts, 5, 5).count()
 
     timed("q10_fused_coherence", q10)

@@ -56,17 +56,28 @@ def cap_hot_buckets(
     bucket exceeded ``max_bucket``, which at that size are almost always
     exact-dup families.
 
-    Mechanism (skew-immune BY CONSTRUCTION): bucket sizes come from a
-    groupBy count — partial map-side aggregation collapses even a
-    degenerate key to one row per task, so the counting pass itself
-    cannot blow up on the skew it guards against. (A window count
-    CANNOT be used here: WindowExec buffers each partition-key frame in
-    an ExternalAppendOnlyUnsafeRowArray, so a hot bucket materializes
+    Mechanism (skew-immune counting): bucket sizes come from a groupBy
+    count — partial map-side aggregation collapses even a degenerate
+    key to one row per task, so the counting pass itself cannot blow up
+    on the skew it guards against. (A window count CANNOT be used here:
+    WindowExec buffers each partition-key frame in an
+    ExternalAppendOnlyUnsafeRowArray, so a hot bucket materializes
     inside the guard — measured OOM at 2M clustered phashes.) Hot keys
-    (≤ N/max_bucket rows by construction) are removed with an
-    explicitly-broadcast anti-join — the big banded side never
-    shuffles for the cap. Cost: one extra aggregation pass over
-    ``banded`` (signatures recompute; persist upstream if expensive).
+    are removed with an explicitly-broadcast anti-join — the big banded
+    side never shuffles for the cap. NULL-key rows are filtered out up
+    front (a NULL hash cannot pair through an equi-join anyway, and an
+    anti-join would silently pass them).
+
+    Bounds, honestly: the hot-key set is ≤ N/max_bucket rows. At
+    extreme corpus scale with adversarial boilerplate that can still be
+    large (e.g. 400B banded rows / 4096 ≈ 100M keys → a multi-GB
+    broadcast, which fails LOUDLY at Spark's 8 GB broadcast limit, not
+    silently) — raise max_bucket with the corpus, and run exact_dedup
+    first so exact-dup families never reach the LSH stage. Cost: one
+    extra aggregation pass over ``banded`` (signatures recompute —
+    persist the signature frame upstream when it is expensive; an
+    in-operator persist would leak, since a lazy operator never owns an
+    action to unpersist after).
 
     In a SELF-join it suffices to cap ONE side: a hot bucket with zero
     rows on the capped side produces zero pairs however large the other
@@ -81,6 +92,8 @@ def cap_hot_buckets(
     """
     if max_bucket is None:
         return banded
+    for k in key_cols:
+        banded = banded.where(F.col(k).isNotNull())
     counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
     try:
         from pyspark.sql import Observation

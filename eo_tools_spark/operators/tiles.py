@@ -213,47 +213,13 @@ def halo_map_multi(
     gets a dict raster_id → padded array. Fusing k consecutive/parallel
     stencil ops this way replaces k halo shuffles + the zip joins that
     recombine them with a single groupBy — the shuffle-count fix for
-    chained stencil pipelines (coherence: 10 exchanges → 2)."""
-    contrib = tiles.withColumn(
-        "_off",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(-1, 1), dy -> "
-                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
-            )
-        ),
-    ).select(
-        "raster_id",
-        (F.col("ty") + F.col("_off.dy")).alias("gty"),
-        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
-        (-F.col("_off.dy")).alias("dy"),
-        (-F.col("_off.dx")).alias("dx"),
-        "ty", "tx", "data", "th", "tw", "kind",
-    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
-
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        gty, gtx = key
-        channels: dict[str, np.ndarray] = {}
-        th = tw = None
-        for rid, sub in pdf.groupby("raster_id", sort=True):
-            center = sub[(sub.dy == 0) & (sub.dx == 0)]
-            if center.empty:  # phantom target beyond the raster edge
-                return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
-            c = center.iloc[0]
-            th, tw = int(c.th), int(c.tw)
-            channels[rid] = _assemble_padded(sub, th, tw, halo, c.kind)
-        if not channels:
-            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
-        out = fn(channels, th, tw, halo)
-        return pd.DataFrame(
-            [
-                (out_raster_id, int(gty), int(gtx),
-                 out.astype(_DTYPES[out_kind]).tobytes(), th, tw, out_kind)
-            ],
-            columns=[f.name for f in TILE_SCHEMA.fields],
-        )
-
-    return contrib.groupBy("gty", "gtx").applyInPandas(assemble, schema=TILE_SCHEMA)
+    chained stencil pipelines (coherence: 10 exchanges → 2). Thin
+    wrapper over halo_map_multi_out (single-output case)."""
+    return halo_map_multi_out(
+        tiles, halo,
+        lambda ch, th, tw, h: {out_raster_id: fn(ch, th, tw, h)},
+        {out_raster_id: out_kind},
+    )
 
 
 def halo_map_multi_out(
@@ -419,19 +385,24 @@ def tiles_interferogram(p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int
     return tiles_presum(ifg, mlt_az, mlt_rg) if (mlt_az > 1 or mlt_rg > 1) else ifg
 
 
-def coherence_products(
-    p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int = 1
+def product_join(
+    a: DataFrame,
+    b: DataFrame,
+    channels: list,
+    mlt_az: int = 1,
+    mlt_rg: int = 1,
 ) -> DataFrame:
-    """ONE p⋈s join emitting all three coherence product channels
-    (ifg=p·conj(s) c8, prm2=|p|² f4, sec2=|s|² f4) with the presum
-    multilook fused in (pure per-tile math — no extra shuffle). Replaces
-    three tiles_zip joins + three tiles_presum groupBys. Dtype casts
-    replicate the unfused chain exactly (c8/f4 at each stage boundary)."""
-    aj = p.select(
+    """ONE a⋈b tile join emitting several per-pixel product channels
+    with the presum multilook fused in (pure per-tile math — no extra
+    shuffle). ``channels`` = [(raster_id, fn(x, y) → array, kind), ...].
+    Replaces k tiles_zip joins + k tiles_presum groupBys. The channel
+    fn owns its dtype/NaN policy (e.g. coherence power channels
+    nan_to_num; PolSAR covariance channels keep NaN for the mask)."""
+    aj = a.select(
         F.col("ty"), F.col("tx"),
         F.col("data").alias("da"), F.col("th"), F.col("tw"), F.col("kind").alias("ka"),
     )
-    bj = s.select(
+    bj = b.select(
         F.col("ty"), F.col("tx"), F.col("data").alias("db"), F.col("kind").alias("kb")
     )
     joined = aj.join(bj, ["ty", "tx"])
@@ -442,12 +413,8 @@ def coherence_products(
             for r in pdf.itertuples():
                 x = _decode(bytes(r.da), int(r.th), int(r.tw), r.ka)
                 y = _decode(bytes(r.db), int(r.th), int(r.tw), r.kb)
-                chans = [
-                    ("ifg", (x * np.conj(y)).astype(np.complex64), "c8"),
-                    ("prm2", np.nan_to_num((x * np.conj(x)).real).astype(np.float32), "f4"),
-                    ("sec2", np.nan_to_num((y * np.conj(y)).real).astype(np.float32), "f4"),
-                ]
-                for rid, arr, kind in chans:
+                for rid, fn, kind in channels:
+                    arr = fn(x, y)
                     if mlt_az > 1 or mlt_rg > 1:
                         arr = R.presum(arr, mlt_az, mlt_rg).astype(_DTYPES[kind])
                     rows.append(
@@ -457,6 +424,24 @@ def coherence_products(
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return joined.mapInPandas(do, schema=TILE_SCHEMA)
+
+
+def coherence_products(
+    p: DataFrame, s: DataFrame, mlt_az: int = 1, mlt_rg: int = 1
+) -> DataFrame:
+    """ONE p⋈s join emitting all three coherence product channels
+    (ifg=p·conj(s) c8, prm2=|p|² f4, sec2=|s|² f4). Dtype casts
+    replicate the unfused chain exactly (c8/f4 at each stage boundary);
+    power channels are nan_to_num'd like the unfused tiles_zip chain."""
+    return product_join(
+        p, s,
+        [
+            ("ifg", lambda x, y: (x * np.conj(y)).astype(np.complex64), "c8"),
+            ("prm2", lambda x, y: np.nan_to_num((x * np.conj(x)).real).astype(np.float32), "f4"),
+            ("sec2", lambda x, y: np.nan_to_num((y * np.conj(y)).real).astype(np.float32), "f4"),
+        ],
+        mlt_az, mlt_rg,
+    )
 
 
 def tiles_coherence(

@@ -286,3 +286,22 @@ class TestHammingBanding:
                     if d <= 3:
                         exp[(i, j)] = d
         assert got == exp
+
+
+def test_cap_null_keys_filtered_and_metric_truthful(spark):
+    """NULL band keys cannot pair through an equi-join; the cap filters
+    them up front so (a) they don't ride the shuffle and (b) the
+    observe drop metric doesn't count them as 'hot dropped' (review-4
+    regression: anti-join passed NULL rows while the metric claimed
+    they were dropped)."""
+    from eo_tools_spark.operators.dedup import cap_hot_buckets, drop_report
+
+    rows = [(i, 1, 7) for i in range(50)] + [(100 + i, 1, None) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    out = cap_hot_buckets(df, ["band", "key"], 10, "nulltest")
+    assert out.count() == 0  # hot bucket dropped, NULL rows filtered
+    rep = drop_report("nulltest")
+    assert rep["rows_dropped"] == 50 and rep["n_hot_buckets"] == 1
+    # with a generous cap, non-null rows survive; NULLs stay filtered
+    out2 = cap_hot_buckets(df, ["band", "key"], 100, "nulltest2")
+    assert out2.count() == 50

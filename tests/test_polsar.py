@@ -41,7 +41,6 @@ class TestPolsarProducts:
     @pytest.mark.parametrize("mlt", [(1, 1), (2, 2)])
     def test_covariance_matches_dense_oracle(self, spark, mlt):
         vv, vh = make_pair()
-        T = 32 // mlt[0] if mlt[0] > 1 else 32
         tv = raster_to_tiles(spark, vv, "vv", 32)
         th_ = raster_to_tiles(spark, vh, "vh", 32)
         out = polsar_products(tv, th_, 5, 5, *mlt)
