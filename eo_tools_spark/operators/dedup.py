@@ -35,9 +35,13 @@ from pyspark.sql.types import (
 log = logging.getLogger("eo_tools_spark.dedup")
 
 
-#: label → last Observation attached by cap_hot_buckets; read
-#: drop_report(label) after an action to audit what the cap removed.
-_drop_observations: dict[str, object] = {}
+#: label → drop report of the LAST cap_hot_buckets call with that label.
+#: Convenience only: two concurrent plans with the same label overwrite
+#: each other here — the collision-safe handle is the ``_eo_drop_report``
+#: attribute cap_hot_buckets attaches to the frame it returns (and that
+#: lsh_pairs / simhash_pairs / embedding_neardup / phash_neardup
+#: propagate to their outputs); pass THAT frame to drop_report().
+_drop_reports: dict[str, dict] = {}
 
 
 def cap_hot_buckets(
@@ -45,6 +49,7 @@ def cap_hot_buckets(
     key_cols: list[str],
     max_bucket: int | None,
     label: str = "lsh",
+    hot_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Drop LSH band buckets with more than ``max_bucket`` members.
 
@@ -62,75 +67,96 @@ def cap_hot_buckets(
     on the skew it guards against. (A window count CANNOT be used here:
     WindowExec buffers each partition-key frame in an
     ExternalAppendOnlyUnsafeRowArray, so a hot bucket materializes
-    inside the guard — measured OOM at 2M clustered phashes.) Hot keys
-    are removed with an explicitly-broadcast anti-join — the big banded
-    side never shuffles for the cap. NULL-key rows are filtered out up
-    front (a NULL hash cannot pair through an equi-join anyway, and an
-    anti-join would silently pass them).
+    inside the guard — measured OOM at 2M clustered phashes.) NULL-key
+    rows are filtered out up front (a NULL hash cannot pair through an
+    equi-join anyway, and an anti-join would silently pass them).
 
-    Bounds, honestly: the hot-key set is ≤ N/max_bucket rows. At
-    extreme corpus scale with adversarial boilerplate that can still be
-    large (e.g. 400B banded rows / 4096 ≈ 100M keys → a multi-GB
-    broadcast, which fails LOUDLY at Spark's 8 GB broadcast limit, not
-    silently) — raise max_bucket with the corpus, and run exact_dedup
-    first so exact-dup families never reach the LSH stage. Cost: one
-    extra aggregation pass over ``banded`` (signatures recompute —
-    persist the signature frame upstream when it is expensive; an
-    in-operator persist would leak, since a lazy operator never owns an
-    action to unpersist after).
+    The counting aggregation runs EAGERLY at plan-build time (it was
+    always going to run; running it first buys three things):
+
+    1. **No-skew fast path**: when the measured max bucket is ≤ the cap
+       there is nothing to drop — the anti-join is skipped entirely and
+       the downstream self-join never pays for insurance it doesn't
+       need (at sf0.1 this is most of q8's round-2 regression).
+    2. **Measured anti-join strategy**: when hot keys exist, the hot
+       set is ≤ N/max_bucket rows, *measured* by the same pass. Small
+       sets (≤ ``hot_broadcast_rows``) use an explicit broadcast
+       anti-join — the big banded side never shuffles for the cap.
+       Above that (adversarial boilerplate at extreme corpus scale,
+       e.g. 400B banded rows / 4096 ≈ 100M keys → multi-GB broadcast)
+       it switches to a sort-merge anti-join instead of sailing into
+       Spark's 8 GB broadcast cliff.
+    3. **Immediate, accurate audit**: drop metrics are known at build —
+       the WARNING logs right away instead of after a deferred
+       Observation read, and the report cannot be clobbered by a
+       concurrent same-label query (it rides on the returned frame as
+       ``_eo_drop_report``).
+
+    Cost: one aggregation job over ``banded`` at build (signatures
+    recompute — persist the signature frame upstream when it is
+    expensive; an in-operator persist would leak, since a lazy operator
+    never owns an action to unpersist after). Net scans of ``banded``
+    are unchanged vs the lazy design (counting was one of its join
+    inputs); the no-skew case comes out strictly cheaper.
 
     In a SELF-join it suffices to cap ONE side: a hot bucket with zero
     rows on the capped side produces zero pairs however large the other
     side's bucket is, and non-hot pairs survive exactly once via the
-    id_a < id_b predicate. Observability: Spark ``observe`` metrics
-    (n_hot_buckets / rows_dropped) are computed on the counting pass of
-    the SAME job and exported to listeners/Spark UI; call
-    ``drop_report(label)`` after an action to retrieve them AND emit
-    the warning log line — an audit step callers/operators must run
-    explicitly (pure-lazy DataFrames have no post-action hook to log
-    from automatically).
+    id_a < id_b predicate.
     """
     if max_bucket is None:
         return banded
     for k in key_cols:
         banded = banded.where(F.col(k).isNotNull())
     counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
-    try:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        counts = counts.observe(
-            obs,
-            F.sum((F.col("_bucket_n") > max_bucket).cast("long")).alias("n_hot_buckets"),
-            F.coalesce(
-                F.sum(F.when(F.col("_bucket_n") > max_bucket, F.col("_bucket_n"))),
-                F.lit(0),
-            ).alias("rows_dropped"),
-        )
-        _drop_observations[label] = obs
-    except Exception:  # older Spark without Observation — cap still applies
-        pass
-    hot = counts.where(F.col("_bucket_n") > max_bucket).select(*key_cols)
-    return banded.join(F.broadcast(hot), key_cols, "left_anti")
-
-
-def drop_report(label: str) -> dict | None:
-    """Hot-bucket drop metrics from the most recent capped query for
-    ``label`` — call AFTER an action has run on the returned frame.
-    Logs a WARNING when rows were dropped (the not-silent audit line)."""
-    obs = _drop_observations.get(label)
-    if obs is None:
-        return None
-    try:
-        rep = dict(obs.get)
-    except Exception:
-        return None
-    if rep.get("rows_dropped"):
+    stats = counts.agg(
+        F.coalesce(F.max("_bucket_n"), F.lit(0)).alias("max_bucket_n"),
+        F.coalesce(
+            F.sum((F.col("_bucket_n") > max_bucket).cast("long")), F.lit(0)
+        ).alias("n_hot_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bucket_n") > max_bucket, F.col("_bucket_n"))),
+            F.lit(0),
+        ).alias("rows_dropped"),
+    ).collect()[0]
+    report = {
+        "label": label,
+        "max_bucket": max_bucket,
+        "max_bucket_n": int(stats["max_bucket_n"]),
+        "n_hot_buckets": int(stats["n_hot_buckets"]),
+        "rows_dropped": int(stats["rows_dropped"]),
+        "anti_join": "skipped",
+    }
+    if report["n_hot_buckets"] == 0:
+        out = banded
+    else:
+        hot = counts.where(F.col("_bucket_n") > max_bucket).select(*key_cols)
+        if report["n_hot_buckets"] <= hot_broadcast_rows:
+            report["anti_join"] = "broadcast"
+            hot = F.broadcast(hot)
+        else:
+            report["anti_join"] = "merge"
+            hot = hot.hint("merge")
+        out = banded.join(hot, key_cols, "left_anti")
         log.warning(
-            "%s: hot-bucket cap dropped %s banded rows across %s hot buckets",
-            label, rep.get("rows_dropped"), rep.get("n_hot_buckets"),
+            "%s: hot-bucket cap drops %s banded rows across %s hot buckets "
+            "(max bucket %s > cap %s; %s anti-join)",
+            label, report["rows_dropped"], report["n_hot_buckets"],
+            report["max_bucket_n"], max_bucket, report["anti_join"],
         )
-    return rep
+    _drop_reports[label] = report
+    out._eo_drop_report = report
+    return out
+
+
+def drop_report(frame_or_label: "DataFrame | str") -> dict | None:
+    """Hot-bucket drop metrics. Pass the DataFrame returned by a capped
+    operator (collision-safe — the report rides on the frame), or a
+    label string for the LAST call with that label (convenience; racy
+    under concurrent same-label queries, see _drop_reports)."""
+    if isinstance(frame_or_label, str):
+        return _drop_reports.get(frame_or_label)
+    return getattr(frame_or_label, "_eo_drop_report", None)
 
 
 def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> Column:
@@ -182,9 +208,21 @@ _B = _RNG.integers(0, 2**63, size=256, dtype=np.uint64)
 
 
 def _token_base_hash(unique_tokens: np.ndarray) -> np.ndarray:
-    """md5-derived uint64 per unique token (vector of python-level md5
-    calls on uniques only — the dominant cost is O(unique tokens), not
-    O(tokens × H))."""
+    """Deterministic uint64 per unique token, fully vectorized
+    (pandas.util.hash_array: SipHash-1-3 over utf-8 bytes with pandas'
+    fixed hash key — no Python-level loop). Called on UNIQUE tokens
+    only, so the cost is O(unique tokens), not O(tokens × H); for
+    long-document corpora this C-level path is what keeps the
+    signature stage map-side-bound (the round-2 md5 loop, kept below
+    as _token_base_hash_md5 for the bench comparison, spends ~10× more
+    per token in interpreter dispatch)."""
+    return pd.util.hash_array(unique_tokens, categorize=False).astype(np.uint64)
+
+
+def _token_base_hash_md5(unique_tokens: np.ndarray) -> np.ndarray:
+    """Round-2 per-token md5 Python loop — retained ONLY as the
+    baseline side of the signature-stage speedup measurement
+    (bench.py q11) and the determinism cross-check in tests."""
     out = np.empty(len(unique_tokens), dtype=np.uint64)
     for i, t in enumerate(unique_tokens):
         out[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
@@ -206,15 +244,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle: int = 1,
+    token_hash: str = "fast",
 ) -> DataFrame:
     """(id, sig:array<long>) — minhash over word ``shingle``-grams.
 
     Use shingle=2+ for short texts (captions): unigram sets of short
     docs over a small vocabulary collide constantly, flooding LSH with
-    false candidates; n-gram shingles decorrelate them."""
+    false candidates; n-gram shingles decorrelate them.
+
+    ``token_hash``: "fast" (vectorized SipHash, the production path) or
+    "md5" (round-2 Python loop, kept for the bench speedup baseline)."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
     A, B = _A[:num_hashes], _B[:num_hashes]
+    base_hash = _token_base_hash if token_hash == "fast" else _token_base_hash_md5
 
     def shingles_of(t: str) -> list[str]:
         toks = t.split(" ")
@@ -233,7 +276,7 @@ def minhash_signatures(
                 np.arange(len(texts)), [len(t) for t in tok_lists]
             )
             uniq, inv = np.unique(flat, return_inverse=True)
-            base = _token_base_hash(uniq)[inv]  # uint64 per token instance
+            base = base_hash(uniq)[inv]  # uint64 per token instance
             sigs = np.full((len(texts), len(A)), np.iinfo(np.uint64).max, dtype=np.uint64)
             for h in range(len(A)):
                 vals = base * A[h] + B[h]  # wraps mod 2^64 — intended
@@ -279,7 +322,7 @@ def lsh_pairs(
     # rows) — sort-merge spills gracefully and AQE still splits skew
     a = capped.alias("a")
     b = banded.hint("merge").alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -291,6 +334,8 @@ def lsh_pairs(
         )
         .distinct()
     )
+    out._eo_drop_report = drop_report(capped)
+    return out
 
 
 def verify_jaccard(
@@ -387,11 +432,13 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out._eo_drop_report = drop_report(capped)
+    return out
 
 
 def embedding_neardup(
@@ -467,8 +514,10 @@ def embedding_neardup(
         "sqrt(aggregate(transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
     )
-    return (
+    out = (
         joined.withColumn("cosine", F.expr(f"{dot} / ({na} * {nb_})"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out._eo_drop_report = drop_report(capped)
+    return out

@@ -193,6 +193,8 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
     """
     if factor == 1:
         return dem_tiles
+    if factor <= 0:
+        raise ValueError(f"upsample factor must be > 0, got {factor}")
     schema = dem_tiles.schema
 
     def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -203,8 +205,15 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 d = r._asdict()
                 th, tw = int(d["th"]), int(d["tw"])
+                if th < 2 or tw < 2:
+                    # bbox node spacing (maxx-minx)/(tw-1) is undefined
+                    # for a 1-sample axis — no resample is meaningful
+                    raise ValueError(
+                        f"upsample_dem_tiles: DEM tile {d.get('dem_tile_id')!r} "
+                        f"is {th}x{tw}; tiles must be at least 2x2"
+                    )
                 elev = np.frombuffer(bytes(d["elev"]), dtype=np.float32).reshape(th, tw)
-                nh, nw = int(th * factor), int(tw * factor)
+                nh, nw = max(int(th * factor), 1), max(int(tw * factor), 1)
                 d["elev"] = resize_bilinear_float(elev, nh, nw).astype(np.float32).tobytes()
                 # sample position of output index j (input px units):
                 # s_j = (j+0.5)·n/out − 0.5; remap bbox so that

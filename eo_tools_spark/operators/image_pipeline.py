@@ -145,8 +145,8 @@ def phash_neardup(
     no UDF). For the default k=6 single chunks would be 9 bits (512
     distinct keys → massive buckets); hamming_band_cols switches to
     chunk-PAIR banding (16-bit keys), shrinking candidate volume
-    quadratically. Hot buckets capped with an observe-metric drop
-    (audit via dedup.drop_report)."""
+    quadratically. Hot buckets capped with an eagerly-measured drop
+    (audit via dedup.drop_report on the returned frame)."""
     from eo_tools_spark.operators.dedup import cap_hot_buckets, hamming_band_cols
 
     chunks = images.select(
@@ -158,7 +158,7 @@ def phash_neardup(
     # one-sided cap; merge hint prevents a misestimated broadcast of the
     # exploded frame (see dedup.lsh_pairs)
     a, b = capped.alias("a"), chunks.hint("merge").alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -176,6 +176,10 @@ def phash_neardup(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    from eo_tools_spark.operators.dedup import drop_report
+
+    out._eo_drop_report = drop_report(capped)
+    return out
 
 
 # ----------------------------------------------------- multimodal stubs

@@ -40,6 +40,7 @@ def align_secondary_tiles(
     kernel: str = "bicubic",
     raster_id: str = "aligned",
     out_kind: str = "c8",
+    fill_missing: bool = False,
 ) -> DataFrame:
     """Resample the secondary into the primary grid through a coreg LUT
     tiled ON the primary grid (rows: ty, tx, az binary, rg binary, th,
@@ -47,7 +48,15 @@ def align_secondary_tiles(
     (core.py:921-934) with the default bicubic kernel.
 
     Output: TILE_SCHEMA rows on the primary tiling (``out_kind``:
-    c8 for SLC alignment, f4 for real geocoded products)."""
+    c8 for SLC alignment, f4 for real geocoded products).
+
+    Coverage contract: by default a primary tile whose LUT values are
+    entirely out of the secondary's bounds (or whose needed secondary
+    tiles are all absent) produces NO output row — the frame can be
+    SPARSER than the reference's NaN-filled dense array. Pass
+    ``fill_missing=True`` to left-join the output against the full LUT
+    extent and backfill absent (ty, tx) keys as NaN tiles (the
+    reference-array semantics; what insar_products uses)."""
     lut = lut_tiles.select(
         F.concat_ws("_", F.col("ty").cast("string"), F.col("tx").cast("string")).alias(
             "dem_tile_id"
@@ -56,12 +65,18 @@ def align_secondary_tiles(
     )
     out = sar2geo_tiles(lut, sec_tiles, naz, nrg, tile, kernel, out_kind=out_kind)
     split = F.split(F.col("dem_tile_id"), "_")
-    return out.select(
+    out = out.select(
         F.lit(raster_id).alias("raster_id"),
         split.getItem(0).cast("int").alias("ty"),
         split.getItem(1).cast("int").alias("tx"),
         "data", "th", "tw", "kind",
     )
+    if fill_missing:
+        out = _fill_missing_tiles(
+            out, lut_tiles.select("ty", "tx", "th", "tw").distinct(), out_kind,
+            raster_id=raster_id,
+        )
+    return out
 
 
 def insar_products(
@@ -95,8 +110,16 @@ def insar_products(
     process.py:2069-2126 but never wires it into process_insar).
     Coherence uses the fused single-exchange path; the aligned frame is
     reused by the products (mark it `.persist()` upstream if several are
-    materialized)."""
-    aligned = align_secondary_tiles(sec_tiles, lut_tiles, naz, nrg, tile, kernel)
+    materialized).
+
+    The aligned frame is NaN-backfilled against the full LUT extent
+    (fill_missing=True), so aligned/ifg/coh cover the complete primary
+    tiling exactly like the reference's dense NaN-filled arrays — a
+    primary tile the secondary never reaches comes back as a NaN tile,
+    not a silently absent row."""
+    aligned = align_secondary_tiles(
+        sec_tiles, lut_tiles, naz, nrg, tile, kernel, fill_missing=True
+    )
     ifg = tiles_interferogram(prm_tiles, aligned, mlt_az, mlt_rg)
     if filter_ifg:
         ifg = tiles_boxcar(ifg, box_az, box_rg)
@@ -168,8 +191,10 @@ def geocode_and_merge(
     return mosaic
 
 
-def _fill_missing_tiles(mosaic: DataFrame, extent: DataFrame, out_kind: str) -> DataFrame:
-    """Left-join the mosaic onto the full geo extent; (ty, tx) keys with
+def _fill_missing_tiles(
+    mosaic: DataFrame, extent: DataFrame, out_kind: str, raster_id: str = "mosaic"
+) -> DataFrame:
+    """Left-join the tile frame onto the full extent; (ty, tx) keys with
     no produced tile become NaN nodata tiles of the extent's shape."""
     from typing import Iterator
 
@@ -180,7 +205,8 @@ def _fill_missing_tiles(mosaic: DataFrame, extent: DataFrame, out_kind: str) -> 
     # NB: itertuples renames leading-underscore columns positionally —
     # keep the disambiguated names underscore-free
     joined = extent.join(
-        mosaic.withColumnRenamed("th", "mth").withColumnRenamed("tw", "mtw"),
+        mosaic.select("ty", "tx", "data", "kind",
+                      F.col("th").alias("mth"), F.col("tw").alias("mtw")),
         ["ty", "tx"],
         "left",
     )
@@ -191,14 +217,14 @@ def _fill_missing_tiles(mosaic: DataFrame, extent: DataFrame, out_kind: str) -> 
             for r in pdf.itertuples():
                 if r.data is not None:
                     rows.append(
-                        ("mosaic", int(r.ty), int(r.tx), bytes(r.data),
+                        (raster_id, int(r.ty), int(r.tx), bytes(r.data),
                          int(r.mth), int(r.mtw), r.kind)
                     )
                 else:
                     th, tw = int(r.th), int(r.tw)
                     nanv = (np.nan + 1j * np.nan) if out_kind == "c8" else np.nan
                     blank = np.full((th, tw), nanv, dtype=_DTYPES[out_kind])
-                    rows.append(("mosaic", int(r.ty), int(r.tx), blank.tobytes(), th, tw, out_kind))
+                    rows.append((raster_id, int(r.ty), int(r.tx), blank.tobytes(), th, tw, out_kind))
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return joined.mapInPandas(fill, schema=TILE_SCHEMA)

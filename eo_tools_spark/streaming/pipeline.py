@@ -208,9 +208,16 @@ def stream_exact_dedup(
     ts_col: str = "ts",
 ):
     """Streaming exact dedup: emit each distinct content fingerprint
-    ONCE across all micro-batches (state = fingerprints seen), bounded
-    by an event-time watermark so state is evictable — the streaming
-    form of the batch ``exact_dedup`` canonicalizer.
+    AT MOST ONCE WITHIN THE WATERMARK HORIZON (state = fingerprints
+    seen, bounded by an event-time watermark so state is evictable) —
+    the streaming form of the batch ``exact_dedup`` canonicalizer.
+
+    NOT a global-uniqueness guarantee: a duplicate whose event time
+    arrives after its first-seen state was evicted by the watermark
+    (> ``watermark`` later) is re-emitted — that eviction is exactly
+    what bounds state at scale. Downstream consumers that need a
+    globally-unique canonical key must dedup again at rest (e.g. batch
+    ``exact_dedup`` over the sink, or MERGE into a keyed table).
 
     Built on ``dropDuplicatesWithinWatermark`` over md5(text): native
     Spark state store (RocksDB-ready on a real cluster), no Python in

@@ -48,7 +48,8 @@ class TestExactDedup:
 
 class TestMinhashLSH:
     def test_signature_is_minhash(self, spark):
-        """Engine sig == numpy reimplementation of the same family."""
+        """Engine sig == numpy reimplementation of the same family
+        (vectorized SipHash token base, round-3 family)."""
         df, texts = corpus(spark, n=20)
         sig = {
             r.doc_id: np.array(r.sig, dtype=np.int64).view(np.uint64)
@@ -58,16 +59,41 @@ class TestMinhashLSH:
 
         for doc_id, text in list(texts.items())[:5]:
             toks = np.unique(np.array(text.split(" "), dtype=object))
-            base = np.array(
-                [
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    for t in toks
-                ],
-                dtype=np.uint64,
-            )
+            base = pd.util.hash_array(toks, categorize=False).astype(np.uint64)
             for h in range(8):
                 exp = (base * _A[h] + _B[h]).min()
                 assert sig[doc_id][h] == exp
+
+    def test_md5_legacy_family_matches_loop(self, spark):
+        """token_hash='md5' reproduces the round-2 family exactly (the
+        bench speedup baseline must stay the same computation)."""
+        df, texts = corpus(spark, n=10)
+        sig = {
+            r.doc_id: np.array(r.sig, dtype=np.int64).view(np.uint64)
+            for r in minhash_signatures(df, num_hashes=4, token_hash="md5").collect()
+        }
+        from eo_tools_spark.operators.dedup import _A, _B
+
+        doc_id, text = next(iter(texts.items()))
+        toks = np.unique(np.array(text.split(" "), dtype=object))
+        base = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
+            dtype=np.uint64,
+        )
+        for h in range(4):
+            assert sig[doc_id][h] == (base * _A[h] + _B[h]).min()
+
+    def test_fast_hash_same_pairs_as_md5(self, spark):
+        """The full LSH pipeline finds the same verified pair set under
+        either token-hash family on the planted corpus (the family only
+        moves candidate recall; verification is exact)."""
+        df, _ = corpus(spark, n=100)
+        out = {}
+        for fam in ("fast", "md5"):
+            sig = minhash_signatures(df, num_hashes=64, token_hash=fam)
+            pairs = verify_jaccard(lsh_pairs(sig, bands=16), df, threshold=0.9)
+            out[fam] = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert out["fast"] == out["md5"]
 
     def test_lsh_finds_planted_dups(self, spark):
         df, texts = corpus(spark)

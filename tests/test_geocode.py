@@ -418,6 +418,25 @@ class TestDemUpsampling:
         )
         assert upsample_dem_tiles(dem, 1) is dem
 
+    def test_degenerate_tile_raises_clearly(self, spark):
+        """A 1-sample-wide DEM tile has undefined node spacing — the
+        operator must fail with a clear error, not ZeroDivisionError
+        (ADVICE r2)."""
+        import pytest
+
+        from eo_tools_spark.operators.geocode import upsample_dem_tiles
+
+        elev = np.zeros((1, 4), dtype=np.float32)
+        dem = spark.createDataFrame(
+            [("T1", 0.0, 0.0, 1.0, 0.0, elev.tobytes(), 1, 4)],
+            "dem_tile_id string, minx double, miny double, maxx double, "
+            "maxy double, elev binary, th int, tw int",
+        )
+        with pytest.raises(Exception, match="at least 2x2"):
+            upsample_dem_tiles(dem, 1.8).collect()
+        with pytest.raises(ValueError, match="factor must be > 0"):
+            upsample_dem_tiles(dem, 0)
+
     def test_feeds_geocode(self, spark):
         """Upsampled tiles run through geocode_dem_tiles unchanged —
         the reference's default chain (upsample → lat/lon grid → LUT)."""

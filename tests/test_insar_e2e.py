@@ -372,3 +372,41 @@ class TestGeocodeAndMerge:
         got = tiles_to_raster(mosaic, T)
         np.testing.assert_allclose(got[:, 0:32], truth[:, 0:32], rtol=1e-6)
         assert np.isnan(got[:, 32:]).all()
+
+    def test_insar_products_cover_full_lut_extent(self, spark):
+        """A primary tile whose LUT values are fully out of the
+        secondary's bounds must come back as a NaN tile in aligned/ifg/
+        coh — not silently vanish (ADVICE r2: align_secondary_tiles
+        previously emitted a frame sparser than the reference's dense
+        NaN-filled arrays with no signal)."""
+        from eo_tools_spark.operators.insar import insar_products
+
+        prm, sec = make_products()
+        g = np.mgrid[0:NAZ, 0:NRG].astype(float)
+        az_co, rg_co = g[0].copy(), g[1].copy()
+        T = 32
+        # tile (1, 1): LUT points far outside the secondary → no output
+        # row from the gather join at all
+        az_co[T:, T:] = -500.0
+        lut_rows = [
+            (ty, tx,
+             az_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(),
+             rg_co[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes(), T, T)
+            for ty in range(NAZ // T) for tx in range(NRG // T)
+        ]
+        lut_df = spark.createDataFrame(
+            lut_rows, "ty int, tx int, az binary, rg binary, th int, tw int"
+        )
+        tp = raster_to_tiles(spark, prm, "p", T)
+        ts = raster_to_tiles(spark, sec, "s", T)
+        prods = insar_products(tp, ts, lut_df, NAZ, NRG, T, filter_ifg=False)
+        n_tiles = (NAZ // T) * (NRG // T)
+        ali = prods["aligned"]
+        assert ali.count() == n_tiles
+        ali_r = tiles_to_raster(ali, T)
+        assert np.isnan(ali_r[T:, T:]).all()  # the OOB tile is NaN
+        assert not np.isnan(ali_r[:T, :T]).any()  # identity tile intact
+        ifg_r = tiles_to_raster(prods["ifg"], T)
+        assert np.isnan(ifg_r[T:, T:]).all()
+        coh_r = tiles_to_raster(prods["coh"], T)
+        assert np.isnan(coh_r[T + 5 :, T + 5 :]).all()

@@ -128,17 +128,71 @@ def test_sar2geo_plan_shape(spark):
 def test_capped_lsh_plan_shape(spark):
     """Hot-bucket cap plan: NO Window operator (WindowExec buffers hot
     frames — the guard would OOM on the skew it guards), counts via
-    partial-aggregating groupBy, hot keys removed by a BROADCAST
-    anti-join, and the big exploded self-join is NEVER broadcast
-    (merge hint — size misestimates broadcast multi-GB frames)."""
-    from eo_tools_spark.operators.dedup import simhash_pairs
+    partial-aggregating groupBy, and the big exploded self-join is
+    NEVER broadcast (merge hint — size misestimates broadcast multi-GB
+    frames). With no skew present the eager counting pass proves the
+    cap unnecessary and the anti-join vanishes from the plan entirely
+    (round-3 no-skew fast path)."""
+    from eo_tools_spark.operators.dedup import drop_report, simhash_pairs
     from eo_tools_spark.plans.skew import explain_str
 
     df = spark.createDataFrame(
         [(i, i * 7919) for i in range(50)], "doc_id long, simhash long"
     )
-    plan = explain_str(simhash_pairs(df, max_hamming=3, max_bucket=100))
+    out = simhash_pairs(df, max_hamming=3, max_bucket=100)
+    plan = explain_str(out)
     assert "Window" not in plan, plan
     assert "SortMergeJoin" in plan, plan
-    # the only broadcast is the tiny hot-key anti-join side
-    assert plan.count("BroadcastHashJoin") <= 1, plan
+    # no-skew fast path: the anti-join is gone, nothing is broadcast
+    assert "LeftAnti" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 0, plan
+    rep = drop_report(out)
+    assert rep["anti_join"] == "skipped" and rep["rows_dropped"] == 0
+
+
+def test_capped_lsh_plan_shape_with_skew(spark):
+    """When hot buckets EXIST the cap materializes as a broadcast
+    anti-join (small measured hot set) — and the self-join still never
+    broadcasts the exploded frame."""
+    from eo_tools_spark.operators.dedup import drop_report, simhash_pairs
+    from eo_tools_spark.plans.skew import explain_str
+
+    rows = [(i, i * 7919) for i in range(50)] + [(1000 + i, 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = simhash_pairs(df, max_hamming=3, max_bucket=20)
+    plan = explain_str(out)
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    rep = drop_report(out)
+    assert rep["anti_join"] == "broadcast" and rep["rows_dropped"] > 0
+    # and the degenerate key is actually gone from the output
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert not any(a >= 1000 and b >= 1000 for a, b in got)
+
+
+def test_cap_merge_fallback_above_broadcast_limit(spark):
+    """Hot-key sets larger than hot_broadcast_rows switch the anti-join
+    to sort-merge instead of sailing into the 8 GB broadcast cliff
+    (VERDICT r2 task #6) — same output either way."""
+    from eo_tools_spark.operators.dedup import cap_hot_buckets, drop_report
+    from eo_tools_spark.plans.skew import explain_str
+
+    # 30 hot keys (3 members each, cap 2) + 50 singleton keys
+    rows = [(k * 100 + j, 0, k) for k in range(30) for j in range(3)]
+    rows += [(10000 + i, 0, 1000 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+
+    merged = cap_hot_buckets(df, ["band", "key"], 2, "mergecap", hot_broadcast_rows=10)
+    rep = drop_report(merged)
+    assert rep["anti_join"] == "merge" and rep["n_hot_buckets"] == 30
+    plan = explain_str(merged)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+    bcast = cap_hot_buckets(df, ["band", "key"], 2, "bcastcap")
+    assert drop_report(bcast)["anti_join"] == "broadcast"
+    assert sorted(r.doc_id for r in merged.collect()) == sorted(
+        r.doc_id for r in bcast.collect()
+    )
