@@ -377,6 +377,76 @@ def q_image_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- InSAR / terrain lifecycle
+# The reference's flagship chains (process.py:47-222 align→ifg→coh,
+# process.py:1305-1458 geocode_and_merge, process.py:2505-2535 +
+# core.py:1377-1529 terrain correction) gated the same way as the image
+# queries: deterministic analytic fixture scenes (sources/insar_fixture),
+# hash-stable outputs (per-tile md5 digests / order-independent sorted
+# folds), expected rows pinned by scripts/make_insar_oracle.py AFTER
+# verifying Spark == the dense numpy oracle chain.
+
+
+def q_insar_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align secondary (LUT gather join) → filtered interferogram →
+    fused coherence over the fixture SLC pair; per-tile digests."""
+    from eo_tools_spark.operators.insar import insar_products
+    from eo_tools_spark.sources.insar_fixture import (
+        N_INSAR, T_INSAR, insar_pair_tiles, tiles_digest,
+    )
+
+    prm, sec, lut = insar_pair_tiles(spark)
+    prods = insar_products(prm, sec, lut, N_INSAR, N_INSAR, T_INSAR)
+    out = tiles_digest(prods["aligned"], "aligned")
+    out = out.unionByName(tiles_digest(prods["ifg"], "ifg"))
+    return out.unionByName(tiles_digest(prods["coh"], "coh"))
+
+
+def q_geocode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-swath geocode → first-priority mosaic → AOI NaN-clip
+    (process.py:1305-1458 semantics); per-geo-tile digests."""
+    import numpy as np
+
+    from eo_tools_spark.operators.insar import geocode_and_merge
+    from eo_tools_spark.sources.insar_fixture import (
+        G_GEO, SW_W, T_GEO, swath_lut, swath_tiles, tiles_digest,
+    )
+
+    per_swath = [
+        (swath_tiles(spark, 0), swath_lut(spark, 0), G_GEO, SW_W),
+        (swath_tiles(spark, 1), swath_lut(spark, 1), G_GEO, SW_W),
+    ]
+    ring = np.array(
+        [[20.0, 30.0], [170.0, 30.0], [170.0, 160.0], [20.0, 160.0], [20.0, 30.0]]
+    )
+    mosaic = geocode_and_merge(
+        per_swath, T_GEO, kernel="bicubic", out_kind="f4",
+        aoi=ring, geo_origin=(0.0, float(G_GEO)), geo_px=1.0,
+    )
+    return tiles_digest(mosaic, "mosaic")
+
+
+def q_terrain_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-flattening γ simulation: per-DEM-block triangle kernel
+    (map-side, incl. shadow line-scan) + per-pixel scatter reduce.
+    The driver-gated sum uses an order-independent sorted fold
+    (aggregate(array_sort(collect_list))) so the double is bit-stable
+    at any partitioning; the production F.sum path (scatter_accumulate)
+    is pinned ≈ this fold by pytest."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.sources.insar_fixture import terrain_contributions
+
+    contrib = terrain_contributions(spark)
+    return contrib.groupBy("az", "rg").agg(
+        F.count(F.lit(1)).alias("n_contrib"),
+        F.expr(
+            "aggregate(array_sort(collect_list(gamma)), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("gamma_sum"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -405,6 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_phash_neardup"] = q_image_phash_neardup
     out["image_tile_assign"] = q_image_tile_assign
     out["annotation_etl"] = q_annotation_etl
+    out["insar_products"] = q_insar_products
+    out["geocode_merge"] = q_geocode_merge
+    out["terrain_gamma"] = q_terrain_gamma
     return out
 
 
@@ -517,4 +590,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT aoi_id, {tile_id_sql('lon', 'lat')} AS dem_tile_id, "
             "COUNT(*) AS n_images FROM pip GROUP BY 1, 2"
         )
+    # InSAR / terrain fixtures: pinned by scripts/make_insar_oracle.py,
+    # which verifies the Spark chains against the dense numpy oracle
+    # (remap→ifg→coh, mosaic truth, simulate_terrain_gamma_dense)
+    # BEFORE writing. Missing fixture → rows-only fallback, never a
+    # stale compare.
+    for qname, cols in [
+        ("insar_products", "product, ty, tx, th, tw, digest"),
+        ("geocode_merge", "product, ty, tx, th, tw, digest"),
+        ("terrain_gamma", "az, rg, n_contrib, gamma_sum"),
+    ]:
+        fx = os.path.join(_oracle_dir, f"{qname}.parquet")
+        if os.path.exists(fx):
+            out[qname] = f"SELECT {cols} FROM read_parquet('{fx}')"
     return out

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Pin the InSAR / terrain driver-query fixtures (dist/oracle/*.parquet).
+
+Protocol (same as make_image_oracle.py): the fixture scenes are pure
+functions of the pixel index, so the dense rasters can be rebuilt in
+numpy and pushed through the single-array oracle chain. This script
+
+1. runs each Spark driver query,
+2. VERIFIES the underlying rasters against the dense numpy oracle
+   (remap → boxcar ifg → coherence; mosaic truth with first-priority
+   overlap; simulate_terrain_gamma_dense summed over blocks) — aborts
+   loudly on any mismatch,
+3. re-runs each query at a different parallelism and asserts the output
+   is IDENTICAL (bit-stable digests / folds — the property the driver's
+   value-hash gate depends on),
+4. writes the verified rows to dist/oracle/{name}.parquet for DuckDB.
+
+Re-run whenever the fixture scene or any operator in the chains changes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "dist", "oracle")
+
+
+def verify_insar(spark) -> None:
+    from eo_tools_spark.functions import raster as R
+    from eo_tools_spark.operators.geocode import remap
+    from eo_tools_spark.operators.insar import insar_products
+    from eo_tools_spark.operators.tiles import tiles_to_raster
+    from eo_tools_spark.sources.insar_fixture import (
+        N_INSAR, T_INSAR, dense_pair, insar_pair_tiles,
+    )
+
+    prm, sec, az, rg = dense_pair()
+    prm_t, sec_t, lut_t = insar_pair_tiles(spark)
+    prods = insar_products(prm_t, sec_t, lut_t, N_INSAR, N_INSAR, T_INSAR)
+
+    ali = tiles_to_raster(prods["aligned"], T_INSAR)
+    exp_ali = remap(sec, az, rg, "bicubic").astype(np.complex64)
+    np.testing.assert_allclose(ali, exp_ali, rtol=1e-5, atol=1e-6, equal_nan=True)
+
+    ifg = tiles_to_raster(prods["ifg"], T_INSAR)
+    exp_ifg = R.boxcar(R.interferogram(prm, exp_ali), 5, 5).astype(np.complex64)
+    np.testing.assert_allclose(ifg, exp_ifg, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+    coh = tiles_to_raster(prods["coh"], T_INSAR)
+    exp_coh = R.coherence(prm, exp_ali, 5, 5).astype(np.float32)
+    np.testing.assert_allclose(coh, exp_coh, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+    interior = exp_coh[8:128, 8:128]
+    assert np.nanmean(interior) > 0.5, "fixture pair should be coherent"
+    print(f"insar_products: dense-oracle parity OK (mean interior coherence "
+          f"{np.nanmean(interior):.3f})")
+
+
+def verify_geocode_merge(spark) -> None:
+    from eo_tools_spark.operators.geocode import remap
+    from eo_tools_spark.operators.insar import geocode_and_merge
+    from eo_tools_spark.operators.tiles import tiles_to_raster
+    from eo_tools_spark.sources.insar_fixture import (
+        G_GEO, SW_W, T_GEO, swath_field, swath_lut, swath_tiles,
+    )
+
+    per_swath = [
+        (swath_tiles(spark, 0), swath_lut(spark, 0), G_GEO, SW_W),
+        (swath_tiles(spark, 1), swath_lut(spark, 1), G_GEO, SW_W),
+    ]
+    mosaic = geocode_and_merge(per_swath, T_GEO, kernel="bicubic", out_kind="f4")
+    got = tiles_to_raster(mosaic, T_GEO)
+
+    # dense oracle: per swath, remap its raster through its LUT; merge
+    # with first-non-NaN priority in list order
+    ii, jj = np.mgrid[0:G_GEO, 0:G_GEO].astype(np.float64)
+    layers = []
+    for sw in (0, 1):
+        x_off = 0 if sw == 0 else G_GEO - SW_W
+        si, sj = np.mgrid[0:G_GEO, 0:SW_W].astype(np.float64)
+        img = swath_field(sw)(si, sj).real.astype(np.float32)
+        az = ii + 0.2 * np.sin(jj / 31.0)
+        rg = jj - x_off + 0.1 * np.cos(ii / 27.0)
+        bad = (jj < x_off) | (jj >= x_off + SW_W)
+        az[bad] = np.nan
+        rg[bad] = np.nan
+        layers.append(remap(img, az, rg, "bicubic").astype(np.float32))
+    exp = layers[0].copy()
+    take = np.isnan(exp) & ~np.isnan(layers[1])
+    exp[take] = layers[1][take]
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6, equal_nan=True)
+    assert not np.isnan(exp[:, : SW_W - 4]).all(), "swath A must cover left"
+    print("geocode_merge: dense-oracle parity OK (unclipped mosaic)")
+
+
+def verify_terrain(spark) -> None:
+    import pandas as pd
+
+    from eo_tools_spark.operators.sar_geom import scatter_accumulate, scatter_to_dense
+    from eo_tools_spark.sources.insar_fixture import (
+        TERRAIN_NAZ, TERRAIN_NRG, terrain_contributions, terrain_gamma_dense_oracle,
+    )
+
+    contrib = terrain_contributions(spark)
+    got = scatter_to_dense(
+        scatter_accumulate(contrib).toPandas(), TERRAIN_NAZ, TERRAIN_NRG
+    )
+    exp = terrain_gamma_dense_oracle()
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+    n = int(np.isfinite(exp).sum())
+    assert n > 1000, f"terrain fixture too sparse ({n} lit pixels)"
+    print(f"terrain_gamma: dense-oracle parity OK ({n} lit pixels)")
+
+
+def main() -> None:
+    from eo_tools_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("insar-oracle", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    verify_insar(spark)
+    verify_geocode_merge(spark)
+    verify_terrain(spark)
+
+    queries = {
+        "insar_products": entry.q_insar_products,
+        "geocode_merge": entry.q_geocode_merge,
+        "terrain_gamma": entry.q_terrain_gamma,
+    }
+    first = {}
+    for name, q in queries.items():
+        pdf = q(spark, "/root/testdata/sf0.01").toPandas()
+        cols = sorted(pdf.columns)
+        first[name] = pdf[cols].sort_values(cols).reset_index(drop=True)
+    spark.stop()
+
+    # bit-stability probe: different core count + shuffle partitioning
+    spark2 = get_spark("insar-oracle-2", cores=3, shuffle_partitions=7)
+    spark2.sparkContext.setLogLevel("ERROR")
+    for name, q in queries.items():
+        pdf = q(spark2, "/root/testdata/sf0.01").toPandas()
+        cols = sorted(pdf.columns)
+        again = pdf[cols].sort_values(cols).reset_index(drop=True)
+        assert again.equals(first[name]), f"{name}: NOT bit-stable across parallelism"
+        print(f"{name}: bit-stable across parallelism ({len(again)} rows)")
+    spark2.stop()
+
+    for name, pdf in first.items():
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        pdf.to_parquet(path, index=False)
+        print(f"pinned {path} ({len(pdf)} rows)")
+
+
+if __name__ == "__main__":
+    main()
