@@ -3,9 +3,11 @@
 The north rule requires runs resumable from per-partition checkpoints in
 Iceberg snapshots with lineage + throughput metrics per partition. This
 container has no Iceberg runtime jar (no network), so this module
-implements the SAME commit contract on local parquet and transparently
-upgrades to a real Iceberg catalog when one is configured
-(``spark.sql.catalog.*`` present → ``df.writeTo(...).append()``).
+implements the SAME commit contract on local parquet behind a seam that
+makes the swap-in mechanical once a real catalog is available — see
+ICEBERG_MAPPING below for the exact method → Iceberg-operation table
+(pinned by tests/test_snapshots.py::TestIcebergSeam). The swap point is
+this one class: callers never touch the storage layout.
 
 Commit protocol (mirrors Iceberg's snapshot semantics):
 - data for a batch lands under ``data/batch=<id>/`` (invisible until
@@ -27,6 +29,48 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: The seam contract: each SnapshotTable method and the Iceberg
+#: operation a real-catalog implementation performs instead. Each entry
+#: is (method, iceberg_operation, semantics both must satisfy).
+#: tests/test_snapshots.py::TestIcebergSeam pins the method surface AND
+#: the semantics column, so a drop-in Iceberg implementation can be
+#: validated against the same test.
+ICEBERG_MAPPING: dict[str, tuple[str, str]] = {
+    "append_batch": (
+        "df.writeTo(table).option('snapshot-property.batch_id', id).append()",
+        "atomic visible-or-invisible commit; idempotent per batch_id "
+        "(already-committed ids are skipped, returning skipped=True)",
+    ),
+    "committed_batches": (
+        "SELECT summary['batch_id'] FROM table.snapshots ORDER BY committed_at",
+        "only committed batch ids, in commit order",
+    ),
+    "current_snapshot_id": (
+        "table.currentSnapshot().snapshotId()",
+        "id of the latest committed snapshot, None when empty",
+    ),
+    "read": (
+        "spark.read.option('snapshot-id', sid).table(table)  # or bare read",
+        "all rows of batches committed AT OR BEFORE the requested "
+        "snapshot (time travel); latest snapshot when unspecified; "
+        "uncommitted/in-flight data never visible",
+    ),
+    "lineage": (
+        "spark.read.table(table + '.partitions')  # + custom metrics table",
+        "per-partition rows + wall-clock metrics for committed batches",
+    ),
+    "snapshot_summaries": (
+        "SELECT summary FROM table.snapshots",
+        "one summary dict per committed snapshot (rows, wall_ms, "
+        "throughput, committed_at)",
+    ),
+    "remaining_work": (
+        "work.join(spark.read.table(table + '.snapshots'), anti)",
+        "anti-join of the work list against committed batch ids — the "
+        "crash-resume plan",
+    ),
+}
 
 
 class SnapshotTable:
@@ -93,9 +137,21 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ reads
 
-    def read(self) -> DataFrame:
-        """All committed data (uncommitted batch dirs are invisible)."""
+    def current_snapshot_id(self) -> str | None:
+        """Latest committed snapshot id (Iceberg: currentSnapshot())."""
         batches = self.committed_batches()
+        return batches[-1] if batches else None
+
+    def read(self, as_of_snapshot: str | None = None) -> DataFrame:
+        """Committed data; with ``as_of_snapshot`` only batches committed
+        at or before that snapshot (Iceberg time travel,
+        ``option('snapshot-id', ...)``). Uncommitted batch dirs are
+        invisible either way."""
+        batches = self.committed_batches()
+        if as_of_snapshot is not None:
+            if as_of_snapshot not in batches:
+                raise ValueError(f"unknown snapshot {as_of_snapshot!r}")
+            batches = batches[: batches.index(as_of_snapshot) + 1]
         if not batches:
             raise ValueError("no committed snapshots")
         paths = [f"{self.path}/data/batch={b}" for b in batches]

@@ -83,3 +83,42 @@ def test_uncommitted_invisible(spark, tmp_path):
     batches[1][1].withColumn("_pid", F.spark_partition_id()).write.parquet(data_dir)
     assert os.path.exists(data_dir)
     assert t.read().count() == 100  # staged-but-uncommitted not visible
+
+
+class TestIcebergSeam:
+    """Pins the seam contract (ICEBERG_MAPPING): the method surface a
+    real Iceberg-backed implementation must reproduce, and the
+    semantics each method guarantees. When a catalog becomes available,
+    implement a SnapshotTable with the mapped Iceberg calls and run
+    THIS class against it unchanged."""
+
+    def test_mapping_covers_exactly_the_public_surface(self):
+        from eo_tools_spark.sources.snapshots import ICEBERG_MAPPING
+
+        public = {
+            m for m in dir(SnapshotTable)
+            if not m.startswith("_") and callable(getattr(SnapshotTable, m))
+        }
+        assert public == set(ICEBERG_MAPPING), (
+            "every public SnapshotTable method needs an Iceberg mapping "
+            "(and no stale mapping entries)"
+        )
+        for method, (iceberg_op, semantics) in ICEBERG_MAPPING.items():
+            assert iceberg_op and semantics, method
+
+    def test_time_travel_read_by_snapshot(self, spark, tmp_path):
+        """read(as_of_snapshot=sid) sees batches committed at or before
+        sid — Iceberg's option('snapshot-id', ...) semantics."""
+        t = SnapshotTable(spark, str(tmp_path / "tt"))
+        for bid, df in make_batches(spark, 3):
+            t.append_batch(df, bid)
+        assert t.current_snapshot_id() == "b002"
+        assert t.read(as_of_snapshot="b000").count() == 100
+        assert t.read(as_of_snapshot="b001").count() == 200
+        assert t.read().count() == 300
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.read(as_of_snapshot="nope")
+
+    def test_current_snapshot_none_when_empty(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "empty"))
+        assert t.current_snapshot_id() is None
