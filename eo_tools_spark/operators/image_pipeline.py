@@ -147,7 +147,12 @@ def phash_neardup(
     chunk-PAIR banding (16-bit keys), shrinking candidate volume
     quadratically. Hot buckets capped with an eagerly-measured drop
     (audit via dedup.drop_report on the returned frame)."""
-    from eo_tools_spark.operators.dedup import cap_hot_buckets, hamming_band_cols
+    from eo_tools_spark.operators.dedup import (
+        cap_hot_buckets,
+        drop_report,
+        hamming_band_cols,
+        self_join_probe_side,
+    )
 
     chunks = images.select(
         "image_id",
@@ -155,9 +160,10 @@ def phash_neardup(
         hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
-    # one-sided cap; merge hint prevents a misestimated broadcast of the
-    # exploded frame (see dedup.lsh_pairs)
-    a, b = capped.alias("a"), chunks.hint("merge").alias("b")
+    # one-sided cap; probe-side strategy by measured size (never Spark's
+    # exploded-frame estimate — see dedup.self_join_probe_side)
+    a = capped.alias("a")
+    b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
     out = (
         a.join(
             b,
@@ -176,8 +182,6 @@ def phash_neardup(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    from eo_tools_spark.operators.dedup import drop_report
-
     out._eo_drop_report = drop_report(capped)
     return out
 

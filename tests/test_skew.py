@@ -128,11 +128,11 @@ def test_sar2geo_plan_shape(spark):
 def test_capped_lsh_plan_shape(spark):
     """Hot-bucket cap plan: NO Window operator (WindowExec buffers hot
     frames — the guard would OOM on the skew it guards), counts via
-    partial-aggregating groupBy, and the big exploded self-join is
-    NEVER broadcast (merge hint — size misestimates broadcast multi-GB
-    frames). With no skew present the eager counting pass proves the
-    cap unnecessary and the anti-join vanishes from the plan entirely
-    (round-3 no-skew fast path)."""
+    partial-aggregating groupBy. With no skew present the eager
+    counting pass proves the cap unnecessary and the anti-join vanishes
+    from the plan entirely; the self-join side is broadcast because the
+    SAME pass measured the frame as provably tiny (round-3 no-skew fast
+    path — Spark's own estimate is never trusted)."""
     from eo_tools_spark.operators.dedup import drop_report, simhash_pairs
     from eo_tools_spark.plans.skew import explain_str
 
@@ -142,18 +142,52 @@ def test_capped_lsh_plan_shape(spark):
     out = simhash_pairs(df, max_hamming=3, max_bucket=100)
     plan = explain_str(out)
     assert "Window" not in plan, plan
-    assert "SortMergeJoin" in plan, plan
-    # no-skew fast path: the anti-join is gone, nothing is broadcast
+    # no-skew fast path: the anti-join is gone; the only broadcast is
+    # the measured-tiny self-join probe side
     assert "LeftAnti" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
     rep = drop_report(out)
     assert rep["anti_join"] == "skipped" and rep["rows_dropped"] == 0
 
 
+def test_self_join_never_broadcasts_unmeasured_or_big_frames(spark):
+    """The 100 TB contract: a banded frame whose measured rows exceed
+    the broadcast budget — or one never counted (cap disabled) — takes
+    the spill-safe sort-merge path, NEVER a broadcast (Spark broadcast
+    a 2.2 GB exploded frame under the 64 MB threshold; measured OOM)."""
+    from eo_tools_spark.operators.dedup import (
+        cap_hot_buckets, drop_report, self_join_probe_side,
+    )
+    from eo_tools_spark.plans.skew import explain_str
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 7) for i in range(60)], "doc_id long, band int, key long"
+    )
+    capped = cap_hot_buckets(df, ["band", "key"], 50, "bigprobe")
+    # measured size above the budget → merge
+    b = self_join_probe_side(df, drop_report(capped), banded_broadcast_rows=10)
+    plan = explain_str(
+        capped.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+    )
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan, plan
+    # un-counted frame (cap disabled, report None) → merge as well
+    b2 = self_join_probe_side(df, None)
+    plan2 = explain_str(
+        df.alias("a").join(
+            b2.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+    )
+    assert "SortMergeJoin" in plan2 and "BroadcastHashJoin" not in plan2, plan2
+
+
 def test_capped_lsh_plan_shape_with_skew(spark):
     """When hot buckets EXIST the cap materializes as a broadcast
-    anti-join (small measured hot set) — and the self-join still never
-    broadcasts the exploded frame."""
+    anti-join (small measured hot set) on top of the measured-size
+    probe-side broadcast."""
     from eo_tools_spark.operators.dedup import drop_report, simhash_pairs
     from eo_tools_spark.plans.skew import explain_str
 
@@ -162,9 +196,9 @@ def test_capped_lsh_plan_shape_with_skew(spark):
     out = simhash_pairs(df, max_hamming=3, max_bucket=20)
     plan = explain_str(out)
     assert "Window" not in plan, plan
-    assert "SortMergeJoin" in plan, plan
     assert "LeftAnti" in plan, plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    # 2 broadcasts: tiny hot-key anti-join + measured-tiny probe side
+    assert plan.count("BroadcastHashJoin") == 2, plan
     rep = drop_report(out)
     assert rep["anti_join"] == "broadcast" and rep["rows_dropped"] > 0
     # and the degenerate key is actually gone from the output
