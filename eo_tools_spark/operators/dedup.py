@@ -80,24 +80,29 @@ def cap_hot_buckets(
        need (at sf0.1 this is most of q8's round-2 regression).
     2. **Measured anti-join strategy**: when hot keys exist, the hot
        set is ≤ N/max_bucket rows, *measured* by the same pass. Small
-       sets (≤ ``hot_broadcast_rows``) use an explicit broadcast
-       anti-join — the big banded side never shuffles for the cap.
-       Above that (adversarial boilerplate at extreme corpus scale,
-       e.g. 400B banded rows / 4096 ≈ 100M keys → multi-GB broadcast)
-       it switches to a sort-merge anti-join instead of sailing into
-       Spark's 8 GB broadcast cliff.
+       sets (≤ ``hot_broadcast_rows``) are collected ONCE at build into
+       a local broadcast frame — the anti-join never recomputes the
+       counting aggregation at action time and the big banded side
+       never shuffles for the cap. Above that (adversarial boilerplate
+       at extreme corpus scale, e.g. 400B banded rows / 4096 ≈ 100M
+       keys → multi-GB broadcast) it switches to a lazy sort-merge
+       anti-join instead of sailing into Spark's 8 GB broadcast cliff.
     3. **Immediate, accurate audit**: drop metrics are known at build —
-       the WARNING logs right away instead of after a deferred
-       Observation read, and the report cannot be clobbered by a
+       the WARNING logs right away, the report cannot be clobbered by a
        concurrent same-label query (it rides on the returned frame as
-       ``_eo_drop_report``).
+       ``_eo_drop_report``), and the same metrics are ALSO exported as
+       Spark ``observe`` metrics on the counting job for UI/listener
+       monitoring.
 
-    Cost: one aggregation job over ``banded`` at build (signatures
-    recompute — persist the signature frame upstream when it is
-    expensive; an in-operator persist would leak, since a lazy operator
-    never owns an action to unpersist after). Net scans of ``banded``
-    are unchanged vs the lazy design (counting was one of its join
-    inputs); the no-skew case comes out strictly cheaper.
+    Scan accounting, honestly (signatures recompute per scan unless the
+    caller persists the frame upstream — an in-operator persist would
+    leak, since a lazy operator never owns an action to unpersist
+    after): no-skew = 1 build scan + 2 self-join scans (3, same as the
+    round-2 lazy design, minus all anti-join work); broadcast-skew =
+    2 build scans (stats + hot-key collect) + 2 action scans (4 — one
+    more than round-2, buying a repeat-action-free local anti-join
+    side); merge-skew = 1 + 3 (4 — the hot side must stay lazy at that
+    cardinality).
 
     In a SELF-join it suffices to cap ONE side: a hot bucket with zero
     rows on the capped side produces zero pairs however large the other
@@ -106,10 +111,9 @@ def cap_hot_buckets(
     """
     if max_bucket is None:
         return banded
-    for k in key_cols:
-        banded = banded.where(F.col(k).isNotNull())
+    banded = filter_null_keys(banded, key_cols)
     counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
-    stats = counts.agg(
+    metrics = [
         F.coalesce(F.max("_bucket_n"), F.lit(0)).alias("max_bucket_n"),
         F.coalesce(
             F.sum((F.col("_bucket_n") > max_bucket).cast("long")), F.lit(0)
@@ -119,7 +123,14 @@ def cap_hot_buckets(
             F.lit(0),
         ).alias("rows_dropped"),
         F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("n_rows"),
-    ).collect()[0]
+    ]
+    try:  # listener/UI visibility of the cap on the job that runs it
+        from pyspark.sql import Observation
+
+        counts = counts.observe(Observation(f"cap_hot_buckets:{label}"), *metrics)
+    except Exception:
+        pass
+    stats = counts.agg(*metrics).collect()[0]
     report = {
         "label": label,
         "max_bucket": max_bucket,
@@ -132,23 +143,48 @@ def cap_hot_buckets(
     if report["n_hot_buckets"] == 0:
         out = banded
     else:
-        hot = counts.where(F.col("_bucket_n") > max_bucket).select(*key_cols)
         if report["n_hot_buckets"] <= hot_broadcast_rows:
+            # measured-small: collect the hot keys NOW — the anti-join
+            # side becomes a local frame, so actions on the returned
+            # plan never re-run the counting aggregation
             report["anti_join"] = "broadcast"
-            hot = F.broadcast(hot)
+            hot_rows = (
+                counts.where(F.col("_bucket_n") > max_bucket)
+                .select(*key_cols)
+                .collect()
+            )
+            spark = banded.sparkSession
+            hot = F.broadcast(
+                spark.createDataFrame(hot_rows, banded.select(*key_cols).schema)
+            )
         else:
             report["anti_join"] = "merge"
-            hot = hot.hint("merge")
+            hot = (
+                counts.where(F.col("_bucket_n") > max_bucket)
+                .select(*key_cols)
+                .hint("merge")
+            )
         out = banded.join(hot, key_cols, "left_anti")
         log.warning(
-            "%s: hot-bucket cap drops %s banded rows across %s hot buckets "
-            "(max bucket %s > cap %s; %s anti-join)",
+            "%s: hot-bucket cap will drop %s banded rows across %s hot buckets "
+            "at execution (max bucket %s > cap %s; %s anti-join)",
             label, report["rows_dropped"], report["n_hot_buckets"],
             report["max_bucket_n"], max_bucket, report["anti_join"],
         )
     _drop_reports[label] = report
     out._eo_drop_report = report
     return out
+
+
+def filter_null_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Drop NULL band-key rows: a NULL key cannot pair through an
+    equi-join, an anti-join would silently PASS it, and on the probe
+    side it is dead broadcast weight. Callers filter once and feed the
+    SAME frame to cap_hot_buckets and self_join_probe_side, so the
+    measured n_rows describes exactly the frame that gets broadcast."""
+    for k in key_cols:
+        df = df.where(F.col(k).isNotNull())
+    return df
 
 
 def self_join_probe_side(
@@ -340,6 +376,7 @@ def lsh_pairs(
             )
         ).alias("band", "key"),
     )
+    banded = filter_null_keys(banded, ["band", "key"])
     capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
     # one-sided cap (see cap_hot_buckets); probe-side strategy by
     # MEASURED size (see self_join_probe_side — never Spark's estimate)
@@ -413,7 +450,9 @@ def simhash_signatures(
             # ±1 per bit, accumulated per doc: bits (n_tok, 64);
             # segmented reduce over the contiguous per-doc layout
             # (see minhash_signatures)
-            bits = ((base[:, None] & bit_cols[None, :]) != 0).astype(np.int64) * 2 - 1
+            # int32 halves the dominant (n_tok, 64) transient; per-doc
+            # ±1 sums cannot overflow int32 at any realistic doc length
+            bits = ((base[:, None] & bit_cols[None, :]) != 0).astype(np.int32) * 2 - 1
             acc = np.add.reduceat(bits, starts, axis=0)
             sig = (acc > 0) @ bit_cols.astype(object)  # python ints avoid overflow
             sig64 = np.array([int(s) for s in sig], dtype=np.uint64).view(np.int64)
@@ -441,6 +480,7 @@ def simhash_pairs(
         "simhash",
         hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
+    chunks = filter_null_keys(chunks, ["chunk", "ckey"])
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
     # one-sided cap; probe-side strategy by measured size (lsh_pairs)
     a = capped.alias("a")
@@ -511,6 +551,7 @@ def embedding_neardup(
 
     sig = emb_df.select(id_col, emb_col).mapInPandas(buckets, schema=sig_schema)
     exploded = sig.select(id_col, F.explode("bucket").alias("bkey"))
+    exploded = filter_null_keys(exploded, ["bkey"])
     capped = cap_hot_buckets(exploded, ["bkey"], max_bucket, "embedding_neardup")
     # one-sided cap; probe-side strategy by measured size (lsh_pairs)
     a = capped.alias("a")

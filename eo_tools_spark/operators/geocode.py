@@ -193,8 +193,11 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
     """
     if factor == 1:
         return dem_tiles
-    if factor <= 0:
-        raise ValueError(f"upsample factor must be > 0, got {factor}")
+    if factor < 1:
+        # a downsampling factor can emit 1-sample axes whose bbox node
+        # spacing is undefined — this is an UPsampler (reference default
+        # dem_upsampling=1.8, never <1)
+        raise ValueError(f"dem upsampling factor must be >= 1, got {factor}")
     schema = dem_tiles.schema
 
     def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,7 +216,7 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
                         f"is {th}x{tw}; tiles must be at least 2x2"
                     )
                 elev = np.frombuffer(bytes(d["elev"]), dtype=np.float32).reshape(th, tw)
-                nh, nw = max(int(th * factor), 1), max(int(tw * factor), 1)
+                nh, nw = int(th * factor), int(tw * factor)
                 d["elev"] = resize_bilinear_float(elev, nh, nw).astype(np.float32).tobytes()
                 # sample position of output index j (input px units):
                 # s_j = (j+0.5)·n/out − 0.5; remap bbox so that
@@ -378,6 +381,11 @@ def _split_warped_lut(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                if "#" in r.dem_tile_id:
+                    raise ValueError(
+                        f"sar2geo_tiles: dem_tile_id {r.dem_tile_id!r} contains "
+                        "'#' — reserved for the patch-budget sub-tile suffix"
+                    )
                 th, tw = int(r.th), int(r.tw)
                 az = np.frombuffer(bytes(r.az), dtype=np.float64).reshape(th, tw)
                 rg = np.frombuffer(bytes(r.rg), dtype=np.float64).reshape(th, tw)
@@ -539,14 +547,10 @@ def sar2geo_tiles(
             for r in pdf.itertuples():
                 az = np.frombuffer(bytes(r.az), dtype=np.float64)
                 rg = np.frombuffer(bytes(r.rg), dtype=np.float64)
-                ok = ~np.isnan(az) & ~np.isnan(rg)
-                ok &= (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg)
-                if not ok.any():
+                bbox = _referenced_bbox(az, rg, naz, nrg, H)
+                if bbox is None:
                     continue
-                a0 = max(int(np.floor(az[ok].min())) - H, 0)
-                a1 = min(int(np.ceil(az[ok].max())) + H, naz - 1)
-                c0 = max(int(np.floor(rg[ok].min())) - H, 0)
-                c1 = min(int(np.ceil(rg[ok].max())) + H, nrg - 1)
+                a0, a1, c0, c1 = bbox
                 for ty in range(a0 // tile, a1 // tile + 1):
                     for tx in range(c0 // tile, c1 // tile + 1):
                         rows.append((r.dem_tile_id, ty, tx))
@@ -583,13 +587,13 @@ def sar2geo_tiles(
         th, tw = int(lr.th), int(lr.tw)
         az = np.frombuffer(bytes(lr.az), dtype=np.float64).reshape(th, tw)
         rg = np.frombuffer(bytes(lr.rg), dtype=np.float64).reshape(th, tw)
-        # local patch bounds (global-border clipped, see docstring)
+        # local patch bounds (global-border clipped, see docstring) —
+        # the SAME predicate/margin as keys() and the split pre-pass
+        # (_referenced_bbox), or split sub-tiles would desync from
+        # their gathered patches
         ok = ~np.isnan(az) & ~np.isnan(rg)
         ok &= (az >= 0) & (az < naz) & (rg >= 0) & (rg < nrg)
-        a0 = max(int(np.floor(az[ok].min())) - H, 0)
-        a1 = min(int(np.ceil(az[ok].max())) + H, naz - 1)
-        c0 = max(int(np.floor(rg[ok].min())) - H, 0)
-        c1 = min(int(np.ceil(rg[ok].max())) + H, nrg - 1)
+        a0, a1, c0, c1 = _referenced_bbox(az, rg, naz, nrg, H)
         kind = sar_pdf.iloc[0].kind
         nanv = (np.nan + 1j * np.nan) if kind == "c8" else np.nan
         patch = np.full(

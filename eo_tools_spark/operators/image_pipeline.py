@@ -150,6 +150,7 @@ def phash_neardup(
     from eo_tools_spark.operators.dedup import (
         cap_hot_buckets,
         drop_report,
+        filter_null_keys,
         hamming_band_cols,
         self_join_probe_side,
     )
@@ -159,6 +160,7 @@ def phash_neardup(
         "phash",
         hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
+    chunks = filter_null_keys(chunks, ["chunk", "ckey"])
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
     # one-sided cap; probe-side strategy by measured size (never Spark's
     # exploded-frame estimate — see dedup.self_join_probe_side)

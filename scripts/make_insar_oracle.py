@@ -97,6 +97,27 @@ def verify_geocode_merge(spark) -> None:
     assert not np.isnan(exp[:, : SW_W - 4]).all(), "swath A must cover left"
     print("geocode_merge: dense-oracle parity OK (unclipped mosaic)")
 
+    # the PINNED query is the AOI-CLIPPED mosaic — verify that path too:
+    # with geo_origin=(0, G_GEO), geo_px=1, pixel (r, c) sits at
+    # (x, y) = (c + 0.5, G_GEO - 0.5 - r); the fixture ring is the
+    # rectangle x∈[20,170], y∈[30,160]
+    ring = np.array(
+        [[20.0, 30.0], [170.0, 30.0], [170.0, 160.0], [20.0, 160.0], [20.0, 30.0]]
+    )
+    clipped = geocode_and_merge(
+        per_swath, T_GEO, kernel="bicubic", out_kind="f4",
+        aoi=ring, geo_origin=(0.0, float(G_GEO)), geo_px=1.0,
+    )
+    got_c = tiles_to_raster(clipped, T_GEO)
+    rr, cc = np.mgrid[0:G_GEO, 0:G_GEO]
+    x, y = cc + 0.5, G_GEO - 0.5 - rr
+    inside = (x >= 20.0) & (x <= 170.0) & (y >= 30.0) & (y <= 160.0)
+    exp_c = np.where(inside, exp, np.nan)
+    np.testing.assert_allclose(got_c, exp_c, rtol=1e-5, atol=1e-6, equal_nan=True)
+    n_finite = int(np.isfinite(got_c).sum())
+    assert n_finite > 10000, f"clipped mosaic nearly empty ({n_finite} px)"
+    print(f"geocode_merge: dense-oracle parity OK (clipped mosaic, {n_finite} finite px)")
+
 
 def verify_terrain(spark) -> None:
     import pandas as pd

@@ -415,6 +415,25 @@ class TestSar2GeoTiles:
             a0, a1, c0, c1 = bbox
             assert (a1 - a0 + 1) * (c1 - c0 + 1) <= budget
 
+    def test_patch_budget_rejects_reserved_hash_in_id(self, spark):
+        """'#' is reserved for the sub-tile suffix when a budget is set
+        — an id carrying it must fail loudly, not be mis-reassembled."""
+        from eo_tools_spark.operators.geocode import sar2geo_tiles
+        from eo_tools_spark.operators.tiles import raster_to_tiles
+
+        img = np.zeros((32, 32), dtype=np.float32)
+        sar = raster_to_tiles(spark, img, "sar", 16)
+        az = np.mgrid[0:4, 0:4][0].astype(float)
+        lut_df = spark.createDataFrame(
+            [("bad#id", az.tobytes(), az.T.copy().tobytes(), 4, 4)],
+            "dem_tile_id string, az binary, rg binary, th int, tw int",
+        )
+        with pytest.raises(Exception, match="reserved"):
+            sar2geo_tiles(
+                lut_df, sar, 32, 32, 16, "bilinear", out_kind="f4",
+                max_patch_pixels=10_000,
+            ).collect()
+
     def test_patch_budget_too_small_fails_loudly(self, spark):
         from eo_tools_spark.operators.geocode import sar2geo_tiles
         from eo_tools_spark.operators.tiles import raster_to_tiles
@@ -511,8 +530,9 @@ class TestDemUpsampling:
         )
         with pytest.raises(Exception, match="at least 2x2"):
             upsample_dem_tiles(dem, 1.8).collect()
-        with pytest.raises(ValueError, match="factor must be > 0"):
-            upsample_dem_tiles(dem, 0)
+        # downsampling factors could emit 1-sample axes — rejected
+        with pytest.raises(ValueError, match="factor must be >= 1"):
+            upsample_dem_tiles(dem, 0.4)
 
     def test_feeds_geocode(self, spark):
         """Upsampled tiles run through geocode_dem_tiles unchanged —
