@@ -377,6 +377,39 @@ def q_image_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- near-dup clustering
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduce a dedup pipeline actually needs: LSH near-dup PAIRS →
+    connected components → (doc_id, cluster_id = min id of the
+    component). Spark side: the dual-dialect minhash pair SQL feeds the
+    iterative min-label-propagation operator (operators/cluster.py);
+    the DuckDB oracle computes the same components with a recursive-CTE
+    transitive closure over the IDENTICAL pair set."""
+    from eo_tools_spark.operators import text_queries as TQ
+    from eo_tools_spark.operators.cluster import connected_components
+
+    spark_sql, _ = TQ.minhash_lsh_pairs()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return connected_components(spark.sql(spark_sql))
+
+
+def _neardup_clusters_oracle() -> str:
+    from eo_tools_spark.operators import text_queries as TQ
+
+    _, duck = TQ.minhash_lsh_pairs()
+    return (
+        "WITH RECURSIVE pairs AS (" + duck + "), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT DISTINCT src, src FROM edges "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) "
+        "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"
+    )
+
+
 # ----------------------------------------------- InSAR / terrain lifecycle
 # The reference's flagship chains (process.py:47-222 align→ifg→coh,
 # process.py:1305-1458 geocode_and_merge, process.py:2505-2535 +
@@ -478,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["insar_products"] = q_insar_products
     out["geocode_merge"] = q_geocode_merge
     out["terrain_gamma"] = q_terrain_gamma
+    out["neardup_clusters"] = q_neardup_clusters
     return out
 
 
@@ -553,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (duck_sql, _tables) in _DUAL_QUERIES.items():
         out[name] = duck_sql
     out["annotation_etl"] = ANNOTATION_ETL_ORACLE
+    out["neardup_clusters"] = _neardup_clusters_oracle()
 
     # image queries: the image table is synthesized deterministically
     # (make_image is pure in (i, seed)), so expected outputs are

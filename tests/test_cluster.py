@@ -1,0 +1,75 @@
+"""Connected-components clustering vs a union-find oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eo_tools_spark.operators.cluster import connected_components, dedup_keep_list
+
+
+def union_find_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to component MIN (path-compress fully)
+    return {v: find(v) for v in list(parent)}
+
+
+class TestConnectedComponents:
+    def test_random_graph_matches_union_find(self, spark):
+        rng = np.random.default_rng(4)
+        n = 400
+        pairs = set()
+        # clustered blobs (the near-dup shape) + a few long chains
+        for base in range(0, n, 20):
+            members = rng.choice(range(base, base + 12), size=8, replace=False)
+            for i in range(len(members) - 1):
+                a, b = int(members[i]), int(members[i + 1])
+                if a != b:
+                    pairs.add((min(a, b), max(a, b)))
+        for c in range(5):
+            for i in range(10):  # chain of 11 nodes → diameter 10
+                pairs.add((1000 + c * 20 + i, 1000 + c * 20 + i + 1))
+        exp = union_find_oracle(pairs)
+
+        df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+        got = {
+            r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        }
+        assert got == exp
+
+    def test_result_is_reusable_after_loop(self, spark):
+        """The returned frame must not replay the iteration lineage —
+        two actions on it give identical results quickly."""
+        df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        out = connected_components(df)
+        a = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+        b = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+        assert a == b == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+    def test_non_convergence_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(df, max_iters=2)
+
+    def test_dedup_keep_list(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+        out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_keep_list(docs, pairs).collect()}
+        assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
+        # unclustered docs keep themselves
+        assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
