@@ -112,7 +112,11 @@ def cap_hot_buckets(
     if max_bucket is None:
         return banded
     banded = filter_null_keys(banded, key_cols)
-    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    bytes_expr = _row_bytes_expr(banded)
+    aggs = [F.count(F.lit(1)).alias("_bucket_n")]
+    if bytes_expr is not None:
+        aggs.append(F.sum(bytes_expr).alias("_bucket_bytes"))
+    counts = banded.groupBy(*key_cols).agg(*aggs)
     metrics = [
         F.coalesce(F.max("_bucket_n"), F.lit(0)).alias("max_bucket_n"),
         F.coalesce(
@@ -124,6 +128,10 @@ def cap_hot_buckets(
         ).alias("rows_dropped"),
         F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("n_rows"),
     ]
+    if bytes_expr is not None:
+        metrics.append(
+            F.coalesce(F.sum("_bucket_bytes"), F.lit(0)).alias("n_bytes")
+        )
     try:  # listener/UI visibility of the cap on the job that runs it
         from pyspark.sql import Observation
 
@@ -138,6 +146,7 @@ def cap_hot_buckets(
         "n_hot_buckets": int(stats["n_hot_buckets"]),
         "rows_dropped": int(stats["rows_dropped"]),
         "n_rows": int(stats["n_rows"]),
+        "n_bytes": int(stats["n_bytes"]) if bytes_expr is not None else None,
         "anti_join": "skipped",
     }
     if report["n_hot_buckets"] == 0:
@@ -148,14 +157,18 @@ def cap_hot_buckets(
             # side becomes a local frame, so actions on the returned
             # plan never re-run the counting aggregation
             report["anti_join"] = "broadcast"
-            hot_rows = (
+            # Arrow both ways: .collect() would materialize up to
+            # hot_broadcast_rows PYTHON Row objects on the driver and
+            # pickle them back out — toPandas/createDataFrame(pdf) keep
+            # the round-trip columnar (keys are numeric in every caller)
+            hot_pdf = (
                 counts.where(F.col("_bucket_n") > max_bucket)
                 .select(*key_cols)
-                .collect()
+                .toPandas()
             )
             spark = banded.sparkSession
             hot = F.broadcast(
-                spark.createDataFrame(hot_rows, banded.select(*key_cols).schema)
+                spark.createDataFrame(hot_pdf, banded.select(*key_cols).schema)
             )
         else:
             report["anti_join"] = "merge"
@@ -181,25 +194,66 @@ def filter_null_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     equi-join, an anti-join would silently PASS it, and on the probe
     side it is dead broadcast weight. Callers filter once and feed the
     SAME frame to cap_hot_buckets and self_join_probe_side, so the
-    measured n_rows describes exactly the frame that gets broadcast."""
+    measured n_rows/n_bytes describe exactly the frame that gets
+    broadcast."""
     for k in key_cols:
         df = df.where(F.col(k).isNotNull())
     return df
 
 
+def _row_bytes_expr(df: DataFrame):
+    """Per-row serialized-size estimate (bytes) as a Column, or None if
+    the schema contains a type we can't bound (then callers must treat
+    the frame as un-measurable and refuse to broadcast it). Fixed-width
+    fields count their width; strings/binaries their octet_length;
+    arrays of fixed-width elements size*width — each variable field
+    plus the row itself carries a small overhead constant."""
+    import pyspark.sql.types as T
+
+    fixed = {
+        T.LongType: 8, T.IntegerType: 4, T.DoubleType: 8, T.FloatType: 4,
+        T.ShortType: 2, T.ByteType: 1, T.BooleanType: 1,
+        T.TimestampType: 8, T.DateType: 4,
+    }
+    total = F.lit(8)
+    for f in df.schema.fields:
+        t = type(f.dataType)
+        if t in fixed:
+            total = total + F.lit(fixed[t] + 1)
+        elif t in (T.StringType, T.BinaryType):
+            total = total + F.coalesce(
+                F.octet_length(F.col(f.name)), F.lit(0)
+            ) + F.lit(16)
+        elif t is T.ArrayType and type(f.dataType.elementType) in fixed:
+            w = fixed[type(f.dataType.elementType)]
+            total = total + F.coalesce(
+                F.size(F.col(f.name)) * w, F.lit(0)
+            ) + F.lit(16)
+        else:
+            return None
+    return total.cast("long")
+
+
 def self_join_probe_side(
-    banded: DataFrame, report: dict | None, banded_broadcast_rows: int = 2_000_000
+    banded: DataFrame, report: dict | None, banded_broadcast_bytes: int = 128 << 20
 ) -> DataFrame:
     """Pick the un-capped side's join strategy for the banded SELF-join
-    by MEASURED size. Spark's size estimate of an exploded mapInPandas
-    frame is garbage — it broadcast a 2.2 GB side under the 64 MB
-    threshold (measured OOM at 2M rows) — so the estimate is never
-    trusted. But the cap's counting pass already measured the EXACT
-    banded row count: frames provably small (≤ ``banded_broadcast_rows``)
-    are broadcast (recovers the round-2 sort-merge insurance cost on
-    tiny inputs); everything else, or an un-counted frame (cap
-    disabled), takes the spill-safe sort-merge path."""
-    if report is not None and report["n_rows"] <= banded_broadcast_rows:
+    by MEASURED size. Spark's own size estimate of an exploded
+    mapInPandas frame is garbage — it broadcast a 2.2 GB side under the
+    64 MB threshold (measured OOM at 2M rows) — so the estimate is
+    never trusted. The cap's counting pass measured the exact row count
+    AND a schema-derived byte total (report["n_bytes"]): frames
+    provably small (≤ ``banded_broadcast_bytes``) are broadcast
+    (recovers the round-2 sort-merge insurance cost on small inputs);
+    everything else — bigger, un-counted (cap disabled), or
+    un-measurable (a schema type _row_bytes_expr can't bound) — takes
+    the spill-safe sort-merge path. Bytes, not rows: a row count says
+    nothing when the id column is a 100-byte URL."""
+    if (
+        report is not None
+        and report.get("n_bytes") is not None
+        and report["n_bytes"] <= banded_broadcast_bytes
+    ):
         return F.broadcast(banded)
     return banded.hint("merge")
 
@@ -312,6 +366,10 @@ def minhash_signatures(
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
     A, B = _A[:num_hashes], _B[:num_hashes]
+    if token_hash not in ("fast", "md5"):
+        raise ValueError(
+            f"unknown token_hash {token_hash!r} (expected 'fast' or 'md5')"
+        )
     base_hash = _token_base_hash if token_hash == "fast" else _token_base_hash_md5
 
     def shingles_of(t: str) -> list[str]:

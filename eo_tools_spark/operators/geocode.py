@@ -432,7 +432,7 @@ def _split_warped_lut(
     return lut.mapInPandas(split, schema=schema)
 
 
-def _reassemble_split_tiles(out: DataFrame, out_kind: str) -> DataFrame:
+def _reassemble_split_tiles(out: DataFrame) -> DataFrame:
     """Paste ``{id}#{r0}:{c0}:{TH}:{TW}`` sub-tiles back into full
     (TH, TW) tiles; pass unsplit rows through untouched. Sub-regions no
     part produced (fully OOB) stay NaN — identical to the unsplit
@@ -520,7 +520,10 @@ def sar2geo_tiles(
     sub-gather fits (bit-identical output, reassembled after the
     gather; fails loudly if one pixel's kernel support alone exceeds
     the budget). dem_tile_id must not contain '#' when a budget is set
-    (reserved for the sub-tile suffix).
+    (reserved for the sub-tile suffix). A build-time probe (one narrow
+    pass over the LUT) checks whether anything actually split: on a
+    smooth LUT the budget is free insurance — the original frame is
+    used and the reassembly shuffle is not planned at all.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -529,9 +532,21 @@ def sar2geo_tiles(
     from eo_tools_spark.operators.tiles import _decode, _DTYPES
 
     H = kernel_margin(kernel)
-    split_applied = max_patch_pixels is not None
-    if split_applied:
-        lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels)
+    split_applied = False
+    if max_patch_pixels is not None:
+        # Build-time probe: does any LUT tile actually need splitting?
+        # One extra narrow pass over the LUT (the split kernel also
+        # validates the budget and the '#'-free id invariant eagerly);
+        # when nothing split — the common smooth-LUT case — the
+        # original frame is bit-identical to the split one, so the
+        # gather skips BOTH the split kernel re-runs and the
+        # reassembly's full-output shuffle + Arrow round-trip.
+        split_lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels)
+        split_applied = (
+            split_lut.where(F.instr("dem_tile_id", "#") > 0).limit(1).count() > 0
+        )
+        if split_applied:
+            lut = split_lut
 
     key_schema = StructType(
         [
@@ -626,7 +641,7 @@ def sar2geo_tiles(
         .applyInPandas(gather, schema=out_schema)
     )
     if split_applied:
-        out = _reassemble_split_tiles(out, out_kind)
+        out = _reassemble_split_tiles(out)
     return out
 
 

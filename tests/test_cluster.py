@@ -57,6 +57,46 @@ class TestConnectedComponents:
         b = sorted((r.doc_id, r.cluster_id) for r in out.collect())
         assert a == b == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
 
+    def test_star_matches_union_find(self, spark):
+        """Star contraction agrees with the union-find oracle on the
+        same clustered-blobs + chains graph as label propagation."""
+        rng = np.random.default_rng(7)
+        pairs = set()
+        for base in range(0, 400, 20):
+            members = rng.choice(range(base, base + 12), size=8, replace=False)
+            for i in range(len(members) - 1):
+                a, b = int(members[i]), int(members[i + 1])
+                if a != b:
+                    pairs.add((min(a, b), max(a, b)))
+        for c in range(5):
+            for i in range(10):
+                pairs.add((1000 + c * 20 + i, 1000 + c * 20 + i + 1))
+        exp = union_find_oracle(pairs)
+
+        df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got == exp
+
+    def test_star_handles_high_diameter_in_log_rounds(self, spark):
+        """A 1023-node path (diameter 1022): label propagation cannot
+        converge in 15 rounds; star contraction must (O(log n))."""
+        pairs = [(i, i + 1) for i in range(1022)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(df, max_iters=15)
+        got = connected_components(df, algorithm="star", max_iters=15)
+        rows = got.collect()
+        assert len(rows) == 1023
+        assert all(r.cluster_id == 0 for r in rows)
+
+    def test_unknown_algorithm_rejected(self, spark):
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="algorithm"):
+            connected_components(df, algorithm="bfs")
+
     def test_non_convergence_raises(self, spark):
         df = spark.createDataFrame(
             [(i, i + 1) for i in range(12)], "id_a long, id_b long"

@@ -83,6 +83,12 @@ class TestMinhashLSH:
         for h in range(4):
             assert sig[doc_id][h] == (base * _A[h] + _B[h]).min()
 
+    def test_unknown_token_hash_rejected(self, spark):
+        """A typo must not silently select the 10x-slower md5 path."""
+        df, _ = corpus(spark, n=2)
+        with pytest.raises(ValueError, match="token_hash"):
+            minhash_signatures(df, num_hashes=4, token_hash="siphash")
+
     def test_fast_hash_same_pairs_as_md5(self, spark):
         """The full LSH pipeline finds the same verified pair set under
         either token-hash family on the planted corpus (the family only

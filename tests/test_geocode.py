@@ -452,6 +452,41 @@ class TestSar2GeoTiles:
                 max_patch_pixels=4,
             ).collect()
 
+    def test_patch_budget_no_split_skips_reassembly(self, spark):
+        """Setting the budget as insurance on a smooth LUT must not pay
+        the reassembly pass: the build-time probe sees zero split tiles
+        and the plan carries no groupBy-paste (applyInPandas) stage —
+        only the cogroup gather. A warped LUT under the same budget DOES
+        carry it."""
+        from eo_tools_spark.operators.geocode import sar2geo_tiles
+        from eo_tools_spark.operators.tiles import raster_to_tiles
+        from eo_tools_spark.plans.skew import explain_str
+
+        naz = nrg = 32
+        tile = 16
+        img = np.arange(naz * nrg, dtype=np.float32).reshape(naz, nrg)
+        sar = raster_to_tiles(spark, img, "sar", tile)
+        g = np.mgrid[0:16, 0:16].astype(float)
+        smooth = spark.createDataFrame(
+            [("s", g[0].tobytes(), g[1].tobytes(), 16, 16)],
+            "dem_tile_id string, az binary, rg binary, th int, tw int",
+        )
+        out = sar2geo_tiles(
+            smooth, sar, naz, nrg, tile, "bilinear", out_kind="f4",
+            max_patch_pixels=18 * 18,
+        )
+        plan = explain_str(out)
+        assert "FlatMapCoGroupsInPandas" in plan, plan
+        assert "FlatMapGroupsInPandas" not in plan, plan
+
+        # same LUT under a budget smaller than its referenced bbox →
+        # the probe detects split tiles and the paste stage is planned
+        out_w = sar2geo_tiles(
+            smooth, sar, naz, nrg, tile, "bilinear", out_kind="f4",
+            max_patch_pixels=6 * 18,
+        )
+        assert "FlatMapGroupsInPandas" in explain_str(out_w)
+
 
 class TestDemUpsampling:
     """load_dem_coords on-read bilinear upsampling (core.py:1153-1176,

@@ -165,7 +165,7 @@ def test_self_join_never_broadcasts_unmeasured_or_big_frames(spark):
     )
     capped = cap_hot_buckets(df, ["band", "key"], 50, "bigprobe")
     # measured size above the budget → merge
-    b = self_join_probe_side(df, drop_report(capped), banded_broadcast_rows=10)
+    b = self_join_probe_side(df, drop_report(capped), banded_broadcast_bytes=10)
     plan = explain_str(
         capped.alias("a").join(
             b.alias("b"),
@@ -182,6 +182,59 @@ def test_self_join_never_broadcasts_unmeasured_or_big_frames(spark):
         )
     )
     assert "SortMergeJoin" in plan2 and "BroadcastHashJoin" not in plan2, plan2
+
+
+def test_probe_side_measures_bytes_not_rows(spark):
+    """A few rows with fat payloads must NOT be broadcast: the decision
+    is on the measured byte total (a row count says nothing when the id
+    is a 100-byte URL or the row carries a signature array)."""
+    from eo_tools_spark.operators.dedup import (
+        cap_hot_buckets, drop_report, self_join_probe_side,
+    )
+    from eo_tools_spark.plans.skew import explain_str
+
+    fat = spark.createDataFrame(
+        [(("u" * 2000) + str(i), 1, i % 7) for i in range(60)],
+        "doc_id string, band int, key long",
+    )
+    capped = cap_hot_buckets(fat, ["band", "key"], 50, "fatprobe")
+    rep = drop_report(capped)
+    assert rep["n_rows"] == 60 and rep["n_bytes"] > 60 * 2000
+    # 60 rows but ~120 kB of payload vs a 1 kB budget → merge
+    b = self_join_probe_side(fat, rep, banded_broadcast_bytes=1024)
+    plan = explain_str(
+        capped.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+    )
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_probe_side_unmeasurable_schema_never_broadcasts(spark):
+    """A column type _row_bytes_expr can't bound (array<string>) makes
+    the frame un-measurable: cap still works (n_bytes=None) and the
+    probe side falls back to sort-merge."""
+    from eo_tools_spark.operators.dedup import (
+        cap_hot_buckets, drop_report, self_join_probe_side,
+    )
+    from eo_tools_spark.plans.skew import explain_str
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 7, ["x"]) for i in range(30)],
+        "doc_id long, band int, key long, toks array<string>",
+    )
+    capped = cap_hot_buckets(df, ["band", "key"], 50, "unmeasurable")
+    rep = drop_report(capped)
+    assert rep["n_bytes"] is None and rep["n_rows"] == 30
+    b = self_join_probe_side(df, rep)
+    plan = explain_str(
+        capped.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+    )
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan, plan
 
 
 def test_capped_lsh_plan_shape_with_skew(spark):
