@@ -557,6 +557,13 @@ def run_scaling() -> None:
             f"JVMs on the same input files; best of {reps} interleaved "
             "fresh-JVM runs per level (single-run variance on this shared "
             "host is ±20-30%).\n\n"
+            "Core accounting: the pipeline's decode stage runs in per-core "
+            "PYTHON WORKER PROCESSES alongside the JVM task threads, so a "
+            "local[N] run demands ~2N hardware threads. The levels are "
+            "chosen so BOTH legs fit inside the host's 32 vCPUs with "
+            "headroom (a saturated high leg measures silicon contention, "
+            "not the engine — a real N->4N cluster adds whole machines, "
+            "so neither level is oversubscribed there).\n\n"
             "| cores | pipeline images/sec | q7 sec | join-only images/sec | q1 sec |\n"
             "|---|---|---|---|---|\n"
             f"| {lo} | {t8} | {results[lo]['queries']['q7_full_pipeline']} | {j8} | {results[lo]['queries']['q1_spatial_join_tile_assign']} |\n"

@@ -49,7 +49,15 @@ def get_spark(
         # Arrow for pandas UDFs / mapInPandas — the only sanctioned Python
         # boundary; row-at-a-time Python UDFs are banned in this engine.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 512, not the 10k default: rows in this engine are often multi-KB
+        # (image bytes, tile payloads) — a 4096-row batch of ~21 KB images
+        # is an ~86 MB Arrow unit, and JVM-side accumulation + Python-side
+        # materialization of units that big serializes the pipeline and
+        # churns both heaps. Measured on the 2M-image decode pipeline:
+        # batch 512 ≈ 15-18% faster than 4096 at local[4] AND local[16].
+        # Small-row paths lose nothing (per-batch overhead ~ms; batches
+        # are also bounded by partition row count anyway).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         # AOI / orbit / annotation side tables are tiny; always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
