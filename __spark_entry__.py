@@ -410,6 +410,41 @@ def _neardup_clusters_oracle() -> str:
     )
 
 
+# -------------------------------------------------------- IVF exact mode
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index code path under the exact-oracle gate: with
+    nprobe = ncells every inverted list is probed, so the result is the
+    exact top-k — identical (query_id, vec_id, rank) set to the
+    brute-force oracle (cosine VALUES are numpy pairwise sums, not the
+    SQL left fold, so the float column itself is projected away; rank
+    identity is robust because synthetic-embedding cosine gaps dwarf
+    float noise). Exercises centroid training, the deterministic
+    hash-ordered sample, cell assignment, and the per-partition probe
+    kernel (operators/similarity.ivf_topk)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    out = ivf_topk(emb, q, k=10, ncells=16, nprobe=16, id_col="vec_id")
+    return out.select("query_id", "vec_id", "rank")
+
+
+def _ann_topk_ivf_oracle() -> str:
+    # the proven brute-force dual-dialect oracle, cosine projected away
+    # (rank identity is the contract; the float column is engine-local)
+    from eo_tools_spark.operators import text_queries as TQ
+
+    _, duck = TQ.ann_topk(k=10, n_queries=5)
+    return f"SELECT query_id, vec_id, rank FROM ({duck}) t"
+
+
 # ----------------------------------------------- InSAR / terrain lifecycle
 # The reference's flagship chains (process.py:47-222 align→ifg→coh,
 # process.py:1305-1458 geocode_and_merge, process.py:2505-2535 +
@@ -512,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["geocode_merge"] = q_geocode_merge
     out["terrain_gamma"] = q_terrain_gamma
     out["neardup_clusters"] = q_neardup_clusters
+    out["ann_topk_ivf"] = q_ann_topk_ivf
     return out
 
 
@@ -588,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         out[name] = duck_sql
     out["annotation_etl"] = ANNOTATION_ETL_ORACLE
     out["neardup_clusters"] = _neardup_clusters_oracle()
+    out["ann_topk_ivf"] = _ann_topk_ivf_oracle()
 
     # image queries: the image table is synthesized deterministically
     # (make_image is pure in (i, seed)), so expected outputs are

@@ -147,9 +147,15 @@ def _star_components(
     alternation localCheckpoints its edge set (each round references
     the previous frame several times — without truncation the plan
     grows exponentially) and deterministically frees the superseded
-    checkpoint. Convergence = canonical edge set unchanged (count
-    equality + an empty one-sided exceptAll — equal-size distinct sets
-    with empty difference are equal)."""
+    checkpoint. Convergence = canonical edge set unchanged, detected
+    cheaply: one agg job per round computes (count, bit_xor of
+    xxhash64(lo, hi)) — an order-independent set fingerprint — and
+    only when BOTH match the previous round does a one-sided exceptAll
+    CONFIRM true equality (equal-size distinct sets with empty
+    difference are equal). On forests the edge count never changes, so
+    a count-only trigger would pay the exceptAll every round; the
+    fingerprint makes the confirmation run essentially once, and the
+    exactness guarantee never rests on the hash."""
     verts = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
@@ -164,7 +170,15 @@ def _star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
+    # bit_xor, not sum: an order-independent set fingerprint that cannot
+    # overflow under ANSI mode (elements are distinct, so XOR
+    # self-cancellation never applies)
+    _stats = [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("fp"),
+    ]
+    row = edges.agg(*_stats).collect()[0]
+    n_edges, fp_edges = row["n"], row["fp"]
     try:
         for _ in range(max_iters):
             sym = edges.select(
@@ -199,13 +213,17 @@ def _star_components(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            n_new = emit.count()
+            row = emit.agg(*_stats).collect()[0]
+            n_new, fp_new = row["n"], row["fp"]
             converged = (
                 n_new == n_edges
+                and fp_new == fp_edges
+                # fingerprint match is only a trigger — equality is
+                # CONFIRMED exactly before declaring convergence
                 and emit.exceptAll(edges).limit(1).count() == 0
             )
             _free_local_checkpoint(edges)
-            edges, n_edges = emit, n_new
+            edges, n_edges, fp_edges = emit, n_new, fp_new
             if converged:
                 star_sym = edges.select(
                     F.col("lo").alias("u"), F.col("hi").alias("v")
