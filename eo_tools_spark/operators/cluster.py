@@ -261,12 +261,16 @@ def dedup_keep_list(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iters: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """The end product of a dedup pipeline: ``docs`` annotated with
     (cluster_id, keep) — ``keep`` is true for the canonical (min-id)
     member of each near-dup cluster and for every unclustered doc.
-    Filtering ``keep`` yields the deduplicated corpus."""
-    comp = connected_components(pairs, max_iters=25)
+    Filtering ``keep`` yields the deduplicated corpus.
+    ``algorithm``/``max_iters`` forward to connected_components — pass
+    ``algorithm="star"`` when the pair graph chains (see module doc)."""
+    comp = connected_components(pairs, max_iters=max_iters, algorithm=algorithm)
     return (
         docs.join(
             comp.withColumnRenamed("doc_id", id_col), id_col, "left"

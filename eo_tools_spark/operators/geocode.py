@@ -361,6 +361,49 @@ def _referenced_bbox(az, rg, naz, nrg, H):
     return a0, a1, c0, c1
 
 
+def _lut_any_needs_split(
+    lut: DataFrame, naz: int, nrg: int, H: int, max_patch_pixels: int
+) -> bool:
+    """Build-time probe for the patch budget: does ANY LUT tile's
+    referenced bbox exceed it? Decodes az/rg once (unavoidable — the
+    answer depends on the values) but ships only the ids of offending
+    tiles, never re-serialized payloads, and also validates the
+    '#'-free id invariant eagerly. A tile needs splitting iff its
+    TOP-LEVEL bbox is over budget — recursion only decides how far to
+    split, not whether."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("dem_tile_id", StringType())])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits = []
+            for r in pdf.itertuples():
+                if "#" in r.dem_tile_id:
+                    raise ValueError(
+                        f"sar2geo_tiles: dem_tile_id {r.dem_tile_id!r} contains "
+                        "'#' — reserved for the patch-budget sub-tile suffix"
+                    )
+                th, tw = int(r.th), int(r.tw)
+                az = np.frombuffer(bytes(r.az), dtype=np.float64).reshape(th, tw)
+                rg = np.frombuffer(bytes(r.rg), dtype=np.float64).reshape(th, tw)
+                bbox = _referenced_bbox(az, rg, naz, nrg, H)
+                if bbox is None:
+                    continue
+                a0, a1, c0, c1 = bbox
+                if (a1 - a0 + 1) * (c1 - c0 + 1) > max_patch_pixels:
+                    hits.append((r.dem_tile_id,))
+            yield pd.DataFrame(hits, columns=["dem_tile_id"])
+
+    return (
+        lut.select("dem_tile_id", "az", "rg", "th", "tw")
+        .mapInPandas(probe, schema=schema)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def _split_warped_lut(
     lut: DataFrame, naz: int, nrg: int, H: int, max_patch_pixels: int
 ) -> DataFrame:
@@ -535,18 +578,15 @@ def sar2geo_tiles(
     split_applied = False
     if max_patch_pixels is not None:
         # Build-time probe: does any LUT tile actually need splitting?
-        # One extra narrow pass over the LUT (the split kernel also
-        # validates the budget and the '#'-free id invariant eagerly);
-        # when nothing split — the common smooth-LUT case — the
-        # original frame is bit-identical to the split one, so the
-        # gather skips BOTH the split kernel re-runs and the
-        # reassembly's full-output shuffle + Arrow round-trip.
-        split_lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels)
-        split_applied = (
-            split_lut.where(F.instr("dem_tile_id", "#") > 0).limit(1).count() > 0
-        )
+        # Bbox-only — decodes az/rg but never re-serializes payloads —
+        # and validates the '#'-free id invariant eagerly. In the
+        # common smooth-LUT case nothing splits, so the gather skips
+        # both the split kernel and the reassembly's full-output
+        # shuffle + Arrow round-trip; when splitting IS needed the
+        # probe's cost is one narrow LUT pass on top of the real work.
+        split_applied = _lut_any_needs_split(lut, naz, nrg, H, max_patch_pixels)
         if split_applied:
-            lut = split_lut
+            lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels)
 
     key_schema = StructType(
         [

@@ -49,15 +49,13 @@ def get_spark(
         # Arrow for pandas UDFs / mapInPandas — the only sanctioned Python
         # boundary; row-at-a-time Python UDFs are banned in this engine.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 512, not the 10k default: rows in this engine are often multi-KB
-        # (image bytes, tile payloads) — a 4096-row batch of ~21 KB images
-        # is an ~86 MB Arrow unit, and JVM-side accumulation + Python-side
-        # materialization of units that big serializes the pipeline and
-        # churns both heaps. Measured on the 2M-image decode pipeline:
-        # batch 512 ≈ 15-18% faster than 4096 at local[4] AND local[16].
-        # Small-row paths lose nothing (per-batch overhead ~ms; batches
-        # are also bounded by partition row count anyway).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # 4096 suits SMALL rows; multi-KB binary rows want ~512 — but
+        # only for those paths (see binary_batch_scope below): a global
+        # 512 measured q2_knn ~50-70% SLOWER (8x more Python<->JVM
+        # round-trips on small rows) while the image-decode pipeline is
+        # 15-18% FASTER at 512 (a 4096-row batch of ~21 KB images is an
+        # ~86 MB Arrow unit that serializes the pipeline).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         # AOI / orbit / annotation side tables are tiny; always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -80,6 +78,38 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+from contextlib import contextmanager
+
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def binary_batch_scope(spark: SparkSession, records: int = 512):
+    """Scope a smaller Arrow batch size around ACTIONS whose pandas-UDF
+    input rows are multi-KB (image bytes, tile payloads).
+
+    Why scoped, not global: the conf is read at job execution, so it
+    can only be set session-wide — but the right value is row-size
+    dependent. Measured on this engine: the 2M-image decode pipeline is
+    15-18% faster at 512 than 4096 (an ~86 MB Arrow unit per 4096-row
+    batch serializes the JVM->Python pipeline), while small-row paths
+    (kNN's scene rows) run ~50-70% SLOWER under a global 512 (8x the
+    per-batch round-trip overhead). Use::
+
+        with binary_batch_scope(spark):
+            decode_stats(frame).count()   # the ACTION must run inside
+
+    The previous value is restored on exit. Only affects jobs whose
+    execution starts inside the scope — a frame built here but executed
+    later runs with whatever the conf is at action time."""
+    prev = spark.conf.get(_ARROW_BATCH_KEY, "4096")
+    spark.conf.set(_ARROW_BATCH_KEY, str(records))
+    try:
+        yield
+    finally:
+        spark.conf.set(_ARROW_BATCH_KEY, prev)
 
 
 def read_binary_parquet(spark: SparkSession, *paths: str):
