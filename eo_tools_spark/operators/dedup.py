@@ -347,6 +347,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def band_key_cols(bands: int, sig_col: str = "sig") -> Column:
+    """posexplode(band, key) over a minhash signature: key = xxhash64 of
+    the band's slice (band index mixed in). THE banding function — both
+    the batch self-join (lsh_pairs) and the streaming candidate
+    operator (streaming.pipeline.stream_neardup_candidates) call this,
+    so their bucket assignment is identical by construction."""
+    return F.posexplode(
+        F.expr(
+            f"transform(sequence(0, {bands} - 1), "
+            f"b -> xxhash64(b, slice({sig_col}, b * CAST(size({sig_col})/{bands} AS INT) + 1, "
+            f"CAST(size({sig_col})/{bands} AS INT))))"
+        )
+    ).alias("band", "key")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -424,16 +439,7 @@ def lsh_pairs(
     exact_dedup first to canonicalize the exact-dup families that
     create such buckets.
     """
-    banded = sig_df.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands} - 1), "
-                f"b -> xxhash64(b, slice(sig, b * CAST(size(sig)/{bands} AS INT) + 1, "
-                f"CAST(size(sig)/{bands} AS INT))))"
-            )
-        ).alias("band", "key"),
-    )
+    banded = sig_df.select(id_col, band_key_cols(bands))
     banded = filter_null_keys(banded, ["band", "key"])
     capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
     # one-sided cap (see cap_hot_buckets); probe-side strategy by

@@ -249,3 +249,120 @@ def stream_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_candidates(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle: int = 1,
+    bands: int = 16,
+    max_bucket: int = 64,
+):
+    """Streaming NEAR-dup candidate detection — dedup-on-ingest: minhash
+    + banded LSH over the stream, with a stateful per-bucket operator
+    (``applyInPandasWithState``) that pairs each arriving document
+    against everything previously seen in its band buckets.
+
+    Stages:
+    1. stateless: minhash signatures (the batch operator's mapInPandas
+       kernel runs unchanged on the streaming frame) → band keys via
+       ``dedup.band_key_cols`` — bucket assignment is IDENTICAL to the
+       batch ``lsh_pairs`` by construction;
+    2. stateful: one GroupState per (band, key) holds the bucket's
+       member ids in ARRIVAL ORDER, capped at ``max_bucket``. A new doc
+       emits (id_a, id_b, band, key) against every current member, then
+       joins the state. Members past the cap are neither paired nor
+       remembered — the streaming form of the batch hot-bucket cap
+       (``cap_hot_buckets``): a degenerate band key (boilerplate) would
+       otherwise grow state and emit quadratically, forever.
+
+    Semantics: the emitted-pair set equals, as a set, the batch
+    ``lsh_pairs`` candidates over the docs seen so far whenever no
+    bucket exceeds the cap (pytest-pinned); the SAME pair may be
+    emitted once per shared band (at-least-once per pair — batch does a
+    global distinct the stream cannot, in append mode, without a second
+    stateful stage), so downstream exact-verify/clustering must be
+    idempotent — verify_jaccard and connected_components both are.
+
+    Scale shape: state = (bucket key → ≤ max_bucket ids); bucket COUNT
+    grows with the corpus — on a long-running deployment put a TTL on
+    idle buckets (GroupStateTimeout.ProcessingTimeTimeout) accepting
+    that a dup arriving after its bucket expired is missed, exactly the
+    watermark-horizon trade stream_exact_dedup documents. Ids must be
+    longs (state schema is typed).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from eo_tools_spark.operators.dedup import band_key_cols, minhash_signatures
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("band", IntegerType()),
+            StructField("key", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("ids", ArrayType(LongType()))])
+
+    def emit_pairs(key, pdf_iter, state: GroupState):
+        band_, key_ = key
+        seen = list(state.get[0]) if state.exists else []
+        new = []
+        for pdf in pdf_iter:
+            new.extend(int(v) for v in pdf[id_col])
+        rows = []
+        for d in sorted(set(new) - set(seen)):
+            if len(seen) >= max_bucket:
+                break  # capped bucket: no pairs, no growth (see docstring)
+            rows.extend(
+                (min(d, s), max(d, s), band_, key_) for s in seen
+            )
+            seen.append(d)
+        state.update((seen,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "band", "key"])
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    sig = minhash_signatures(
+        stream.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle=shingle,
+    )
+    banded = sig.select(id_col, band_key_cols(bands))
+    cand = banded.groupBy("band", "key").applyInPandasWithState(
+        emit_pairs,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        cand.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -159,3 +159,78 @@ def test_stream_exact_dedup(spark, tmp_path, sf_dir):
     }
     assert set(got["fp"]) == exp_fps          # every distinct content present
     assert len(got) == len(set(got["fp"]))    # exactly once
+
+
+def test_stream_neardup_candidates_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming LSH candidates (stateful per-bucket pairing across
+    micro-batches) match the batch lsh_pairs candidate SET over the
+    same docs — bucket assignment is shared code (band_key_cols), so
+    any divergence would be a state-handling bug. Duplicate emissions
+    (same pair via several bands) are allowed; the set must be equal
+    when no bucket exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.dedup import lsh_pairs, minhash_signatures
+    from eo_tools_spark.streaming.pipeline import stream_neardup_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "nsrc")
+    docs.repartition(5).write.parquet(src)  # 5 files → 5 micro-batches
+
+    q = stream_neardup_candidates(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "nout"), str(tmp_path / "nck"),
+        num_hashes=64, shingle=2, bands=16, max_bucket=512,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "nout")).collect()
+    }
+    sig = minhash_signatures(docs, num_hashes=64, shingle=2)
+    exp = {(r.id_a, r.id_b) for r in lsh_pairs(sig, bands=16, max_bucket=None).collect()}
+    assert got == exp and len(exp) > 0
+
+    # restart with the same checkpoint: no re-emission (exactly-once files)
+    q2 = stream_neardup_candidates(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "nout"), str(tmp_path / "nck"),
+        num_hashes=64, shingle=2, bands=16, max_bucket=512,
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "nout")).collect()
+    }
+    assert got2 == exp
+
+
+def test_stream_neardup_bucket_cap(spark, tmp_path):
+    """A degenerate bucket (many identical texts) stops pairing at the
+    cap: members past max_bucket are neither paired nor remembered."""
+    import pandas as pd
+
+    from eo_tools_spark.streaming.pipeline import stream_neardup_candidates
+
+    rows = [(i, "same text everywhere") for i in range(20)]
+    rows += [(100, "unique zebra quartz"), (101, "unique zebra quartz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "csrc")
+    docs.repartition(2).write.parquet(src)
+
+    q = stream_neardup_candidates(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "cout"), str(tmp_path / "cck"),
+        num_hashes=16, shingle=1, bands=4, max_bucket=5,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "cout")).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    # the degenerate cluster contributes at most C(5,2) distinct pairs
+    degenerate = {p for p in pairs if p[0] < 100}
+    assert 0 < len(degenerate) <= 10
+    # the small clean pair still found
+    assert (100, 101) in pairs
