@@ -1,10 +1,17 @@
 """Connected-components clustering vs a union-find oracle."""
 
+import time
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from eo_tools_spark.operators.cluster import connected_components, dedup_keep_list
+from eo_tools_spark.operators.cluster import (
+    _checkpoint_observed,
+    _free_local_checkpoint,
+    connected_components,
+    dedup_keep_list,
+)
 
 
 def union_find_oracle(pairs):
@@ -103,6 +110,59 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_components(df, max_iters=2)
+
+    def test_checkpoint_observed_metrics_match_direct_agg(self, spark):
+        """The convergence stats that ride the checkpoint job must equal
+        a direct aggregation, and the returned frame must be the durable
+        checkpoint (reusable, lineage-free)."""
+        df = spark.range(100).select(
+            F.col("id").alias("lo"), (F.col("id") % 7).alias("hi")
+        )
+        ck, got = _checkpoint_observed(
+            df,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("fp"),
+        )
+        exp = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("fp"),
+        ).collect()[0]
+        assert got["n"] == exp["n"] == 100
+        assert got["fp"] == exp["fp"]
+        assert ck.count() == 100 and ck.count() == 100  # reusable
+
+    def test_checkpoint_observed_empty_frame_null_metrics(self, spark):
+        """Aggregate metrics over an empty frame come back NULL from
+        observe (no rows flowed) — callers coalesce; pin that contract."""
+        df = spark.range(10).where(F.lit(False)).select(
+            F.col("id").alias("lo"), F.col("id").alias("hi")
+        )
+        ck, got = _checkpoint_observed(
+            df, F.sum(F.col("lo")).alias("changed")
+        )
+        assert got["changed"] is None
+        assert ck.count() == 0
+
+    def test_free_local_checkpoint_releases_blocks(self, spark):
+        """_free_local_checkpoint relies on private JVM internals
+        (queryExecution().logical().rdd()); if a Spark upgrade changes
+        the plan shape it silently no-ops and every CC round would leak
+        an O(V) snapshot — this test catches that."""
+        jsc_sc = spark.sparkContext._jsc.sc()
+
+        def n_cached():
+            return len(list(jsc_sc.getRDDStorageInfo()))
+
+        base = n_cached()
+        ck = spark.range(10000).localCheckpoint(eager=True)
+        assert n_cached() > base, "checkpoint should register storage"
+        _free_local_checkpoint(ck)
+        # unpersist(blocking=False): poll briefly for the async removal
+        for _ in range(50):
+            if n_cached() <= base:
+                break
+            time.sleep(0.1)
+        assert n_cached() <= base, "checkpoint blocks were not released"
 
     def test_dedup_keep_list(self, spark):
         docs = spark.createDataFrame(
