@@ -105,9 +105,13 @@ def run_queries() -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, repeats: int = 1):
-        # best-of-N: the host is shared (load avg ~10 while idle), so
-        # single-shot timings carry heavy external noise
+    def timed(name, fn, repeats: int = 2):
+        # best-of-N FOR EVERY QUERY: the host is shared (load avg ~10
+        # while idle), so single-shot timings carry heavy external noise
+        # — the round-3 committed artifact showed q8 at 8.86 s where a
+        # fresh quiet run measures 5.77 s, and an inverted q11 speedup,
+        # purely from host load. Best-of-2 costs ~2x suite wall time and
+        # buys a committed artifact that reflects the engine.
         best, result = None, None
         for _ in range(repeats):
             t0 = time.time()
@@ -149,6 +153,31 @@ def run_queries() -> dict:
     # measures parallel compute capacity, not cold-disk bandwidth (the
     # scaling-law evidence wants the CPU-bound regime)
     n_pipeline = timed("q7_full_pipeline", q7, repeats=2)
+
+    # scaling children measure ONLY the flagship join + pipeline — the
+    # fixed-size demo queries would add ~10 min of irrelevant wall time
+    # per child (and host-load noise) to the two-parallelism evidence
+    flagship_only = os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1"
+    if flagship_only:
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "flagship-only (scaling child)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_images": n_images,
+            "n_scenes": n_scenes,
+            "n_joined": n_joined,
+            "n_pipeline": n_pipeline,
+            "images_per_sec": round(n_images / timings["q1_spatial_join_tile_assign"], 1),
+            "n_scanned": n_scanned,
+            "scanned_images_per_sec": round(n_scanned / timings["q1_spatial_join_tile_assign"], 1),
+            "pipeline_images_per_sec": round(n_pipeline / timings["q7_full_pipeline"], 1),
+            "cpus": CPUS,
+        }
+        spark.stop()
+        return result
 
     # fixed-size slice for the throughput-demo queries (q6/q8/q9): their
     # cost must not scale with the table size chosen for the scaling
@@ -526,6 +555,7 @@ def run_scaling() -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_BENCH_IMAGES=n,
+                SPARK_GRAFT_FLAGSHIP_ONLY="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
