@@ -1,6 +1,8 @@
 """Dedup + similarity operators vs exact numpy oracles."""
 
 import hashlib
+import os
+import sys
 
 import numpy as np
 import pandas as pd
@@ -194,6 +196,35 @@ class TestTopK:
             a = set(ivf[ivf.query_id == q]["vec_id"])
             recalls.append(len(a & b) / len(b))
         assert np.mean(recalls) >= 0.7  # nprobe 3/8 cells
+
+    def test_ivf_recall_curve_pinned(self, spark):
+        """Approximate-mode recall gate (VERDICT r3 item 4): re-measure
+        recall@10 per nprobe on the sf0.01 embeddings table and compare
+        EXACTLY against the committed curve (dist/oracle/
+        ivf_recall_sf001.json, regenerate with scripts/make_ivf_recall.py).
+        Every stage is deterministic, so a mismatch means a refactor
+        changed the IVF path's behavior — including a silent recall
+        regression a >=-bound would let creep."""
+        import json
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dist", "oracle", "ivf_recall_sf001.json",
+        )
+        with open(fixture) as f:
+            pinned = json.load(f)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ))
+        from make_ivf_recall import measure
+
+        got = measure(spark)
+        assert got == pinned
+        curve = [got["recall_at_10_by_nprobe"][str(p)] for p in (1, 2, 4, 8, 16)]
+        # sanity on the shape a user tunes against: monotone in nprobe,
+        # exact at nprobe == ncells
+        assert curve == sorted(curve)
+        assert curve[-1] == 1.0
 
     def test_ivf_deterministic_across_layouts(self, spark):
         """Centroid sample is a seeded hash filter (VERDICT r1 item 7):
