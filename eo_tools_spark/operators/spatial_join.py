@@ -88,14 +88,26 @@ def aoi_point_join(
     res: int | None = None,
     require_nonempty: bool = False,
     cover=None,
+    adaptive: bool = False,
+    max_rows_per_cell: int = 100_000,
+    adaptive_max_iters: int = 3,
 ) -> DataFrame:
     """Inner join scenes×AOIs where the scene center lies in the AOI.
 
     Multi-resolution compact join: the scene side emits its cell id at
-    each DISTINCT AOI resolution (a small array built from pure Catalyst
-    arithmetic), explodes, and probes the broadcast cover. No shuffle of
-    the big side; each (scene, aoi) matches at most once because every
-    AOI's cover lives at a single resolution.
+    each DISTINCT cover resolution (a small array built from pure
+    Catalyst arithmetic), explodes, and probes the broadcast cover. No
+    shuffle of the big side; each (scene, aoi) matches at most once
+    because the cover partitions every AOI (single-res geometric cover,
+    or the mixed-res density-split cover).
+
+    ``adaptive=True`` builds the cover with ``adaptive_cover`` over
+    ``scenes`` itself: boundary cells holding more than
+    ``max_rows_per_cell`` matched rows are quadtree-split to finer
+    resolution (one extra counting scan of the boundary region), so a
+    data hotspot on the AOI edge cannot concentrate the PIP refine into
+    one cell's worth of rows — the north-rule skew path, now first-class
+    in the production join. Ignored when ``cover`` is passed explicitly.
 
     Output: scene columns + ``aoi_id``.
     """
@@ -103,7 +115,17 @@ def aoi_point_join(
     # the cover is a broadcast dimension: build once per AOI set and
     # reuse across queries (pass ``cover=build_aoi_cover(...)`` or the
     # density-driven ``adaptive_cover(...)``)
-    cover_df, _res_by_id = cover if cover is not None else build_aoi_cover(spark, aois, res)
+    if cover is None:
+        cover = (
+            adaptive_cover(
+                scenes, aois, lon=lon, lat=lat, base_res=res,
+                max_rows_per_cell=max_rows_per_cell,
+                max_iters=adaptive_max_iters,
+            )
+            if adaptive
+            else build_aoi_cover(spark, aois, res)
+        )
+    cover_df, _res_by_id = cover
 
     # resolutions present in the (possibly mixed-res, adaptively split)
     # cover — the cover is tiny, this is a driver-side metadata read

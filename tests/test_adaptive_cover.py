@@ -161,3 +161,42 @@ def test_mixed_base_res_no_double_count(spark):
     assert a[k].sort_values(k).reset_index(drop=True).equals(
         b[k].sort_values(k).reset_index(drop=True)
     )
+
+
+def test_flagship_join_adaptive_flag(spark):
+    """aoi_point_join(adaptive=True) — the production wiring of the
+    density-split cover (VERDICT r3 item 6): identical rows to the
+    static-cover join, hot boundary cells landed at finer resolution,
+    and the physical plan still broadcasts the cover and probes it with
+    the multi-res explode (no shuffle of the scene side)."""
+    scenes = hotspot_scenes(spark)
+    static = aoi_point_join(scenes, AOI, res=8)
+    adap = aoi_point_join(
+        scenes, AOI, res=8, adaptive=True,
+        max_rows_per_cell=2000, adaptive_max_iters=4,
+    )
+    r_static = {r.scene_id for r in static.collect()}
+    r_adap = {r.scene_id for r in adap.collect()}
+    assert r_static == r_adap and len(r_adap) > 1000
+
+    # the split cover the join built must put the hotspot boundary at
+    # finer resolution than the base: re-derive it (deterministic) and
+    # check the hot cells' res
+    cover_df, _ = adaptive_cover(
+        scenes, AOI, base_res=8, max_rows_per_cell=2000, max_iters=4
+    )
+    hot_res = {
+        int(r.cell) >> 58
+        for r in cover_df.where("boundary").collect()
+    }
+    assert max(hot_res) > 8  # hot boundary cells split finer than base
+
+    # plan shape: broadcast hash join (cover is the broadcast dim) and
+    # the generate/explode of the multi-res cell array on the scene side
+    plan = adap._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan or "Expand" in plan
+    # static single-res path must NOT pay the explode
+    plan_static = static._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_static
+    assert "Generate explode" not in plan_static
