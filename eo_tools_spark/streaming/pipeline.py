@@ -263,6 +263,7 @@ def stream_neardup_candidates(
     shingle: int = 1,
     bands: int = 16,
     max_bucket: int = 64,
+    state_ttl_ms: int | None = None,
 ):
     """Streaming NEAR-dup candidate detection — dedup-on-ingest: minhash
     + banded LSH over the stream, with a stateful per-bucket operator
@@ -291,11 +292,19 @@ def stream_neardup_candidates(
     idempotent — verify_jaccard and connected_components both are.
 
     Scale shape: state = (bucket key → ≤ max_bucket ids); bucket COUNT
-    grows with the corpus — on a long-running deployment put a TTL on
-    idle buckets (GroupStateTimeout.ProcessingTimeTimeout) accepting
-    that a dup arriving after its bucket expired is missed, exactly the
-    watermark-horizon trade stream_exact_dedup documents. Ids must be
-    longs (state schema is typed).
+    grows with the corpus — on a long-running deployment pass
+    ``state_ttl_ms`` to expire idle buckets
+    (GroupStateTimeout.ProcessingTimeTimeout: the TTL clock resets every
+    time the bucket receives a doc), accepting that a dup arriving after
+    its bucket expired is missed, exactly the watermark-horizon trade
+    stream_exact_dedup documents. Default ``None`` keeps all bucket
+    state forever (right for bounded backfills, wrong for unbounded
+    ingest). Ids must be longs (state schema is typed).
+
+    Exactly-once pair emission: chain
+    ``stream_neardup_pairs_distinct`` over this operator's sink — Spark
+    does not allow two applyInPandasWithState stages in one query, so
+    the global distinct is a cascaded second streaming query.
     """
     import pandas as pd
 
@@ -321,6 +330,13 @@ def stream_neardup_candidates(
     state_schema = StructType([StructField("ids", ArrayType(LongType()))])
 
     def emit_pairs(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # idle past the TTL: drop the bucket (docs arriving later
+            # start a fresh bucket — the documented missed-dup trade)
+            for _ in pdf_iter:
+                pass
+            state.remove()
+            return
         band_, key_ = key
         seen = list(state.get[0]) if state.exists else []
         new = []
@@ -335,6 +351,8 @@ def stream_neardup_candidates(
             )
             seen.append(d)
         state.update((seen,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if rows:
             yield pd.DataFrame(rows, columns=["id_a", "id_b", "band", "key"])
 
@@ -356,10 +374,98 @@ def stream_neardup_candidates(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         cand.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_neardup_pairs_distinct(
+    spark: SparkSession,
+    cand_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
+):
+    """Opt-in EXACTLY-ONCE pair emission over the
+    ``stream_neardup_candidates`` sink: a cascaded streaming query
+    (Spark forbids two applyInPandasWithState stages in one query) that
+    keeps one marker GroupState per canonical (id_a, id_b) and emits the
+    pair only the first time any band produces it — per-band duplicates
+    collapse, turning the upstream at-least-once-per-shared-band
+    contract into exactly-once for downstream consumers that aren't
+    idempotent.
+
+    State cost (document before opting in): ONE entry per distinct pair
+    ever emitted — two longs + store overhead, growing with the
+    all-time pair count, strictly more state than the upstream bucket
+    stage. ``state_ttl_ms`` expires idle pair markers
+    (ProcessingTimeTimeout); a pair re-surfacing after expiry is
+    re-emitted — the same bounded-state trade as the bucket TTL and
+    stream_exact_dedup's watermark horizon.
+
+    Output columns: (id_a, id_b). Restart-safe: the streaming
+    checkpoint covers both the source offsets and the state store, so a
+    rerun emits nothing new (pytest-pinned).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    state_schema = StructType([StructField("seen", BooleanType())])
+
+    def emit_once(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            for _ in pdf_iter:
+                pass
+            state.remove()
+            return
+        for _ in pdf_iter:
+            pass  # row contents carry nothing beyond the group key
+        first = not state.exists
+        state.update((True,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if first:
+            yield pd.DataFrame({"id_a": [key[0]], "id_b": [key[1]]})
+
+    stream = (
+        spark.readStream.schema("id_a long, id_b long, band int, key long")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(cand_dir)
+    )
+    dist = stream.groupBy("id_a", "id_b").applyInPandasWithState(
+        emit_once,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        dist.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -234,3 +234,88 @@ def test_stream_neardup_bucket_cap(spark, tmp_path):
     assert 0 < len(degenerate) <= 10
     # the small clean pair still found
     assert (100, 101) in pairs
+
+
+def test_stream_neardup_distinct_collapses_band_duplicates(spark, tmp_path, sf_dir):
+    """The cascaded global-distinct stage (VERDICT r3 item 7): the
+    candidate sink carries per-band duplicate pairs (same pair via
+    several bands); stream_neardup_pairs_distinct must collapse them to
+    exactly one row per pair, and the distinct pair SET must still
+    equal the batch lsh_pairs set (batch parity)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.dedup import lsh_pairs, minhash_signatures
+    from eo_tools_spark.streaming.pipeline import (
+        stream_neardup_candidates,
+        stream_neardup_pairs_distinct,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "dsrc")
+    docs.repartition(5).write.parquet(src)
+
+    q = stream_neardup_candidates(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "dcand"), str(tmp_path / "dck1"),
+        num_hashes=64, shingle=2, bands=16, max_bucket=512,
+    )
+    q.awaitTermination(300)
+    cand = spark.read.parquet(str(tmp_path / "dcand"))
+    n_cand_rows = cand.count()
+    n_cand_pairs = cand.select("id_a", "id_b").distinct().count()
+    assert n_cand_rows > n_cand_pairs  # per-band duplicates exist upstream
+
+    q2 = stream_neardup_pairs_distinct(
+        spark, str(tmp_path / "dcand"),
+        str(tmp_path / "ddist"), str(tmp_path / "dck2"),
+    )
+    q2.awaitTermination(300)
+    dist = spark.read.parquet(str(tmp_path / "ddist")).toPandas()
+    got = {(r.id_a, r.id_b) for r in dist.itertuples()}
+    assert len(dist) == len(got)  # exactly once per pair
+
+    sig = minhash_signatures(docs, num_hashes=64, shingle=2)
+    exp = {
+        (r.id_a, r.id_b)
+        for r in lsh_pairs(sig, bands=16, max_bucket=None).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+    # checkpoint restart: nothing re-emitted
+    q3 = stream_neardup_pairs_distinct(
+        spark, str(tmp_path / "dcand"),
+        str(tmp_path / "ddist"), str(tmp_path / "dck2"),
+    )
+    q3.awaitTermination(300)
+    again = spark.read.parquet(str(tmp_path / "ddist"))
+    assert again.count() == len(got)
+
+
+def test_stream_neardup_state_ttl_smoke(spark, tmp_path):
+    """state_ttl_ms wires ProcessingTimeTimeout (ADVICE r3 item 3):
+    with a generous TTL nothing expires inside one availableNow run, so
+    results equal the no-TTL run — pins that the TTL path emits pairs
+    and updates state correctly (the expiry trade itself is
+    wall-clock-driven and documented, not unit-testable determinately)."""
+    from eo_tools_spark.streaming.pipeline import stream_neardup_candidates
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "zebra quartz lemon"), (4, "zebra quartz lemon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "tsrc")
+    docs.repartition(2).write.parquet(src)
+
+    q = stream_neardup_candidates(
+        spark, src, spark.read.parquet(src).schema,
+        str(tmp_path / "tout"), str(tmp_path / "tck"),
+        num_hashes=16, shingle=1, bands=4, max_bucket=64,
+        state_ttl_ms=3_600_000,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "tout")).collect()
+    }
+    assert (1, 2) in got and (3, 4) in got
