@@ -26,9 +26,16 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this snapshot id first (Iceberg:
+    CommitFailedException from the losing metadata swap)."""
 
 #: The seam contract: each SnapshotTable method and the Iceberg
 #: operation a real-catalog implementation performs instead. Each entry
@@ -40,7 +47,14 @@ ICEBERG_MAPPING: dict[str, tuple[str, str]] = {
     "append_batch": (
         "df.writeTo(table).option('snapshot-property.batch_id', id).append()",
         "atomic visible-or-invisible commit; idempotent per batch_id "
-        "(already-committed ids are skipped, returning skipped=True)",
+        "(already-committed ids are skipped, returning skipped=True); "
+        "OPTIMISTIC CONCURRENCY: two interleaved writers of the same "
+        "batch_id both stage data files, exactly ONE wins the atomic "
+        "metadata swap, the loser's retry re-validates, finds the id "
+        "committed, discards its own staged files and returns "
+        "skipped+conflict (Iceberg: CommitFailedException -> retry "
+        "loop -> no-op); writers of DISTINCT batch_ids never conflict "
+        "(appends commute)",
     ),
     "committed_batches": (
         "SELECT summary['batch_id'] FROM table.snapshots ORDER BY committed_at",
@@ -70,6 +84,12 @@ ICEBERG_MAPPING: dict[str, tuple[str, str]] = {
         "anti-join of the work list against committed batch ids — the "
         "crash-resume plan",
     ),
+    "vacuum_orphans": (
+        "CALL catalog.system.remove_orphan_files(table => ...)",
+        "delete staged data files no committed snapshot references "
+        "(crashed or conflict-losing writers leave them); committed "
+        "data untouched",
+    ),
 }
 
 
@@ -89,23 +109,38 @@ class SnapshotTable:
                 out.append(f[: -len(".json")])
         return out
 
-    def _commit(self, batch_id: str, summary: dict) -> None:
+    def _try_commit(self, batch_id: str, summary: dict) -> None:
+        """Atomic EXCLUSIVE metadata swap: write the snapshot json to a
+        private temp name, then hard-link it to its final name —
+        ``os.link`` fails with FileExistsError when another writer's
+        snapshot already holds the name, which is exactly Iceberg's
+        losing-committer CommitFailedException (the filesystem is the
+        catalog's compare-and-swap here). Raises CommitConflictError on
+        a lost race; the caller owns cleanup of its staged files."""
         snapdir = f"{self.path}/_snapshots"
-        tmp = f"{snapdir}/.tmp-{batch_id}"
+        tmp = f"{snapdir}/.tmp-{batch_id}-{summary['token']}"
         with open(tmp, "w") as f:
             json.dump(summary, f)
-        os.rename(tmp, f"{snapdir}/{batch_id}.json")  # atomic commit point
+        try:
+            os.link(tmp, f"{snapdir}/{batch_id}.json")  # atomic commit point
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot {batch_id!r} was committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # ----------------------------------------------------------- writes
 
-    def append_batch(self, df: DataFrame, batch_id: str) -> dict:
-        """Write one batch; idempotent (already-committed ids are
-        skipped). Records per-(spark)partition lineage metrics: rows and
-        wall-clock write time."""
-        if batch_id in self.committed_batches():
-            return {"batch_id": batch_id, "skipped": True}
+    def _stage(self, df: DataFrame, batch_id: str) -> tuple[str, list, int]:
+        """Write the batch's data + lineage files under a UNIQUE token
+        (never visible to readers — read() resolves directories through
+        committed snapshot summaries only). Mirrors Iceberg writing
+        immutable data files before the metadata swap; a crashed or
+        losing writer leaves only orphan files (vacuum_orphans)."""
+        token = uuid.uuid4().hex[:12]
         t0 = time.time()
-        data_dir = f"{self.path}/data/batch={batch_id}"
+        data_dir = f"{self.path}/data/batch={batch_id}-{token}"
         staged = df.withColumn("_pid", F.spark_partition_id())
         staged.write.mode("overwrite").parquet(data_dir)
         # lineage metrics from the written files; n_rows is the sum of
@@ -120,20 +155,68 @@ class SnapshotTable:
             "_pid int, rows long, batch_id string, wall_ms long",
         )
         metrics.write.mode("overwrite").parquet(
-            f"{self.path}/_lineage/batch={batch_id}"
+            f"{self.path}/_lineage/batch={batch_id}-{token}"
         )
+        return token, metrics_rows, wall_ms
+
+    def _discard_staged(self, batch_id: str, token: str) -> None:
+        shutil.rmtree(f"{self.path}/data/batch={batch_id}-{token}", ignore_errors=True)
+        shutil.rmtree(
+            f"{self.path}/_lineage/batch={batch_id}-{token}", ignore_errors=True
+        )
+
+    def append_batch(self, df: DataFrame, batch_id: str) -> dict:
+        """Write one batch; idempotent (already-committed ids are
+        skipped). Records per-(spark)partition lineage metrics: rows and
+        wall-clock write time.
+
+        Concurrency (see ICEBERG_MAPPING): staged files are private per
+        writer; the snapshot swap is exclusive, so of two interleaved
+        writers of the SAME batch_id exactly one commits — the loser
+        discards its staged files and returns
+        ``{"skipped": True, "conflict": True}`` (the Iceberg retry
+        outcome). Writers of distinct batch_ids never conflict."""
+        if batch_id in self.committed_batches():
+            return {"batch_id": batch_id, "skipped": True}
+        token, metrics_rows, wall_ms = self._stage(df, batch_id)
         n_rows = sum(int(r.rows) for r in metrics_rows)
-        self._commit(
-            batch_id,
-            {
-                "batch_id": batch_id,
-                "rows": n_rows,
-                "wall_ms": wall_ms,
-                "throughput_rows_per_s": round(n_rows / max(wall_ms, 1) * 1000, 1),
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            },
-        )
+        try:
+            self._try_commit(
+                batch_id,
+                {
+                    "batch_id": batch_id,
+                    "token": token,
+                    "rows": n_rows,
+                    "wall_ms": wall_ms,
+                    "throughput_rows_per_s": round(n_rows / max(wall_ms, 1) * 1000, 1),
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+            )
+        except CommitConflictError:
+            self._discard_staged(batch_id, token)
+            return {"batch_id": batch_id, "skipped": True, "conflict": True}
         return {"batch_id": batch_id, "rows": n_rows, "wall_ms": wall_ms}
+
+    def vacuum_orphans(self) -> list[str]:
+        """Delete staged data/lineage directories no committed snapshot
+        references — crashed or conflict-losing writers leave them
+        (Iceberg: remove_orphan_files). Returns the removed names."""
+        live = {
+            f"batch={s['batch_id']}-{s['token']}"
+            for s in self.snapshot_summaries()
+        }
+        removed = []
+        for sub in ("data", "_lineage"):
+            root = f"{self.path}/{sub}"
+            if not os.path.isdir(root):
+                continue
+            for d in sorted(os.listdir(root)):
+                if d.startswith("batch=") and d not in live:
+                    shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+                    removed.append(f"{sub}/{d}")
+        return removed
 
     # ------------------------------------------------------------ reads
 
@@ -154,12 +237,22 @@ class SnapshotTable:
             batches = batches[: batches.index(as_of_snapshot) + 1]
         if not batches:
             raise ValueError("no committed snapshots")
-        paths = [f"{self.path}/data/batch={b}" for b in batches]
+        # directories resolve THROUGH the committed summaries (the
+        # snapshot's token names the data dir) — staged/orphan dirs are
+        # structurally invisible, not merely convention-invisible
+        keep = set(batches)
+        paths = [
+            f"{self.path}/data/batch={s['batch_id']}-{s['token']}"
+            for s in self.snapshot_summaries()
+            if s["batch_id"] in keep
+        ]
         return self.spark.read.parquet(*paths).drop("_pid")
 
     def lineage(self) -> DataFrame:
-        batches = self.committed_batches()
-        paths = [f"{self.path}/_lineage/batch={b}" for b in batches]
+        paths = [
+            f"{self.path}/_lineage/batch={s['batch_id']}-{s['token']}"
+            for s in self.snapshot_summaries()
+        ]
         return self.spark.read.parquet(*paths)
 
     def snapshot_summaries(self) -> list[dict]:

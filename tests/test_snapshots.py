@@ -122,3 +122,104 @@ class TestIcebergSeam:
     def test_current_snapshot_none_when_empty(self, spark, tmp_path):
         t = SnapshotTable(spark, str(tmp_path / "empty"))
         assert t.current_snapshot_id() is None
+
+    def test_concurrent_same_batch_exactly_one_wins(self, spark, tmp_path):
+        """Optimistic-commit conflict (VERDICT r3 item 8): two writers
+        stage the SAME batch id concurrently; the metadata swap admits
+        exactly one, the loser discards its staged files and reports
+        skipped+conflict (Iceberg: CommitFailedException -> retry ->
+        no-op). Interleaving is driven deterministically through the
+        stage/commit internals — both writers fully staged BEFORE
+        either commits, the worst-case race."""
+        from eo_tools_spark.sources.snapshots import CommitConflictError
+
+        wa = SnapshotTable(spark, str(tmp_path / "race"))
+        wb = SnapshotTable(spark, str(tmp_path / "race"))
+        batches = make_batches(spark, 1)
+        df = batches[0][1]
+
+        tok_a, rows_a, ms_a = wa._stage(df, "b000")
+        tok_b, rows_b, ms_b = wb._stage(df, "b000")
+        wa._try_commit(
+            "b000", {"batch_id": "b000", "token": tok_a,
+                     "rows": 100, "wall_ms": ms_a,
+                     "throughput_rows_per_s": 1.0, "committed_at": "x"},
+        )
+        with pytest.raises(CommitConflictError):
+            wb._try_commit(
+                "b000", {"batch_id": "b000", "token": tok_b,
+                         "rows": 100, "wall_ms": ms_b,
+                         "throughput_rows_per_s": 1.0, "committed_at": "x"},
+            )
+        # loser's retry through the public API: validates, skips
+        res = wb.append_batch(df, "b000")
+        assert res.get("skipped") is True
+        # exactly the winner's rows visible — no duplication, no mix
+        assert wb.read().count() == 100
+        assert [s["token"] for s in wb.snapshot_summaries()] == [tok_a]
+        # loser's staged files are orphans; vacuum removes only them
+        removed = wb.vacuum_orphans()
+        assert any(tok_b in r for r in removed)
+        assert not any(tok_a in r for r in removed)
+        assert wb.read().count() == 100
+
+    def test_concurrent_same_batch_threaded(self, spark, tmp_path):
+        """Eight racing writers of one batch id through the PUBLIC
+        append_batch: exactly one commit, others skipped, data counted
+        once."""
+        import threading
+
+        t = SnapshotTable(spark, str(tmp_path / "race8"))
+        df = make_batches(spark, 1)[0][1]
+        results = []
+        lock = threading.Lock()
+
+        def writer():
+            w = SnapshotTable(spark, str(tmp_path / "race8"))
+            r = w.append_batch(df, "b000")
+            with lock:
+                results.append(r)
+
+        threads = [threading.Thread(target=writer) for _ in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        winners = [r for r in results if not r.get("skipped")]
+        assert len(winners) == 1
+        assert t.read().count() == 100
+        t.vacuum_orphans()
+        assert t.read().count() == 100
+
+    def test_concurrent_distinct_batches_never_conflict(self, spark, tmp_path):
+        """Appends of DIFFERENT batch ids commute (Iceberg append
+        retry always succeeds): interleaved stage/commit of b000/b001
+        both land, read() unions them."""
+        wa = SnapshotTable(spark, str(tmp_path / "two"))
+        wb = SnapshotTable(spark, str(tmp_path / "two"))
+        batches = make_batches(spark, 2)
+        tok_a, _, _ = wa._stage(batches[0][1], "b000")
+        tok_b, _, _ = wb._stage(batches[1][1], "b001")
+        wb._try_commit("b001", {"batch_id": "b001", "token": tok_b,
+                                "rows": 100, "wall_ms": 1,
+                                "throughput_rows_per_s": 1.0, "committed_at": "x"})
+        wa._try_commit("b000", {"batch_id": "b000", "token": tok_a,
+                                "rows": 100, "wall_ms": 1,
+                                "throughput_rows_per_s": 1.0, "committed_at": "x"})
+        assert wa.committed_batches() == ["b000", "b001"]
+        assert wa.read().count() == 200
+        assert wa.vacuum_orphans() == []
+
+    def test_crash_before_commit_then_resume(self, spark, tmp_path):
+        """A writer that staged but died holds no lock: a rerun of the
+        same batch id commits cleanly (no stale claim blocking resume),
+        and vacuum clears the dead writer's files."""
+        t = SnapshotTable(spark, str(tmp_path / "crash"))
+        df = make_batches(spark, 1)[0][1]
+        dead_tok, _, _ = t._stage(df, "b000")  # crash: no commit
+        res = t.append_batch(df, "b000")  # resume rerun
+        assert not res.get("skipped")
+        assert t.read().count() == 100
+        removed = t.vacuum_orphans()
+        assert any(dead_tok in r for r in removed)
+        assert t.read().count() == 100
