@@ -111,7 +111,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iters):
+        for rnd in range(max_iters):
             labels = cur.select("id", "label")
             nbr_min = (
                 edges.join(labels, edges["dst"] == labels["id"])
@@ -138,9 +138,12 @@ def connected_components(
             if changed == 0:
                 # a projection over the final checkpoint: durable and
                 # replay-free (the loop's lineage is gone)
-                return cur.select(
+                out = cur.select(
                     F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
                 )
+                # introspection: rounds used (incl. the no-change round)
+                out._eo_cc_rounds = rnd + 1
+                return out
         _free_local_checkpoint(cur)
         raise RuntimeError(
             f"connected_components: no convergence in {max_iters} rounds "
@@ -206,7 +209,7 @@ def _star_components(
     )
     n_edges, fp_edges = got["n"], got["fp"]
     try:
-        for _ in range(max_iters):
+        for rnd in range(max_iters):
             sym = edges.select(
                 F.col("lo").alias("u"), F.col("hi").alias("v")
             ).unionByName(
@@ -273,6 +276,8 @@ def _star_components(
                     .localCheckpoint(eager=True)
                 )
                 _free_local_checkpoint(edges)
+                # introspection: alternations used (incl. the stable one)
+                out._eo_cc_rounds = rnd + 1
                 return out
         _free_local_checkpoint(edges)
         raise RuntimeError(

@@ -50,6 +50,7 @@ def cap_hot_buckets(
     max_bucket: int | None,
     label: str = "lsh",
     hot_broadcast_rows: int = 4_000_000,
+    hot_broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Drop LSH band buckets with more than ``max_bucket`` members.
 
@@ -79,14 +80,19 @@ def cap_hot_buckets(
        the downstream self-join never pays for insurance it doesn't
        need (at sf0.1 this is most of q8's round-2 regression).
     2. **Measured anti-join strategy**: when hot keys exist, the hot
-       set is ≤ N/max_bucket rows, *measured* by the same pass. Small
-       sets (≤ ``hot_broadcast_rows``) are collected ONCE at build into
-       a local broadcast frame — the anti-join never recomputes the
-       counting aggregation at action time and the big banded side
-       never shuffles for the cap. Above that (adversarial boilerplate
-       at extreme corpus scale, e.g. 400B banded rows / 4096 ≈ 100M
-       keys → multi-GB broadcast) it switches to a lazy sort-merge
-       anti-join instead of sailing into Spark's 8 GB broadcast cliff.
+       set is ≤ N/max_bucket rows, *measured* by the same pass — both
+       its ROW COUNT and its BYTES (``_row_bytes_expr`` over the key
+       projection, summed across hot buckets in the same metrics
+       aggregation: a row bound alone says nothing when a
+       caller-supplied key is a 100-byte URL, and the collect lands on
+       the driver). Sets small BOTH ways (≤ ``hot_broadcast_rows`` AND
+       ≤ ``hot_broadcast_bytes``, with the bytes measurable) are
+       collected ONCE at build into a local broadcast frame — the
+       anti-join never recomputes the counting aggregation at action
+       time and the big banded side never shuffles for the cap.
+       Anything bigger, or with a key type _row_bytes_expr cannot
+       bound, switches to a lazy sort-merge anti-join instead of
+       sailing into the driver/broadcast cliff.
     3. **Immediate, accurate audit**: drop metrics are known at build —
        the WARNING logs right away, the report cannot be clobbered by a
        concurrent same-label query (it rides on the returned frame as
@@ -113,6 +119,10 @@ def cap_hot_buckets(
         return banded
     banded = filter_null_keys(banded, key_cols)
     bytes_expr = _row_bytes_expr(banded)
+    # bytes of ONE key row per bucket (evaluated on the counts frame,
+    # where each bucket is a single row) — the size of the hot-key set
+    # a broadcast would collect to the driver
+    key_bytes_expr = _row_bytes_expr(banded.select(*key_cols))
     aggs = [F.count(F.lit(1)).alias("_bucket_n")]
     if bytes_expr is not None:
         aggs.append(F.sum(bytes_expr).alias("_bucket_bytes"))
@@ -132,6 +142,15 @@ def cap_hot_buckets(
         metrics.append(
             F.coalesce(F.sum("_bucket_bytes"), F.lit(0)).alias("n_bytes")
         )
+    if key_bytes_expr is not None:
+        metrics.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_bucket_n") > max_bucket, key_bytes_expr)
+                ),
+                F.lit(0),
+            ).alias("hot_key_bytes")
+        )
     try:  # listener/UI visibility of the cap on the job that runs it
         from pyspark.sql import Observation
 
@@ -147,12 +166,19 @@ def cap_hot_buckets(
         "rows_dropped": int(stats["rows_dropped"]),
         "n_rows": int(stats["n_rows"]),
         "n_bytes": int(stats["n_bytes"]) if bytes_expr is not None else None,
+        "hot_key_bytes": (
+            int(stats["hot_key_bytes"]) if key_bytes_expr is not None else None
+        ),
         "anti_join": "skipped",
     }
     if report["n_hot_buckets"] == 0:
         out = banded
     else:
-        if report["n_hot_buckets"] <= hot_broadcast_rows:
+        if (
+            report["n_hot_buckets"] <= hot_broadcast_rows
+            and report["hot_key_bytes"] is not None
+            and report["hot_key_bytes"] <= hot_broadcast_bytes
+        ):
             # measured-small: collect the hot keys NOW — the anti-join
             # side becomes a local frame, so actions on the returned
             # plan never re-run the counting aggregation
@@ -473,6 +499,13 @@ def lsh_pairs(
     metric (audit via drop_report, see cap_hot_buckets) — run
     exact_dedup first to canonicalize the exact-dup families that
     create such buckets.
+
+    EAGER BUILD: with ``max_bucket`` set, merely CONSTRUCTING this
+    frame runs the hot-bucket counting job (1-2 scans of the signature
+    stage) — building a plan you never execute still pays it, and the
+    collected hot-key set / drop report snapshot the source AS OF build
+    time (a source mutated between build and action is not re-counted).
+    Pass ``max_bucket=None`` for a fully lazy plan with no cap.
     """
     banded = sig_df.select(id_col, band_key_cols(bands))
     banded = filter_null_keys(banded, ["band", "key"])
@@ -573,6 +606,10 @@ def simhash_pairs(
     popcount verify (JVM bit ops). Hot buckets (degenerate simhashes,
     e.g. boilerplate) are capped with an observe-metric drop
     (cap_hot_buckets; audit via drop_report).
+
+    EAGER BUILD: with ``max_bucket`` set, constructing this frame runs
+    the counting job and snapshots the hot-key set as of build time
+    (see lsh_pairs); ``max_bucket=None`` keeps the plan fully lazy.
     """
     chunks = sim_df.select(
         id_col,
@@ -622,6 +659,10 @@ def embedding_neardup(
     Sign-pattern bucket join (multi-probe: 4 rotations of plane subsets)
     → exact cosine verify on candidates. Recall is probabilistic (LSH);
     precision is exact.
+
+    EAGER BUILD: with ``max_bucket`` set, constructing this frame runs
+    the counting job and snapshots the hot-key set as of build time
+    (see lsh_pairs); ``max_bucket=None`` keeps the plan fully lazy.
     """
     rng = np.random.default_rng(7)
     planes = rng.normal(size=(num_planes, dim))

@@ -146,7 +146,11 @@ def phash_neardup(
     distinct keys → massive buckets); hamming_band_cols switches to
     chunk-PAIR banding (16-bit keys), shrinking candidate volume
     quadratically. Hot buckets capped with an eagerly-measured drop
-    (audit via dedup.drop_report on the returned frame)."""
+    (audit via dedup.drop_report on the returned frame).
+
+    EAGER BUILD: with ``max_bucket`` set, constructing this frame runs
+    the counting job and snapshots the hot-key set as of build time
+    (see dedup.lsh_pairs); ``max_bucket=None`` keeps the plan lazy."""
     from eo_tools_spark.operators.dedup import (
         cap_hot_buckets,
         drop_report,

@@ -103,7 +103,15 @@ def binary_batch_scope(spark: SparkSession, records: int = 512):
 
     The previous value is restored on exit. Only affects jobs whose
     execution starts inside the scope — a frame built here but executed
-    later runs with whatever the conf is at action time."""
+    later runs with whatever the conf is at action time.
+
+    SESSION-WIDE, NOT THREAD-SAFE: the Arrow batch conf is mutated on
+    the shared SparkSession, so any CONCURRENT query (another thread of
+    the same session) that starts executing inside the scope silently
+    runs at ``records``, and two overlapping scopes race on the
+    restore. Single-threaded drivers (this repo's bench/tests) are
+    fine; multi-threaded callers should serialize scope use or set the
+    conf per dedicated session."""
     prev = spark.conf.get(_ARROW_BATCH_KEY, "4096")
     spark.conf.set(_ARROW_BATCH_KEY, str(records))
     try:

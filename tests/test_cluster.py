@@ -173,3 +173,21 @@ class TestConnectedComponents:
         assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
         # unclustered docs keep themselves
         assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
+
+
+class TestRoundsIntrospection:
+    def test_rounds_attribute(self, spark):
+        """Both algorithms expose the round count used (the scaling
+        evidence reports it): a diameter-2 blob converges in few label
+        rounds; an 8-node path takes log-ish star alternations."""
+        blob = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+        )
+        out = connected_components(blob)
+        assert 1 <= out._eo_cc_rounds <= 3
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+        )
+        out2 = connected_components(path, algorithm="star")
+        assert 1 <= out2._eo_cc_rounds <= 7
+        assert {r.cluster_id for r in out2.collect()} == {0}

@@ -283,3 +283,34 @@ def test_cap_merge_fallback_above_broadcast_limit(spark):
     assert sorted(r.doc_id for r in merged.collect()) == sorted(
         r.doc_id for r in bcast.collect()
     )
+
+
+def test_cap_merge_fallback_above_broadcast_bytes(spark):
+    """The hot-key collect is bounded by MEASURED BYTES, not just rows
+    (ADVICE r3 item 2): wide string keys push the hot set over
+    hot_broadcast_bytes even when the row count is tiny — the cap must
+    fall back to the lazy sort-merge anti-join, with identical output."""
+    from eo_tools_spark.operators.dedup import cap_hot_buckets, drop_report
+    from eo_tools_spark.plans.skew import explain_str
+
+    wide = "u" * 200  # 200-byte string key component
+    rows = [(k * 100 + j, f"{wide}-{k}") for k in range(5) for j in range(3)]
+    rows += [(10000 + i, f"{wide}-solo-{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+
+    # 5 hot keys x ~220 B each ≈ 1.1 kB measured > 512 B budget
+    merged = cap_hot_buckets(
+        df, ["key"], 2, "bytecap", hot_broadcast_bytes=512
+    )
+    rep = drop_report(merged)
+    assert rep["anti_join"] == "merge" and rep["n_hot_buckets"] == 5
+    assert rep["hot_key_bytes"] is not None and rep["hot_key_bytes"] > 512
+    plan = explain_str(merged)
+    assert "BroadcastHashJoin" not in plan, plan
+
+    # generous byte budget: same hot set broadcasts, same output rows
+    bcast = cap_hot_buckets(df, ["key"], 2, "bytecap_ok")
+    assert drop_report(bcast)["anti_join"] == "broadcast"
+    assert sorted(r.doc_id for r in merged.collect()) == sorted(
+        r.doc_id for r in bcast.collect()
+    )
