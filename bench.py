@@ -154,15 +154,13 @@ def run_queries() -> dict:
     # scaling-law evidence wants the CPU-bound regime)
     n_pipeline = timed("q7_full_pipeline", q7, repeats=2)
 
-    # scaling children measure ONLY the flagship join + pipeline — the
-    # fixed-size demo queries would add ~10 min of irrelevant wall time
-    # per child (and host-load noise) to the two-parallelism evidence
-    flagship_only = os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1"
-    if flagship_only:
-        total = round(sum(timings.values()), 3)
-        result = {
-            "metric": "flagship-only (scaling child)",
-            "value": total,
+    # ONE base dict for both modes — the flagship-only early return and
+    # the full result must never drift apart (run_scaling parses these
+    # keys from child stdout)
+    def base_result(metric: str) -> dict:
+        return {
+            "metric": metric,
+            "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
             "sf": sf,
@@ -176,6 +174,13 @@ def run_queries() -> dict:
             "pipeline_images_per_sec": round(n_pipeline / timings["q7_full_pipeline"], 1),
             "cpus": CPUS,
         }
+
+    # scaling children measure ONLY the flagship join + pipeline — the
+    # fixed-size demo queries would add ~10 min of irrelevant wall time
+    # per child (and host-load noise) to the two-parallelism evidence
+    flagship_only = os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1"
+    if flagship_only:
+        result = base_result("flagship-only (scaling child)")
         spark.stop()
         return result
 
@@ -485,32 +490,21 @@ def run_queries() -> dict:
         json.dump(lineage_rows, f)
     lineage_summary["detail_file"] = f"BENCH/{detail_name}"
 
-    total = round(sum(timings.values()), 3)
-    images_per_sec = round(n_images / timings["q1_spatial_join_tile_assign"], 1)
-    result = {
-        "metric": "bench suite wall time; flagship spatial-join+tile-assign throughput in images_per_sec (logical rows/s over the full table; scanned_images_per_sec = post-pruning rows/s)",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n_images": n_images,
-        "n_scenes": n_scenes,
-        "n_joined": n_joined,
-        "n_pipeline": n_pipeline,
-        "images_per_sec": images_per_sec,
-        "n_scanned": n_scanned,
-        "scanned_images_per_sec": round(n_scanned / timings["q1_spatial_join_tile_assign"], 1),
-        "pipeline_images_per_sec": round(n_pipeline / timings["q7_full_pipeline"], 1),
-        "cpus": CPUS,
-        "sig_speedup_vs_md5": round(
+    result = base_result(
+        "bench suite wall time; flagship spatial-join+tile-assign "
+        "throughput in images_per_sec (logical rows/s over the full "
+        "table; scanned_images_per_sec = post-pruning rows/s)"
+    )
+    result.update(
+        sig_speedup_vs_md5=round(
             timings["q11_minhash_longdocs_md5_legacy"]
             / max(timings["q11_minhash_longdocs"], 1e-9),
             2,
         ),
-        "adaptive_cover": adaptive_report,
-        "snapshot": snapshot_summary,
-        "partition_lineage": lineage_summary,
-    }
+        adaptive_cover=adaptive_report,
+        snapshot=snapshot_summary,
+        partition_lineage=lineage_summary,
+    )
     spark.stop()
     return result
 

@@ -199,24 +199,56 @@ class SnapshotTable:
             return {"batch_id": batch_id, "skipped": True, "conflict": True}
         return {"batch_id": batch_id, "rows": n_rows, "wall_ms": wall_ms}
 
-    def vacuum_orphans(self) -> list[str]:
-        """Delete staged data/lineage directories no committed snapshot
-        references — crashed or conflict-losing writers leave them
-        (Iceberg: remove_orphan_files). Returns the removed names."""
-        live = {
-            f"batch={s['batch_id']}-{s['token']}"
-            for s in self.snapshot_summaries()
-        }
+    def vacuum_orphans(self, older_than_s: float = 86400.0) -> list[str]:
+        """Delete staged data/lineage directories (and stale commit tmp
+        files) no committed snapshot references — crashed or
+        conflict-losing writers leave them (Iceberg:
+        remove_orphan_files). Returns the removed names.
+
+        ``older_than_s`` is the SAME grace window Iceberg's
+        remove_orphan_files uses (its ``older_than``): a concurrent
+        writer that has staged but not yet committed looks exactly like
+        an orphan, so only entries whose mtime is at least this old are
+        touched. The default (24 h) is safe for any plausible in-flight
+        append; pass 0 only when no writer can be active."""
+        live = {self._dir_name(s) for s in self.snapshot_summaries()}
+        cutoff = time.time() - older_than_s
         removed = []
         for sub in ("data", "_lineage"):
             root = f"{self.path}/{sub}"
             if not os.path.isdir(root):
                 continue
             for d in sorted(os.listdir(root)):
-                if d.startswith("batch=") and d not in live:
-                    shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+                full = f"{root}/{d}"
+                if (
+                    d.startswith("batch=")
+                    and d not in live
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
                     removed.append(f"{sub}/{d}")
+        # a committer killed between json.dump and the finally-unlink
+        # leaks its .tmp file; nothing else ever removes it
+        snapdir = f"{self.path}/_snapshots"
+        for f in sorted(os.listdir(snapdir)):
+            full = f"{snapdir}/{f}"
+            if f.startswith(".tmp-") and os.path.getmtime(full) <= cutoff:
+                try:
+                    os.unlink(full)
+                    removed.append(f"_snapshots/{f}")
+                except OSError:
+                    pass
         return removed
+
+    @staticmethod
+    def _dir_name(summary: dict) -> str:
+        """Data/lineage dir name for a committed summary. Summaries
+        written before the optimistic-concurrency layout carry no
+        ``token`` and live at the legacy ``batch=<id>`` path — still
+        readable, never vacuumed as orphans."""
+        tok = summary.get("token")
+        bid = summary["batch_id"]
+        return f"batch={bid}-{tok}" if tok else f"batch={bid}"
 
     # ------------------------------------------------------------ reads
 
@@ -242,7 +274,7 @@ class SnapshotTable:
         # structurally invisible, not merely convention-invisible
         keep = set(batches)
         paths = [
-            f"{self.path}/data/batch={s['batch_id']}-{s['token']}"
+            f"{self.path}/data/{self._dir_name(s)}"
             for s in self.snapshot_summaries()
             if s["batch_id"] in keep
         ]
@@ -250,7 +282,7 @@ class SnapshotTable:
 
     def lineage(self) -> DataFrame:
         paths = [
-            f"{self.path}/_lineage/batch={s['batch_id']}-{s['token']}"
+            f"{self.path}/_lineage/{self._dir_name(s)}"
             for s in self.snapshot_summaries()
         ]
         return self.spark.read.parquet(*paths)

@@ -158,7 +158,7 @@ class TestIcebergSeam:
         assert wb.read().count() == 100
         assert [s["token"] for s in wb.snapshot_summaries()] == [tok_a]
         # loser's staged files are orphans; vacuum removes only them
-        removed = wb.vacuum_orphans()
+        removed = wb.vacuum_orphans(older_than_s=0)
         assert any(tok_b in r for r in removed)
         assert not any(tok_a in r for r in removed)
         assert wb.read().count() == 100
@@ -188,7 +188,7 @@ class TestIcebergSeam:
         winners = [r for r in results if not r.get("skipped")]
         assert len(winners) == 1
         assert t.read().count() == 100
-        t.vacuum_orphans()
+        t.vacuum_orphans(older_than_s=0)
         assert t.read().count() == 100
 
     def test_concurrent_distinct_batches_never_conflict(self, spark, tmp_path):
@@ -208,7 +208,7 @@ class TestIcebergSeam:
                                 "throughput_rows_per_s": 1.0, "committed_at": "x"})
         assert wa.committed_batches() == ["b000", "b001"]
         assert wa.read().count() == 200
-        assert wa.vacuum_orphans() == []
+        assert wa.vacuum_orphans(older_than_s=0) == []
 
     def test_crash_before_commit_then_resume(self, spark, tmp_path):
         """A writer that staged but died holds no lock: a rerun of the
@@ -220,6 +220,64 @@ class TestIcebergSeam:
         res = t.append_batch(df, "b000")  # resume rerun
         assert not res.get("skipped")
         assert t.read().count() == 100
-        removed = t.vacuum_orphans()
+        removed = t.vacuum_orphans(older_than_s=0)
         assert any(dead_tok in r for r in removed)
         assert t.read().count() == 100
+
+    def test_vacuum_grace_window_spares_inflight_staging(self, spark, tmp_path):
+        """vacuum_orphans must NOT delete a concurrent writer's freshly
+        staged (not yet committed) files: only entries older than the
+        grace window are swept — Iceberg remove_orphan_files'
+        older_than semantics (code-review r4 finding)."""
+        t = SnapshotTable(spark, str(tmp_path / "grace"))
+        df = make_batches(spark, 1)[0][1]
+        tok, _, _ = t._stage(df, "b000")  # in-flight: staged, no commit
+        assert t.vacuum_orphans() == []   # default 24h grace: untouched
+        assert os.path.isdir(f"{t.path}/data/batch=b000-{tok}")
+        # the writer can still commit its staged batch afterwards
+        res = t.append_batch(df, "b000")
+        assert not res.get("skipped")
+        assert t.read().count() == 100
+
+    def test_vacuum_sweeps_stale_commit_tmp(self, spark, tmp_path):
+        """A committer killed between writing .tmp-<id>-<token> and the
+        link/unlink leaks the tmp file; vacuum removes it past the
+        grace window (and never a committed snapshot json)."""
+        t = SnapshotTable(spark, str(tmp_path / "tmpsweep"))
+        df = make_batches(spark, 1)[0][1]
+        t.append_batch(df, "b000")
+        stale = f"{t.path}/_snapshots/.tmp-b001-deadbeef"
+        with open(stale, "w") as f:
+            f.write("{}")
+        removed = t.vacuum_orphans(older_than_s=0)
+        assert "_snapshots/.tmp-b001-deadbeef" in removed
+        assert t.committed_batches() == ["b000"]
+        assert t.read().count() == 100
+
+    def test_legacy_tokenless_layout_still_readable(self, spark, tmp_path):
+        """Tables committed by the pre-concurrency layout (no 'token' in
+        the summary, data at data/batch=<id>) must stay readable and
+        never be vacuumed as orphans (code-review r4 finding)."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        t = SnapshotTable(spark, str(tmp_path / "legacy"))
+        df = make_batches(spark, 1)[0][1]
+        # write the legacy layout by hand
+        df.withColumn("_pid", F.spark_partition_id()).write.parquet(
+            f"{t.path}/data/batch=b000"
+        )
+        spark.createDataFrame(
+            [(0, 100, "b000", 5)], "_pid int, rows long, batch_id string, wall_ms long"
+        ).write.parquet(f"{t.path}/_lineage/batch=b000")
+        with open(f"{t.path}/_snapshots/b000.json", "w") as f:
+            _json.dump({"batch_id": "b000", "rows": 100, "wall_ms": 5}, f)
+
+        assert t.committed_batches() == ["b000"]
+        assert t.read().count() == 100
+        assert t.lineage().count() == 1
+        assert t.vacuum_orphans(older_than_s=0) == []
+        # and a new-format append coexists with the legacy batch
+        t.append_batch(make_batches(spark, 2)[1][1], "b001")
+        assert t.read().count() == 200
