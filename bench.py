@@ -130,7 +130,7 @@ def run_queries() -> dict:
         )
         return out.select("image_id", "aoi_id", "dem_tile_id").count()
 
-    n_joined = timed("q1_spatial_join_tile_assign", q1, repeats=2)
+    n_joined = timed("q1_spatial_join_tile_assign", q1)
 
     # q7 — FULL PIPELINE (the scaling-evidence job): spatial join →
     # tile assignment → decode + phash verification of every matched
@@ -149,10 +149,10 @@ def run_queries() -> dict:
                 matched.select("image_id", "bytes", "w", "h", "fmt")
             ).count()
 
-    # repeats=2: the second run reads from page cache, so the best-of
-    # measures parallel compute capacity, not cold-disk bandwidth (the
-    # scaling-law evidence wants the CPU-bound regime)
-    n_pipeline = timed("q7_full_pipeline", q7, repeats=2)
+    # best-of-2 (the default): the second run reads from page cache, so
+    # the best-of measures parallel compute capacity, not cold-disk
+    # bandwidth (the scaling-law evidence wants the CPU-bound regime)
+    n_pipeline = timed("q7_full_pipeline", q7)
 
     # ONE base dict for both modes — the flagship-only early return and
     # the full result must never drift apart (run_scaling parses these
@@ -377,8 +377,8 @@ def run_queries() -> dict:
             longdocs, num_hashes=64, shingle=2, token_hash=token_hash
         ).count()
 
-    timed("q11_minhash_longdocs", lambda: q11("fast"), repeats=2)
-    timed("q11_minhash_longdocs_md5_legacy", lambda: q11("md5"), repeats=2)
+    timed("q11_minhash_longdocs", lambda: q11("fast"))
+    timed("q11_minhash_longdocs_md5_legacy", lambda: q11("md5"))
     longdocs.unpersist()
 
     # q12 — data-density-driven adaptive cell splitting over the image

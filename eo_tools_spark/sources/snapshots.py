@@ -102,12 +102,23 @@ class SnapshotTable:
     # ------------------------------------------------------------ state
 
     def committed_batches(self) -> list[str]:
+        """Committed batch ids in COMMIT order (Iceberg: snapshots
+        ORDER BY committed_at) — concurrent writers of distinct ids can
+        commit out of lexicographic order, and time travel must replay
+        the commit sequence, not the id alphabet. Order key is the
+        snapshot file's inode change time (set by the commit link /
+        rename itself, ns resolution), id as the deterministic
+        tie-break."""
         snapdir = f"{self.path}/_snapshots"
         out = []
-        for f in sorted(os.listdir(snapdir)):
+        for f in os.listdir(snapdir):
             if f.endswith(".json") and not f.startswith(".tmp"):
-                out.append(f[: -len(".json")])
-        return out
+                try:
+                    ctime = os.stat(f"{snapdir}/{f}").st_ctime_ns
+                except OSError:
+                    continue  # raced a concurrent cleanup; not committed
+                out.append((ctime, f[: -len(".json")]))
+        return [bid for _, bid in sorted(out)]
 
     def _try_commit(self, batch_id: str, summary: dict) -> None:
         """Atomic EXCLUSIVE metadata swap: write the snapshot json to a
@@ -220,24 +231,26 @@ class SnapshotTable:
                 continue
             for d in sorted(os.listdir(root)):
                 full = f"{root}/{d}"
-                if (
-                    d.startswith("batch=")
-                    and d not in live
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed.append(f"{sub}/{d}")
+                if d.startswith("batch=") and d not in live:
+                    try:
+                        old = os.path.getmtime(full) <= cutoff
+                    except OSError:
+                        continue  # raced a loser's own _discard_staged
+                    if old:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed.append(f"{sub}/{d}")
         # a committer killed between json.dump and the finally-unlink
         # leaks its .tmp file; nothing else ever removes it
         snapdir = f"{self.path}/_snapshots"
         for f in sorted(os.listdir(snapdir)):
             full = f"{snapdir}/{f}"
-            if f.startswith(".tmp-") and os.path.getmtime(full) <= cutoff:
+            if f.startswith(".tmp-"):
                 try:
-                    os.unlink(full)
-                    removed.append(f"_snapshots/{f}")
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        removed.append(f"_snapshots/{f}")
                 except OSError:
-                    pass
+                    pass  # raced the committer's own finally-unlink
         return removed
 
     @staticmethod

@@ -206,8 +206,15 @@ class TestIcebergSeam:
         wa._try_commit("b000", {"batch_id": "b000", "token": tok_a,
                                 "rows": 100, "wall_ms": 1,
                                 "throughput_rows_per_s": 1.0, "committed_at": "x"})
-        assert wa.committed_batches() == ["b000", "b001"]
+        # COMMIT order, not id order: b001's swap happened first
+        assert wa.committed_batches() == ["b001", "b000"]
+        assert wa.current_snapshot_id() == "b000"
         assert wa.read().count() == 200
+        # time travel replays the commit sequence: as of the b001
+        # snapshot only b001 existed; as of b000 (the later commit)
+        # both are visible
+        assert wa.read(as_of_snapshot="b001").count() == 100
+        assert wa.read(as_of_snapshot="b000").count() == 200
         assert wa.vacuum_orphans(older_than_s=0) == []
 
     def test_crash_before_commit_then_resume(self, spark, tmp_path):
