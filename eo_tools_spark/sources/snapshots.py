@@ -101,43 +101,80 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ state
 
+    #: width of the version prefix in snapshot filenames
+    _SEQ_DIGITS = 12
+
+    def _snapshot_files(self) -> list[tuple[str, str]]:
+        """ORDERED (batch_id, json_path) for every committed snapshot,
+        in COMMIT order. The order key is the version number encoded in
+        the filename (``v<seq>-<batch_id>.json``) — DURABLE table
+        metadata that survives copy/backup/restore, unlike file
+        timestamps (any cp/rsync/tar rewrites ctime in arbitrary
+        order). Snapshots from the pre-versioned layout
+        (``<batch_id>.json``) predate every versioned commit, so they
+        sort first, among themselves by name (their original
+        lexicographic order)."""
+        snapdir = f"{self.path}/_snapshots"
+        entries = []
+        n = self._SEQ_DIGITS
+        for f in os.listdir(snapdir):
+            if not f.endswith(".json") or f.startswith(".tmp"):
+                continue
+            name = f[: -len(".json")]
+            if (
+                len(name) > n + 2
+                and name[0] == "v"
+                and name[1 : n + 1].isdigit()
+                and name[n + 1] == "-"
+            ):
+                entries.append(((1, int(name[1 : n + 1]), ""), name[n + 2 :], f))
+            else:  # legacy tokenless/unversioned layout
+                entries.append(((0, 0, name), name, f))
+        entries.sort(key=lambda e: e[0])
+        return [(bid, f"{snapdir}/{f}") for _, bid, f in entries]
+
     def committed_batches(self) -> list[str]:
         """Committed batch ids in COMMIT order (Iceberg: snapshots
         ORDER BY committed_at) — concurrent writers of distinct ids can
         commit out of lexicographic order, and time travel must replay
-        the commit sequence, not the id alphabet. Order key is the
-        snapshot file's inode change time (set by the commit link /
-        rename itself, ns resolution), id as the deterministic
-        tie-break."""
-        snapdir = f"{self.path}/_snapshots"
-        out = []
-        for f in os.listdir(snapdir):
-            if f.endswith(".json") and not f.startswith(".tmp"):
-                try:
-                    ctime = os.stat(f"{snapdir}/{f}").st_ctime_ns
-                except OSError:
-                    continue  # raced a concurrent cleanup; not committed
-                out.append((ctime, f[: -len(".json")]))
-        return [bid for _, bid in sorted(out)]
+        the commit sequence, not the id alphabet."""
+        return [bid for bid, _ in self._snapshot_files()]
 
     def _try_commit(self, batch_id: str, summary: dict) -> None:
-        """Atomic EXCLUSIVE metadata swap: write the snapshot json to a
-        private temp name, then hard-link it to its final name —
-        ``os.link`` fails with FileExistsError when another writer's
-        snapshot already holds the name, which is exactly Iceberg's
-        losing-committer CommitFailedException (the filesystem is the
-        catalog's compare-and-swap here). Raises CommitConflictError on
-        a lost race; the caller owns cleanup of its staged files."""
+        """Atomic EXCLUSIVE metadata swap, Iceberg's metadata-version
+        chain on a filesystem: the committer claims the NEXT version
+        number by hard-linking its summary to ``v<seq>-<batch_id>.json``
+        — ``os.link`` fails with FileExistsError when another writer
+        holds that version, and the loop retries at the next number
+        after re-validating that ``batch_id`` itself is still
+        uncommitted (two writers of the SAME id: the second retry sees
+        the id committed and raises CommitConflictError — Iceberg's
+        CommitFailedException → retry → validation-fails path). The
+        version number in the FILENAME is what orders commits: durable,
+        copy-safe, no reliance on inode timestamps (which a leaked tmp
+        hard-link's later unlink would rewrite)."""
         snapdir = f"{self.path}/_snapshots"
         tmp = f"{snapdir}/.tmp-{batch_id}-{summary['token']}"
         with open(tmp, "w") as f:
             json.dump(summary, f)
         try:
-            os.link(tmp, f"{snapdir}/{batch_id}.json")  # atomic commit point
-        except FileExistsError:
-            raise CommitConflictError(
-                f"snapshot {batch_id!r} was committed by another writer"
-            ) from None
+            files = self._snapshot_files()
+            seq = len(files)  # next version candidate
+            while True:
+                if any(bid == batch_id for bid, _ in files):
+                    raise CommitConflictError(
+                        f"snapshot {batch_id!r} was committed by another writer"
+                    )
+                target = (
+                    f"{snapdir}/v{seq:0{self._SEQ_DIGITS}d}-{batch_id}.json"
+                )
+                try:
+                    os.link(tmp, target)  # atomic commit point
+                    return
+                except FileExistsError:
+                    # lost THIS version to some writer; re-read and retry
+                    files = self._snapshot_files()
+                    seq = max(seq + 1, len(files))
         finally:
             os.unlink(tmp)
 
@@ -220,8 +257,11 @@ class SnapshotTable:
         remove_orphan_files uses (its ``older_than``): a concurrent
         writer that has staged but not yet committed looks exactly like
         an orphan, so only entries whose mtime is at least this old are
-        touched. The default (24 h) is safe for any plausible in-flight
-        append; pass 0 only when no writer can be active."""
+        touched — and because a writer suspended past even a generous
+        window can still wake up and commit, the live set is RE-READ
+        immediately before each deletion (the commit is an atomic
+        metadata link, so a just-committed dir appears in the fresh
+        set and is spared). Pass 0 only when no writer can be active."""
         live = {self._dir_name(s) for s in self.snapshot_summaries()}
         cutoff = time.time() - older_than_s
         removed = []
@@ -236,9 +276,15 @@ class SnapshotTable:
                         old = os.path.getmtime(full) <= cutoff
                     except OSError:
                         continue  # raced a loser's own _discard_staged
-                    if old:
-                        shutil.rmtree(full, ignore_errors=True)
-                        removed.append(f"{sub}/{d}")
+                    if not old:
+                        continue
+                    # TOCTOU close: a suspended writer may have committed
+                    # between the initial live-set read and now
+                    live = {self._dir_name(s) for s in self.snapshot_summaries()}
+                    if d in live:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(f"{sub}/{d}")
         # a committer killed between json.dump and the finally-unlink
         # leaks its .tmp file; nothing else ever removes it
         snapdir = f"{self.path}/_snapshots"
@@ -275,37 +321,40 @@ class SnapshotTable:
         at or before that snapshot (Iceberg time travel,
         ``option('snapshot-id', ...)``). Uncommitted batch dirs are
         invisible either way."""
-        batches = self.committed_batches()
+        # ONE directory listing: the ordered file list yields both the
+        # commit order and the summary paths; only the kept summaries
+        # are opened. Directories resolve THROUGH the committed
+        # summaries (the snapshot's token names the data dir) — staged/
+        # orphan dirs are structurally invisible, not merely
+        # convention-invisible.
+        files = self._snapshot_files()
+        batches = [bid for bid, _ in files]
         if as_of_snapshot is not None:
             if as_of_snapshot not in batches:
                 raise ValueError(f"unknown snapshot {as_of_snapshot!r}")
-            batches = batches[: batches.index(as_of_snapshot) + 1]
-        if not batches:
+            files = files[: batches.index(as_of_snapshot) + 1]
+        if not files:
             raise ValueError("no committed snapshots")
-        # directories resolve THROUGH the committed summaries (the
-        # snapshot's token names the data dir) — staged/orphan dirs are
-        # structurally invisible, not merely convention-invisible
-        keep = set(batches)
         paths = [
-            f"{self.path}/data/{self._dir_name(s)}"
-            for s in self.snapshot_summaries()
-            if s["batch_id"] in keep
+            f"{self.path}/data/{self._dir_name(self._load(p))}"
+            for _, p in files
         ]
         return self.spark.read.parquet(*paths).drop("_pid")
 
     def lineage(self) -> DataFrame:
         paths = [
-            f"{self.path}/_lineage/{self._dir_name(s)}"
-            for s in self.snapshot_summaries()
+            f"{self.path}/_lineage/{self._dir_name(self._load(p))}"
+            for _, p in self._snapshot_files()
         ]
         return self.spark.read.parquet(*paths)
 
+    @staticmethod
+    def _load(path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
     def snapshot_summaries(self) -> list[dict]:
-        out = []
-        for b in self.committed_batches():
-            with open(f"{self.path}/_snapshots/{b}.json") as f:
-                out.append(json.load(f))
-        return out
+        return [self._load(p) for _, p in self._snapshot_files()]
 
     # ----------------------------------------------------------- resume
 

@@ -288,3 +288,71 @@ class TestIcebergSeam:
         # and a new-format append coexists with the legacy batch
         t.append_batch(make_batches(spark, 2)[1][1], "b001")
         assert t.read().count() == 200
+
+    def test_commit_order_survives_timestamp_scramble(self, spark, tmp_path):
+        """Commit order is DURABLE metadata (the version number in the
+        snapshot filename), not inode timestamps — a copy/backup/restore
+        rewrites ctimes in arbitrary order and must not reorder history
+        (code-review r4 finding)."""
+        import os as _os
+        import time as _time
+
+        t = SnapshotTable(spark, str(tmp_path / "scramble"))
+        for bid, df in make_batches(spark, 3):
+            t.append_batch(df, bid)
+        before = t.committed_batches()
+        assert before == ["b000", "b001", "b002"]
+        # scramble every snapshot file's timestamps in reverse order
+        # (what cp -r / rsync / tar restore does, nondeterministically)
+        snapdir = f"{t.path}/_snapshots"
+        for i, f in enumerate(reversed(sorted(_os.listdir(snapdir)))):
+            _os.utime(f"{snapdir}/{f}")
+            _time.sleep(0.01)
+        assert t.committed_batches() == before
+        assert t.current_snapshot_id() == "b002"
+        assert t.read(as_of_snapshot="b001").count() == 200
+
+    def test_leaked_tmp_hardlink_cannot_reorder_history(self, spark, tmp_path):
+        """A committer killed before its finally-unlink leaves .tmp as a
+        hard link of the COMMITTED snapshot json; vacuuming that tmp
+        later must not change commit order (it rewrote the shared
+        inode's ctime under the old timestamp ordering — code-review r4
+        finding, closed by filename-version ordering)."""
+        import glob as _glob
+        import os as _os
+
+        t = SnapshotTable(spark, str(tmp_path / "leak"))
+        batches = make_batches(spark, 3)
+        t.append_batch(batches[0][1], "b000")
+        # simulate the crash: re-create the leaked tmp hard link of
+        # b000's committed snapshot file
+        committed = _glob.glob(f"{t.path}/_snapshots/v*-b000.json")[0]
+        _os.link(committed, f"{t.path}/_snapshots/.tmp-b000-leaked")
+        t.append_batch(batches[1][1], "b001")
+        t.append_batch(batches[2][1], "b002")
+        removed = t.vacuum_orphans(older_than_s=0)
+        assert "_snapshots/.tmp-b000-leaked" in removed
+        assert t.committed_batches() == ["b000", "b001", "b002"]
+        assert t.current_snapshot_id() == "b002"
+        assert t.read().count() == 300
+
+    def test_same_version_race_retries_to_next(self, spark, tmp_path):
+        """Two writers of DISTINCT ids racing for the same version
+        number: the loser's _try_commit retries at the next version and
+        still commits (Iceberg append retry-succeeds), preserving both
+        batches and the true order."""
+        import os as _os
+
+        t = SnapshotTable(spark, str(tmp_path / "vrace"))
+        batches = make_batches(spark, 2)
+        tok_a, _, _ = t._stage(batches[0][1], "b000")
+        # occupy version 0 by hand before A commits (what a concurrent
+        # writer's link does)
+        blocker = f"{t.path}/_snapshots/v{0:012d}-b999.json"
+        with open(blocker + ".tmp", "w") as f:
+            f.write('{"batch_id": "b999", "rows": 0, "wall_ms": 0}')
+        _os.rename(blocker + ".tmp", blocker)
+        t._try_commit("b000", {"batch_id": "b000", "token": tok_a,
+                               "rows": 100, "wall_ms": 1,
+                               "throughput_rows_per_s": 1.0, "committed_at": "x"})
+        assert t.committed_batches() == ["b999", "b000"]
