@@ -101,19 +101,21 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ state
 
-    #: width of the version prefix in snapshot filenames
+    #: width of the version number in snapshot filenames
     _SEQ_DIGITS = 12
 
     def _snapshot_files(self) -> list[tuple[str, str]]:
         """ORDERED (batch_id, json_path) for every committed snapshot,
-        in COMMIT order. The order key is the version number encoded in
-        the filename (``v<seq>-<batch_id>.json``) — DURABLE table
-        metadata that survives copy/backup/restore, unlike file
-        timestamps (any cp/rsync/tar rewrites ctime in arbitrary
-        order). Snapshots from the pre-versioned layout
-        (``<batch_id>.json``) predate every versioned commit, so they
-        sort first, among themselves by name (their original
-        lexicographic order)."""
+        in COMMIT order. The order key is the version number that IS
+        the filename (``v<seq>.json``; the batch id lives inside the
+        json) — DURABLE table metadata that survives copy/backup/
+        restore, unlike file timestamps (any cp/rsync/tar rewrites
+        ctime in arbitrary order). The bare-version filename also makes
+        the commit link's exclusivity a claim on the VERSION NUMBER
+        itself: two writers — any batch ids — cannot both hold seq N.
+        Snapshots from the pre-versioned layout (``<batch_id>.json``)
+        predate every versioned commit, so they sort first, among
+        themselves by name (their original lexicographic order)."""
         snapdir = f"{self.path}/_snapshots"
         entries = []
         n = self._SEQ_DIGITS
@@ -121,13 +123,12 @@ class SnapshotTable:
             if not f.endswith(".json") or f.startswith(".tmp"):
                 continue
             name = f[: -len(".json")]
-            if (
-                len(name) > n + 2
-                and name[0] == "v"
-                and name[1 : n + 1].isdigit()
-                and name[n + 1] == "-"
-            ):
-                entries.append(((1, int(name[1 : n + 1]), ""), name[n + 2 :], f))
+            if len(name) == n + 1 and name[0] == "v" and name[1:].isdigit():
+                try:
+                    bid = self._load(f"{snapdir}/{f}")["batch_id"]
+                except (OSError, ValueError, KeyError):
+                    continue  # unreadable snapshot: not part of the chain
+                entries.append(((1, int(name[1:]), ""), bid, f))
             else:  # legacy tokenless/unversioned layout
                 entries.append(((0, 0, name), name, f))
         entries.sort(key=lambda e: e[0])
@@ -140,15 +141,26 @@ class SnapshotTable:
         the commit sequence, not the id alphabet."""
         return [bid for bid, _ in self._snapshot_files()]
 
+    def _next_seq(self, entries: list) -> int:
+        seqs = [
+            int(os.path.basename(p)[1 : 1 + self._SEQ_DIGITS])
+            for _, p in entries
+            if os.path.basename(p)[0] == "v"
+            and os.path.basename(p)[1 : 1 + self._SEQ_DIGITS].isdigit()
+        ]
+        return (max(seqs) + 1) if seqs else 0
+
     def _try_commit(self, batch_id: str, summary: dict) -> None:
         """Atomic EXCLUSIVE metadata swap, Iceberg's metadata-version
         chain on a filesystem: the committer claims the NEXT version
-        number by hard-linking its summary to ``v<seq>-<batch_id>.json``
-        — ``os.link`` fails with FileExistsError when another writer
-        holds that version, and the loop retries at the next number
-        after re-validating that ``batch_id`` itself is still
-        uncommitted (two writers of the SAME id: the second retry sees
-        the id committed and raises CommitConflictError — Iceberg's
+        number by hard-linking its summary to the bare ``v<seq>.json``
+        — ``os.link`` fails with FileExistsError when ANY other writer
+        (same or different batch id) holds that version, so version
+        numbers are globally unique and the total commit order is
+        well-defined. The loop retries at the next number after
+        re-validating that ``batch_id`` itself is still uncommitted
+        (two writers of the SAME id: the loser's retry sees the id
+        committed and raises CommitConflictError — Iceberg's
         CommitFailedException → retry → validation-fails path). The
         version number in the FILENAME is what orders commits: durable,
         copy-safe, no reliance on inode timestamps (which a leaked tmp
@@ -158,23 +170,19 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             json.dump(summary, f)
         try:
-            files = self._snapshot_files()
-            seq = len(files)  # next version candidate
             while True:
+                files = self._snapshot_files()
                 if any(bid == batch_id for bid, _ in files):
                     raise CommitConflictError(
                         f"snapshot {batch_id!r} was committed by another writer"
                     )
-                target = (
-                    f"{snapdir}/v{seq:0{self._SEQ_DIGITS}d}-{batch_id}.json"
-                )
+                seq = self._next_seq(files)
+                target = f"{snapdir}/v{seq:0{self._SEQ_DIGITS}d}.json"
                 try:
                     os.link(tmp, target)  # atomic commit point
                     return
                 except FileExistsError:
-                    # lost THIS version to some writer; re-read and retry
-                    files = self._snapshot_files()
-                    seq = max(seq + 1, len(files))
+                    continue  # lost THIS version to some writer; retry
         finally:
             os.unlink(tmp)
 
@@ -224,6 +232,18 @@ class SnapshotTable:
         discards its staged files and returns
         ``{"skipped": True, "conflict": True}`` (the Iceberg retry
         outcome). Writers of distinct batch_ids never conflict."""
+        # ids become file/dir name components and must never collide
+        # with the reserved versioned-snapshot namespace (a legacy file
+        # named exactly v<12 digits> would misparse as a version)
+        import re
+
+        if (
+            not batch_id
+            or batch_id.startswith(".")
+            or "/" in batch_id
+            or re.fullmatch(r"v\d{%d}" % self._SEQ_DIGITS, batch_id)
+        ):
+            raise ValueError(f"invalid batch_id {batch_id!r} (reserved/unsafe)")
         if batch_id in self.committed_batches():
             return {"batch_id": batch_id, "skipped": True}
         token, metrics_rows, wall_ms = self._stage(df, batch_id)
@@ -257,12 +277,27 @@ class SnapshotTable:
         remove_orphan_files uses (its ``older_than``): a concurrent
         writer that has staged but not yet committed looks exactly like
         an orphan, so only entries whose mtime is at least this old are
-        touched — and because a writer suspended past even a generous
-        window can still wake up and commit, the live set is RE-READ
-        immediately before each deletion (the commit is an atomic
-        metadata link, so a just-committed dir appears in the fresh
-        set and is spared). Pass 0 only when no writer can be active."""
-        live = {self._dir_name(s) for s in self.snapshot_summaries()}
+        touched. The grace window is the PRIMARY guard; as a narrowing
+        backstop, the live set is refreshed immediately before each
+        deletion (snapshot files are append-only, so the refresh loads
+        only files that appeared since the last look), which spares a
+        writer that committed mid-vacuum — but a commit landing in the
+        instants between that refresh and the rmtree is still lost, so
+        pass a window comfortably longer than any writer can be
+        suspended, and 0 only when no writer can be active."""
+        snapdir = f"{self.path}/_snapshots"
+        live: set[str] = set()
+        seen_files: set[str] = set()
+
+        def refresh_live():
+            # append-only chain: only parse snapshot files not yet seen
+            for bid, p in self._snapshot_files():
+                f = os.path.basename(p)
+                if f not in seen_files:
+                    seen_files.add(f)
+                    live.add(self._dir_name(self._load(p)))
+
+        refresh_live()
         cutoff = time.time() - older_than_s
         removed = []
         for sub in ("data", "_lineage"):
@@ -278,9 +313,7 @@ class SnapshotTable:
                         continue  # raced a loser's own _discard_staged
                     if not old:
                         continue
-                    # TOCTOU close: a suspended writer may have committed
-                    # between the initial live-set read and now
-                    live = {self._dir_name(s) for s in self.snapshot_summaries()}
+                    refresh_live()  # narrow the commit-mid-vacuum window
                     if d in live:
                         continue
                     shutil.rmtree(full, ignore_errors=True)

@@ -326,7 +326,7 @@ class TestIcebergSeam:
         t.append_batch(batches[0][1], "b000")
         # simulate the crash: re-create the leaked tmp hard link of
         # b000's committed snapshot file
-        committed = _glob.glob(f"{t.path}/_snapshots/v*-b000.json")[0]
+        committed = _glob.glob(f"{t.path}/_snapshots/v*.json")[0]
         _os.link(committed, f"{t.path}/_snapshots/.tmp-b000-leaked")
         t.append_batch(batches[1][1], "b001")
         t.append_batch(batches[2][1], "b002")
@@ -336,23 +336,56 @@ class TestIcebergSeam:
         assert t.current_snapshot_id() == "b002"
         assert t.read().count() == 300
 
-    def test_same_version_race_retries_to_next(self, spark, tmp_path):
-        """Two writers of DISTINCT ids racing for the same version
-        number: the loser's _try_commit retries at the next version and
-        still commits (Iceberg append retry-succeeds), preserving both
-        batches and the true order."""
+    def test_same_version_race_retries_to_next(self, spark, tmp_path, monkeypatch):
+        """Two writers of DISTINCT ids racing for the SAME version
+        number: the bare v<seq>.json claim makes the loser's os.link
+        fail (version numbers are globally unique — the exclusivity is
+        on the seq, not the filename+id pair), and the retry lands at
+        the next version with both batches committed in the true
+        order. The competitor is injected INSIDE the loser's
+        commit window (after its listing, before its link) via an
+        os.link interposer — the branch a pre-created blocker never
+        reaches."""
+        import json as _json
         import os as _os
 
         t = SnapshotTable(spark, str(tmp_path / "vrace"))
         batches = make_batches(spark, 2)
         tok_a, _, _ = t._stage(batches[0][1], "b000")
-        # occupy version 0 by hand before A commits (what a concurrent
-        # writer's link does)
-        blocker = f"{t.path}/_snapshots/v{0:012d}-b999.json"
-        with open(blocker + ".tmp", "w") as f:
-            f.write('{"batch_id": "b999", "rows": 0, "wall_ms": 0}')
-        _os.rename(blocker + ".tmp", blocker)
+
+        real_link = _os.link
+        state = {"raced": False}
+
+        def racing_link(src, dst, **kw):
+            if not state["raced"] and "/_snapshots/v" in dst:
+                state["raced"] = True
+                # competitor commits THIS version first, mid-window
+                comp = f"{t.path}/_snapshots/.tmp-competitor"
+                with open(comp, "w") as f:
+                    _json.dump({"batch_id": "b999", "rows": 0, "wall_ms": 0}, f)
+                real_link(comp, dst)
+                _os.unlink(comp)
+            return real_link(src, dst, **kw)  # loser: FileExistsError
+
+        monkeypatch.setattr(_os, "link", racing_link)
         t._try_commit("b000", {"batch_id": "b000", "token": tok_a,
                                "rows": 100, "wall_ms": 1,
                                "throughput_rows_per_s": 1.0, "committed_at": "x"})
+        monkeypatch.undo()
         assert t.committed_batches() == ["b999", "b000"]
+        # versions are contiguous and unique
+        names = sorted(
+            f for f in _os.listdir(f"{t.path}/_snapshots") if f.startswith("v")
+        )
+        assert names == [f"v{0:012d}.json", f"v{1:012d}.json"]
+
+    def test_reserved_batch_ids_rejected(self, spark, tmp_path):
+        """Ids that would collide with the versioned-snapshot namespace
+        or escape the directory layout are rejected up front."""
+        t = SnapshotTable(spark, str(tmp_path / "resv"))
+        df = make_batches(spark, 1)[0][1]
+        for bad in ("", ".hidden", "a/b", "v000000000042"):
+            with pytest.raises(ValueError, match="batch_id"):
+                t.append_batch(df, bad)
+        # non-reserved lookalikes are fine
+        assert not t.append_batch(df, "v42").get("skipped")
