@@ -98,11 +98,38 @@ class SnapshotTable:
         self.spark = spark
         self.path = path.rstrip("/")
         os.makedirs(f"{self.path}/_snapshots", exist_ok=True)
+        # committed snapshot files are immutable once linked, so their
+        # parsed summaries are memoized per filename — committed_batches
+        # / append_batch idempotency / read stay O(new files) in file
+        # IO instead of re-parsing the whole chain every call
+        self._summary_memo: dict[str, dict] = {}
 
     # ------------------------------------------------------------ state
 
     #: width of the version number in snapshot filenames
     _SEQ_DIGITS = 12
+
+    @classmethod
+    def _parse_seq(cls, fname: str) -> int | None:
+        """Version number for an exactly-versioned snapshot filename
+        (``v<_SEQ_DIGITS digits>.json``), else None. THE single parse —
+        _snapshot_files and _next_seq must never disagree on what
+        counts as a version, or a legacy lookalike could inflate the
+        sequence into names this parse then rejects."""
+        if not fname.endswith(".json") or fname.startswith(".tmp"):
+            return None
+        name = fname[: -len(".json")]
+        n = cls._SEQ_DIGITS
+        if len(name) == n + 1 and name[0] == "v" and name[1:].isdigit():
+            return int(name[1:])
+        return None
+
+    def _load_cached(self, fname: str) -> dict:
+        got = self._summary_memo.get(fname)
+        if got is None:
+            got = self._load(f"{self.path}/_snapshots/{fname}")
+            self._summary_memo[fname] = got
+        return got
 
     def _snapshot_files(self) -> list[tuple[str, str]]:
         """ORDERED (batch_id, json_path) for every committed snapshot,
@@ -115,21 +142,30 @@ class SnapshotTable:
         itself: two writers — any batch ids — cannot both hold seq N.
         Snapshots from the pre-versioned layout (``<batch_id>.json``)
         predate every versioned commit, so they sort first, among
-        themselves by name (their original lexicographic order)."""
+        themselves by name (their original lexicographic order).
+
+        FAIL-SAFE: an unreadable committed snapshot RAISES instead of
+        being skipped — pretending a commit doesn't exist would let
+        vacuum delete its data and let a resume re-commit its batch id
+        (duplicate rows). Snapshot files are never deleted, so there is
+        no benign race that makes one unreadable."""
         snapdir = f"{self.path}/_snapshots"
         entries = []
-        n = self._SEQ_DIGITS
         for f in os.listdir(snapdir):
-            if not f.endswith(".json") or f.startswith(".tmp"):
-                continue
-            name = f[: -len(".json")]
-            if len(name) == n + 1 and name[0] == "v" and name[1:].isdigit():
+            seq = self._parse_seq(f)
+            if seq is not None:
                 try:
-                    bid = self._load(f"{snapdir}/{f}")["batch_id"]
-                except (OSError, ValueError, KeyError):
-                    continue  # unreadable snapshot: not part of the chain
-                entries.append(((1, int(name[1:]), ""), bid, f))
-            else:  # legacy tokenless/unversioned layout
+                    bid = self._load_cached(f)["batch_id"]
+                except (OSError, ValueError, KeyError) as e:
+                    raise RuntimeError(
+                        f"unreadable committed snapshot {snapdir}/{f} — "
+                        "refusing to treat the chain as shorter than it "
+                        f"is ({e!r})"
+                    ) from e
+                entries.append(((1, seq, ""), bid, f))
+            elif f.endswith(".json") and not f.startswith(".tmp"):
+                # legacy tokenless/unversioned layout
+                name = f[: -len(".json")]
                 entries.append(((0, 0, name), name, f))
         entries.sort(key=lambda e: e[0])
         return [(bid, f"{snapdir}/{f}") for _, bid, f in entries]
@@ -141,12 +177,15 @@ class SnapshotTable:
         the commit sequence, not the id alphabet."""
         return [bid for bid, _ in self._snapshot_files()]
 
-    def _next_seq(self, entries: list) -> int:
+    def _next_seq(self) -> int:
+        """Next free version number, derived from the RAW directory
+        listing (the same exact parse as _snapshot_files) — never from
+        loaded/filtered entries, so an occupied version can never be
+        re-proposed and the commit retry always makes progress."""
         seqs = [
-            int(os.path.basename(p)[1 : 1 + self._SEQ_DIGITS])
-            for _, p in entries
-            if os.path.basename(p)[0] == "v"
-            and os.path.basename(p)[1 : 1 + self._SEQ_DIGITS].isdigit()
+            s
+            for s in map(self._parse_seq, os.listdir(f"{self.path}/_snapshots"))
+            if s is not None
         ]
         return (max(seqs) + 1) if seqs else 0
 
@@ -176,7 +215,7 @@ class SnapshotTable:
                     raise CommitConflictError(
                         f"snapshot {batch_id!r} was committed by another writer"
                     )
-                seq = self._next_seq(files)
+                seq = self._next_seq()
                 target = f"{snapdir}/v{seq:0{self._SEQ_DIGITS}d}.json"
                 try:
                     os.link(tmp, target)  # atomic commit point
@@ -279,25 +318,21 @@ class SnapshotTable:
         an orphan, so only entries whose mtime is at least this old are
         touched. The grace window is the PRIMARY guard; as a narrowing
         backstop, the live set is refreshed immediately before each
-        deletion (snapshot files are append-only, so the refresh loads
-        only files that appeared since the last look), which spares a
-        writer that committed mid-vacuum — but a commit landing in the
-        instants between that refresh and the rmtree is still lost, so
-        pass a window comfortably longer than any writer can be
-        suspended, and 0 only when no writer can be active."""
-        snapdir = f"{self.path}/_snapshots"
-        live: set[str] = set()
-        seen_files: set[str] = set()
+        deletion (cheap: committed snapshots are immutable and their
+        parsed summaries memoized, so a refresh re-parses only files
+        that appeared since the last look), which spares a writer that
+        committed mid-vacuum — but a commit landing in the instants
+        between that refresh and the rmtree is still lost, so pass a
+        window comfortably longer than any writer can be suspended, and
+        0 only when no writer can be active."""
 
-        def refresh_live():
-            # append-only chain: only parse snapshot files not yet seen
-            for bid, p in self._snapshot_files():
-                f = os.path.basename(p)
-                if f not in seen_files:
-                    seen_files.add(f)
-                    live.add(self._dir_name(self._load(p)))
+        def refresh_live() -> set[str]:
+            return {
+                self._dir_name(self._load_cached(os.path.basename(p)))
+                for _, p in self._snapshot_files()
+            }
 
-        refresh_live()
+        live = refresh_live()
         cutoff = time.time() - older_than_s
         removed = []
         for sub in ("data", "_lineage"):
@@ -313,7 +348,8 @@ class SnapshotTable:
                         continue  # raced a loser's own _discard_staged
                     if not old:
                         continue
-                    refresh_live()  # narrow the commit-mid-vacuum window
+                    # narrow the commit-mid-vacuum window
+                    live = refresh_live()
                     if d in live:
                         continue
                     shutil.rmtree(full, ignore_errors=True)
@@ -369,14 +405,14 @@ class SnapshotTable:
         if not files:
             raise ValueError("no committed snapshots")
         paths = [
-            f"{self.path}/data/{self._dir_name(self._load(p))}"
+            f"{self.path}/data/{self._dir_name(self._load_cached(os.path.basename(p)))}"
             for _, p in files
         ]
         return self.spark.read.parquet(*paths).drop("_pid")
 
     def lineage(self) -> DataFrame:
         paths = [
-            f"{self.path}/_lineage/{self._dir_name(self._load(p))}"
+            f"{self.path}/_lineage/{self._dir_name(self._load_cached(os.path.basename(p)))}"
             for _, p in self._snapshot_files()
         ]
         return self.spark.read.parquet(*paths)
@@ -387,7 +423,11 @@ class SnapshotTable:
             return json.load(f)
 
     def snapshot_summaries(self) -> list[dict]:
-        return [self._load(p) for _, p in self._snapshot_files()]
+        # copies: the memoized dicts must not be mutated by callers
+        return [
+            dict(self._load_cached(os.path.basename(p)))
+            for _, p in self._snapshot_files()
+        ]
 
     # ----------------------------------------------------------- resume
 

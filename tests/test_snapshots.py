@@ -389,3 +389,24 @@ class TestIcebergSeam:
                 t.append_batch(df, bad)
         # non-reserved lookalikes are fine
         assert not t.append_batch(df, "v42").get("skipped")
+
+    def test_unreadable_snapshot_fails_safe(self, spark, tmp_path):
+        """A committed-but-unreadable snapshot must RAISE, not be
+        silently skipped: skipping would let vacuum delete committed
+        data and a resume re-commit the batch id (code-review r4
+        finding). Fresh instance: the parsed-summary memo must not mask
+        the corruption."""
+        t = SnapshotTable(spark, str(tmp_path / "corrupt"))
+        batches = make_batches(spark, 2)
+        t.append_batch(batches[0][1], "b000")
+        t.append_batch(batches[1][1], "b001")
+        vfile = f"{t.path}/_snapshots/v{1:012d}.json"
+        with open(vfile, "w") as f:
+            f.write("{ not json")
+        t2 = SnapshotTable(spark, str(tmp_path / "corrupt"))
+        with pytest.raises(RuntimeError, match="unreadable committed snapshot"):
+            t2.committed_batches()
+        with pytest.raises(RuntimeError, match="unreadable committed snapshot"):
+            t2.vacuum_orphans(older_than_s=0)
+        with pytest.raises(RuntimeError, match="unreadable committed snapshot"):
+            t2.append_batch(batches[1][1], "b001")  # no silent re-commit
