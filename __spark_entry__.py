@@ -410,6 +410,78 @@ def _neardup_clusters_oracle() -> str:
     )
 
 
+# ------------------------------------------------- simhash near-dup pairs
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs end to end THROUGH THE OPERATORS: the
+    mapInPandas signature kernel (segmented ±1 bit sums) → pigeonhole
+    chunk-pair banding self-join → exact popcount verify
+    (operators/dedup.simhash_signatures / simhash_pairs). With
+    token_hash="md5" the per-token hash is the dual-dialect 60-bit
+    md5_bigint, so the DuckDB oracle recomputes the ENTIRE simhash
+    from scratch in SQL (per-bit weighted sums over unnested tokens)
+    and the pair sets must match exactly. max_hamming=6 drives the
+    narrow-chunk banding path (width 8 < min 12 → chunk-PAIR keys)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+    from eo_tools_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    docs = spark.sql(DOCS_AUG_SQL)
+    sig = simhash_signatures(docs, token_hash="md5")
+    return simhash_pairs(sig, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    """Independent DuckDB simhash: 60-bit md5 token hash, per-bit ±1
+    sums per doc, sign → signature, brute-force hamming self-join."""
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return (
+        f"WITH docs AS ({DOCS_AUG_SQL}), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs), "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok), "
+        f"acc AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig} AS sh FROM acc) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"
+    )
+
+
+# --------------------------------------- adaptive-cover flagship variant
+
+def q_pip_aoi_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship join routed through the DENSITY-SPLIT cover
+    (adaptive=True): boundary cells holding more than max_rows_per_cell
+    scenes are quadtree-split to finer resolution before the broadcast
+    cell join — the north-rule skew path, in production form. The cap
+    is set low enough that splits actually trigger at sf0.01, and the
+    oracle is the SAME exact PIP SQL as the static-cover flagship:
+    identical rows through a structurally different (mixed-res) plan."""
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+    from eo_tools_spark.sources.derived import aoi_rings
+
+    scenes = _scenes(spark, sf_dir)
+    return aoi_point_join(
+        scenes, aoi_rings(), adaptive=True, max_rows_per_cell=200
+    ).select("scene_id", "lon", "lat", "aoi_id")
+
+
 # -------------------------------------------------------- IVF exact mode
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["terrain_gamma"] = q_terrain_gamma
     out["neardup_clusters"] = q_neardup_clusters
     out["ann_topk_ivf"] = q_ann_topk_ivf
+    out["simhash_pairs"] = q_simhash_pairs
+    out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
     return out
 
 
@@ -625,6 +699,9 @@ def oracle_sql() -> dict[str, str]:
     out["annotation_etl"] = ANNOTATION_ETL_ORACLE
     out["neardup_clusters"] = _neardup_clusters_oracle()
     out["ann_topk_ivf"] = _ann_topk_ivf_oracle()
+    out["simhash_pairs"] = _simhash_pairs_oracle()
+    # identical truth through a structurally different (split) cover
+    out["pip_aoi_join_adaptive"] = aoi_pip_oracle_sql()
 
     # image queries: the image table is synthesized deterministically
     # (make_image is pure in (i, seed)), so expected outputs are

@@ -560,9 +560,23 @@ def verify_jaccard(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "fast",
 ) -> DataFrame:
-    """64-bit simhash over word tokens (sign of per-bit weighted sums)."""
+    """64-bit simhash over word tokens (sign of per-bit weighted sums).
+
+    ``token_hash``: "fast" (vectorized SipHash, the production path) or
+    "md5" — the dual-dialect 60-bit md5 hash (functions/text.md5_bigint:
+    first 15 md5 hex chars), reproducible in DuckDB SQL so the whole
+    simhash chain can be gated by an independent external oracle (the
+    ``simhash_pairs`` driver query). Under "md5" the top 4 simhash bits
+    are always 0 (every token contributes −1 there)."""
+    if token_hash not in ("fast", "md5"):
+        raise ValueError(
+            f"unknown token_hash {token_hash!r} (expected 'fast' or 'md5')"
+        )
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("simhash", LongType())])
 
@@ -578,7 +592,12 @@ def simhash_signatures(
             lens = np.array([len(t) for t in tok_lists])
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             uniq, inv = np.unique(flat, return_inverse=True)
-            base = _token_base_hash(uniq)[inv]
+            if token_hash == "fast":
+                base = _token_base_hash(uniq)[inv]
+            else:
+                # md5_bigint parity: 15 hex chars = top 60 bits of the
+                # digest, i.e. the 64-bit big-endian prefix >> 4
+                base = (_token_base_hash_md5(uniq) >> np.uint64(4))[inv]
             # ±1 per bit, accumulated per doc: bits (n_tok, 64);
             # segmented reduce over the contiguous per-doc layout
             # (see minhash_signatures)

@@ -140,6 +140,37 @@ class TestSimhash:
             h = bin((sig[r.id_a] ^ sig[r.id_b]) & (2**64 - 1)).count("1")
             assert h == r.hamming and h <= 3
 
+    def test_md5_token_hash_mode(self, spark):
+        """token_hash="md5" = the dual-dialect 60-bit md5_bigint per
+        token (first 15 md5 hex chars): signatures must equal a
+        from-scratch numpy simhash over int(md5(t).hexdigest()[:15],16),
+        and the top 4 bits are always clear (driver-oracle contract —
+        __spark_entry__._simhash_pairs_oracle recomputes this in
+        DuckDB)."""
+        import hashlib
+
+        df, texts = corpus(spark, n=40)
+        got = {
+            r.doc_id: r.simhash
+            for r in simhash_signatures(df, token_hash="md5").collect()
+        }
+        for doc_id, text in texts.items():
+            if doc_id not in got:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for t in text.split(" "):
+                hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for b in range(64):
+                    acc[b] += 1 if (hv >> b) & 1 else -1
+            expect = sum(1 << b for b in range(64) if acc[b] > 0)
+            assert got[doc_id] & 0xFFFFFFFFFFFFFFFF == expect
+            assert expect >> 60 == 0  # md5_bigint is 60-bit
+
+    def test_unknown_token_hash_raises(self, spark):
+        df, _ = corpus(spark, n=5)
+        with pytest.raises(ValueError, match="token_hash"):
+            simhash_signatures(df, token_hash="sha1")
+
 
 def embeddings_df(spark, n=400, dim=32, seed=9):
     rng = np.random.default_rng(seed)
