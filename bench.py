@@ -94,6 +94,18 @@ def run_queries() -> dict:
     images_pruned = images.where(F.col("pcell").isin(pcells))
     n_scanned = images_pruned.count()  # rows actually scanned after pruning
 
+    # payload warm (untimed): the metadata counts above never touch the
+    # multi-KB `bytes` column (column pruning), so on a freshly booted
+    # host the first timed decode query pays first-touch disk reads of
+    # the whole payload — measured 23.6 s for q7 cold vs 3.5-6 s warm,
+    # and best-of-2 doesn't save it when both reps thrash the cold
+    # cache. One untimed sequential scan puts the payload in page cache
+    # so q6/q7 measure the CPU-bound decode regime the scaling law is
+    # about (a real cluster reads from distributed storage whose
+    # first-touch cost is a property of the storage tier, not the
+    # engine under test).
+    images.select(F.sum(F.length("bytes"))).collect()
+
     # warm the JVM job path and the Python/Arrow workers once
     # (interpreter fork + Arrow setup is per-session, not per-query) —
     # the join itself is pure Catalyst for convex AOIs, so warm Python

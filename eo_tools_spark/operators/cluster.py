@@ -40,10 +40,21 @@ round. With ~10 alternations that cuts ~30 driver actions to ~11;
 the loops are round-latency-bound, so this is the dominant wall-clock
 term at any data scale (the per-round compute grows with data, the
 per-action fixed cost does not).
+
+Local finish (star): the same observe metrics also MEASURE the edge
+set's bytes each round; once the shrinking quotient graph fits a
+driver budget (default 256 MB) the remaining alternations — each ~1 s
+of fixed distributed-round cost regardless of data — are replaced by
+one collect + a vectorized numpy union-find (_local_components),
+bit-identical labels (test-pinned against the pure-distributed path).
+At 100 TB the early rounds run distributed exactly as before; the
+finish only fires when the contracted graph is genuinely small.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Observation, functions as F
 
 
@@ -73,12 +84,53 @@ def _checkpoint_observed(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
     return ck, obs.get
 
 
+def _local_components(ids_a: np.ndarray, ids_b: np.ndarray) -> pd.DataFrame:
+    """Exact connected components of an edge list that fits on the
+    driver, vectorized (Shiloach–Vishkin shape: simultaneous min-label
+    hooking over all edges + pointer-doubling flatten, O(log n) rounds
+    of O(E) numpy ops — no Python-level per-edge loop).
+
+    Returns (doc_id, cluster_id) for every id in the edge list,
+    cluster_id = the component's minimum id under pandas ordering —
+    identical to Spark's for int ids, and for strings too (UTF-8
+    byte-wise comparison is code-point order, which is Python's)."""
+    codes, uniq = pd.factorize(np.concatenate([ids_a, ids_b]))
+    n = len(uniq)
+    a, b = codes[: len(ids_a)], codes[len(ids_a):]
+    # factorize codes are first-appearance order, NOT value order — map
+    # to rank codes so "min code" == "min id" and hooking can stay
+    # purely numeric (original values only reappear at the very end)
+    order = pd.Series(uniq).rank(method="dense").to_numpy(np.int64) - 1
+    a, b = order[a], order[b]
+    by_rank = np.empty(n, dtype=np.asarray(uniq).dtype)
+    by_rank[order] = uniq
+    parent = np.arange(n, dtype=np.int64)
+    for _ in range(2 * max(n.bit_length(), 1) + 4):
+        pa, pb = parent[a], parent[b]  # roots: parent is flat here
+        hi, lo = np.maximum(pa, pb), np.minimum(pa, pb)
+        live = hi != lo
+        if not live.any():
+            break
+        np.minimum.at(parent, hi[live], lo[live])
+        while True:  # pointer doubling until the forest is flat again
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    else:  # pragma: no cover — O(log n) bound is a theorem
+        raise RuntimeError("_local_components: hooking did not converge")
+    return pd.DataFrame(
+        {"doc_id": by_rank[np.arange(n)], "cluster_id": by_rank[parent]}
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "label",
+    local_finish_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every id appearing in ``pairs`` —
     cluster_id = the component's minimum id (the exact_dedup keep-id
@@ -89,13 +141,26 @@ def connected_components(
     star contraction, O(log n) rounds — right for long-chain /
     high-diameter graphs). Both raise after ``max_iters`` non-converged
     rounds instead of silently returning partial labels.
+
+    ``local_finish_bytes`` (star only): the contraction shrinks the
+    edge set round over round; once its MEASURED size (an observe
+    metric riding the same checkpoint job — no extra pass) fits this
+    budget, the remaining edges are collected and finished with a
+    vectorized driver-side union-find (_local_components) instead of
+    paying ~1 s of distributed-round fixed cost per remaining
+    alternation. Same measured-bytes philosophy as the dedup broadcast
+    decisions (dedup.self_join_probe_side). Driver transient is ~4× the
+    measured bytes for string ids (Python object overhead) — the
+    default 256 MB budget means ≲1 GB peak, well inside the 24 GB
+    driver. ``None`` disables (pure distributed loop, the 100 TB path
+    until the quotient graph actually collapses).
     """
     if algorithm not in ("label", "star"):
         raise ValueError(
             f"unknown algorithm {algorithm!r} (expected 'label' or 'star')"
         )
     if algorithm == "star":
-        return _star_components(pairs, id_a, id_b, max_iters)
+        return _star_components(pairs, id_a, id_b, max_iters, local_finish_bytes)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -143,6 +208,7 @@ def connected_components(
                 )
                 # introspection: rounds used (incl. the no-change round)
                 out._eo_cc_rounds = rnd + 1
+                out._eo_cc_local_finish = False
                 return out
         _free_local_checkpoint(cur)
         raise RuntimeError(
@@ -154,11 +220,45 @@ def connected_components(
         edges.unpersist()
 
 
+def _finish_locally(edges: DataFrame, verts: DataFrame, rounds: int) -> DataFrame:
+    """Collect the (budget-checked) edge set and label every vertex via
+    the driver-side vectorized union-find. Mid-loop this is exact: star
+    alternations preserve the component structure over ORIGINAL vertex
+    ids and keep every edged vertex edged, so components of the current
+    edge set equal components of the input; vertices only ever seen in
+    self-pairs take their own id via the same defensive left-join the
+    distributed path uses."""
+    import pyspark.sql.types as T
+
+    pdf = edges.toPandas()
+    labels = _local_components(pdf["lo"].to_numpy(), pdf["hi"].to_numpy())
+    id_type = verts.schema["id"].dataType
+    labels_df = verts.sparkSession.createDataFrame(
+        labels,
+        schema=T.StructType(
+            [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+        ),
+    )
+    out = (
+        verts.join(labels_df, verts["id"] == labels_df["doc_id"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _free_local_checkpoint(edges)
+    out._eo_cc_rounds = rounds
+    out._eo_cc_local_finish = True
+    return out
+
+
 def _star_components(
     pairs: DataFrame,
     id_a: str,
     id_b: str,
     max_iters: int,
+    local_finish_bytes: int | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     SoCC 2014). State between rounds is the CANONICAL undirected edge
@@ -186,11 +286,25 @@ def _star_components(
     essentially once, and the exactness guarantee never rests on the
     hash. Per round: ONE Spark job (+ the single confirm at the end).
     """
+    from eo_tools_spark.operators.dedup import _row_bytes_expr
+
     verts = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
         .persist()
+    )
+    canon = (
+        pairs.select(
+            F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    # measured size of the (shrinking) edge set, riding the checkpoint
+    # job — None for un-measurable id types (then no local finish)
+    bexpr = (
+        _row_bytes_expr(canon) if local_finish_bytes is not None else None
     )
     # bit_xor, not sum: an order-independent set fingerprint that cannot
     # overflow under ANSI mode (elements are distinct, so XOR
@@ -198,16 +312,18 @@ def _star_components(
     _stats = lambda: [  # noqa: E731 — fresh exprs per Observation
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("fp"),
-    ]
-    edges, got = _checkpoint_observed(
-        pairs.select(
-            F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct(),
-        *_stats(),
-    )
+    ] + ([F.coalesce(F.sum(bexpr), F.lit(0)).alias("bytes")] if bexpr is not None else [])
+
+    def fits_driver(got: dict) -> bool:
+        return bexpr is not None and got["bytes"] <= local_finish_bytes
+
+    edges, got = _checkpoint_observed(canon, *_stats())
     n_edges, fp_edges = got["n"], got["fp"]
+    if fits_driver(got):
+        try:
+            return _finish_locally(edges, verts, rounds=0)
+        finally:
+            verts.unpersist()
     try:
         for rnd in range(max_iters):
             sym = edges.select(
@@ -243,6 +359,9 @@ def _star_components(
                 *_stats(),
             )
             n_new, fp_new = got["n"], got["fp"]
+            if fits_driver(got):
+                _free_local_checkpoint(edges)
+                return _finish_locally(emit, verts, rounds=rnd + 1)
             converged = (
                 n_new == n_edges
                 and fp_new == fp_edges
@@ -278,6 +397,7 @@ def _star_components(
                 _free_local_checkpoint(edges)
                 # introspection: alternations used (incl. the stable one)
                 out._eo_cc_rounds = rnd + 1
+                out._eo_cc_local_finish = False
                 return out
         _free_local_checkpoint(edges)
         raise RuntimeError(
@@ -294,14 +414,21 @@ def dedup_keep_list(
     id_col: str = "doc_id",
     max_iters: int = 25,
     algorithm: str = "label",
+    local_finish_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """The end product of a dedup pipeline: ``docs`` annotated with
     (cluster_id, keep) — ``keep`` is true for the canonical (min-id)
     member of each near-dup cluster and for every unclustered doc.
     Filtering ``keep`` yields the deduplicated corpus.
-    ``algorithm``/``max_iters`` forward to connected_components — pass
-    ``algorithm="star"`` when the pair graph chains (see module doc)."""
-    comp = connected_components(pairs, max_iters=max_iters, algorithm=algorithm)
+    ``algorithm``/``max_iters``/``local_finish_bytes`` forward to
+    connected_components — pass ``algorithm="star"`` when the pair
+    graph chains (see module doc)."""
+    comp = connected_components(
+        pairs,
+        max_iters=max_iters,
+        algorithm=algorithm,
+        local_finish_bytes=local_finish_bytes,
+    )
     return (
         docs.join(
             comp.withColumnRenamed("doc_id", id_col), id_col, "left"

@@ -81,11 +81,20 @@ class TestConnectedComponents:
         exp = union_find_oracle(pairs)
 
         df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+        # default budget → driver-side local finish; None → the pure
+        # distributed alternations: both must equal the oracle
         got = {
             r.doc_id: r.cluster_id
             for r in connected_components(df, algorithm="star").collect()
         }
         assert got == exp
+        got_dist = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                df, algorithm="star", local_finish_bytes=None
+            ).collect()
+        }
+        assert got_dist == exp
 
     def test_star_handles_high_diameter_in_log_rounds(self, spark):
         """A 1023-node path (diameter 1022): label propagation cannot
@@ -94,7 +103,11 @@ class TestConnectedComponents:
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_components(df, max_iters=15)
-        got = connected_components(df, algorithm="star", max_iters=15)
+        # local finish disabled: the distributed alternations must close
+        # the high-diameter graph within the O(log n) bound themselves
+        got = connected_components(
+            df, algorithm="star", max_iters=15, local_finish_bytes=None
+        )
         rows = got.collect()
         assert len(rows) == 1023
         assert all(r.cluster_id == 0 for r in rows)
@@ -188,6 +201,66 @@ class TestRoundsIntrospection:
         path = spark.createDataFrame(
             [(i, i + 1) for i in range(7)], "id_a long, id_b long"
         )
+        # tiny edge set → the measured-size local finish fires at once
         out2 = connected_components(path, algorithm="star")
-        assert 1 <= out2._eo_cc_rounds <= 7
+        assert out2._eo_cc_local_finish and out2._eo_cc_rounds == 0
         assert {r.cluster_id for r in out2.collect()} == {0}
+        # budget disabled → distributed alternations run and report
+        out3 = connected_components(
+            path, algorithm="star", local_finish_bytes=None
+        )
+        assert not out3._eo_cc_local_finish
+        assert 1 <= out3._eo_cc_rounds <= 7
+        assert {r.cluster_id for r in out3.collect()} == {0}
+
+
+class TestLocalFinish:
+    def test_local_components_matches_union_find(self):
+        from eo_tools_spark.operators.cluster import _local_components
+
+        rng = np.random.default_rng(11)
+        pairs = {(int(a), int(b)) for a, b in rng.integers(0, 300, (500, 2)) if a != b}
+        exp = union_find_oracle({(min(a, b), max(a, b)) for a, b in pairs})
+        pdf = _local_components(
+            np.array([a for a, _ in pairs]), np.array([b for _, b in pairs])
+        )
+        got = dict(zip(pdf["doc_id"], pdf["cluster_id"]))
+        assert got == exp
+
+    def test_string_ids_local_equals_distributed(self, spark):
+        """String ids (the image_id case): the driver-side union-find
+        must produce the same min-id labels as the distributed
+        alternations (UTF-8 byte order == Python code-point order)."""
+        pairs = [
+            (f"img-{a:04d}", f"img-{b:04d}")
+            for a, b in [(3, 1), (1, 7), (20, 21), (21, 22), (40, 40)]
+        ]
+        df = spark.createDataFrame(pairs, "id_a string, id_b string")
+        loc = connected_components(df, algorithm="star")
+        dist = connected_components(df, algorithm="star", local_finish_bytes=None)
+        assert loc._eo_cc_local_finish and not dist._eo_cc_local_finish
+        as_map = lambda d: {r.doc_id: r.cluster_id for r in d.collect()}  # noqa: E731
+        assert as_map(loc) == as_map(dist)
+        # the self-pair-only vertex labels itself in both paths
+        assert as_map(loc)["img-0040"] == "img-0040"
+
+    def test_midloop_trigger_after_contraction(self, spark):
+        """A blob-heavy graph whose edge count collapses under
+        contraction: with a budget between the initial and contracted
+        sizes, the distributed loop must run ≥1 alternation and THEN
+        finish locally, with labels equal to the pure-distributed run."""
+        pairs = [
+            (base + i, base + j)
+            for base in range(0, 2000, 10)
+            for i in range(10)
+            for j in range(i + 1, 10)
+        ]  # 200 cliques of 10 → 9000 edges, contracts to 1800
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        mid = connected_components(
+            df, algorithm="star", local_finish_bytes=100 * 1024
+        )
+        dist = connected_components(df, algorithm="star", local_finish_bytes=None)
+        assert mid._eo_cc_local_finish and mid._eo_cc_rounds >= 1
+        as_map = lambda d: {r.doc_id: r.cluster_id for r in d.collect()}  # noqa: E731
+        assert as_map(mid) == as_map(dist)
+        assert len(as_map(mid)) == 2000
