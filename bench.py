@@ -164,7 +164,11 @@ def run_queries() -> dict:
     # best-of-2 (the default): the second run reads from page cache, so
     # the best-of measures parallel compute capacity, not cold-disk
     # bandwidth (the scaling-law evidence wants the CPU-bound regime)
-    n_pipeline = timed("q7_full_pipeline", q7)
+    # decode-heavy queries get best-of-3: their Python workers need
+    # ~2N hardware threads, so external tenant bursts hit them hardest
+    # (measured: identical warm q6 reps spanning 2.5-16 s minutes
+    # apart; metadata-only queries vary ±20-30%)
+    n_pipeline = timed("q7_full_pipeline", q7, repeats=3)
 
     # ONE base dict for both modes — the flagship-only early return and
     # the full result must never drift apart (run_scaling parses these
@@ -210,7 +214,7 @@ def run_queries() -> dict:
         with binary_batch_scope(spark):
             return decode_stats(sl).count()
 
-    timed("q6_decode_phash", q6)
+    timed("q6_decode_phash", q6, repeats=3)  # see q7: decode noise
 
     # q2 — kNN scene→tile (hotspot half of scenes)
     def q2():
