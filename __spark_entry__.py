@@ -187,6 +187,7 @@ def _register_dual_queries() -> None:
         "ngram_jaccard_pairs": (TQ.ngram_jaccard_pairs(), ["documents"]),
         "langid": (TQ.langid(), ["documents"]),
         "quality_score": (TQ.quality_score(), ["documents"]),
+        "token_stats": (TQ.token_stats(), ["documents"]),
         "ann_topk": (TQ.ann_topk(), ["embeddings"]),
         "neardup_embedding": (TQ.neardup_embedding(), ["embeddings"]),
         "events_hourly": (TQ.events_hourly(), ["events"]),

@@ -158,6 +158,40 @@ def quality_score() -> tuple[str, str]:
     return build("spark"), build("duck")
 
 
+def token_stats() -> tuple[str, str]:
+    """Token counting both ways a training-data pipeline needs it:
+    whitespace tokens (the cheap budget proxy) and a BPE-ish regex
+    tokenization (letter runs | digit runs | single non-alnum marks —
+    the GPT-2 pre-tokenizer shape without the unicode categories),
+    plus their ratio. Pure ASCII character classes so Java regex
+    (Spark) and RE2 (DuckDB) agree symbol for symbol."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def build(d: str) -> str:
+        # the synthetic corpus is pure space-separated words, on which
+        # any tokenizer degenerates to the whitespace count — suffix a
+        # deterministic digits+punctuation token per doc so the two
+        # counts genuinely diverge and the oracle exercises the regex
+        cast = "STRING" if d == "spark" else "VARCHAR"
+        txt = f"concat(text, ' v', CAST(doc_id AS {cast}), '.jpg!')"
+        ws = (
+            f"size(split({txt}, ' '))" if d == "spark"
+            else f"len(string_split({txt}, ' '))"
+        )
+        bpe = (
+            f"regexp_count({txt}, '{pat}')" if d == "spark"
+            else f"len(regexp_extract_all({txt}, '{pat}'))"
+        )
+        return (
+            f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
+            f"CAST({bpe} AS BIGINT) AS n_bpe_tokens, "
+            f"CAST({bpe} AS DOUBLE) / CAST({ws} AS DOUBLE) AS bpe_per_ws "
+            "FROM documents"
+        )
+
+    return build("spark"), build("duck")
+
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
