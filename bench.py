@@ -299,15 +299,23 @@ def run_queries() -> dict:
     q13_pairs = phash_neardup(demo_slice, max_hamming=2).persist()
     q13_pairs.count()  # materialize outside the timed region
 
+    cc_report: dict = {}
+
     def q13():
         # star contraction: the clustered phash graph chains (image i
         # near-dups i±1 ...), so component diameter grows with cluster
         # size — label propagation needs diameter rounds and times out,
-        # star closes in O(log n) alternations
+        # star closes in O(log n) alternations; once the contracted
+        # edge set fits the measured driver budget the remaining rounds
+        # finish locally (connected_components local_finish_bytes)
         comp = connected_components(q13_pairs, algorithm="star")
+        cc_report.update(
+            distributed_rounds=comp._eo_cc_rounds,
+            local_finish=comp._eo_cc_local_finish,
+        )
         return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]
 
-    timed("q13_neardup_clusters", q13)
+    cc_report["n_clusters"] = timed("q13_neardup_clusters", q13)
     q13_pairs.unpersist()
 
     # q5 — ESD-style complex-mean aggregation
@@ -520,6 +528,7 @@ def run_queries() -> dict:
             2,
         ),
         adaptive_cover=adaptive_report,
+        neardup_clustering=cc_report,
         snapshot=snapshot_summary,
         partition_lineage=lineage_summary,
     )
