@@ -188,6 +188,7 @@ def _register_dual_queries() -> None:
         "langid": (TQ.langid(), ["documents"]),
         "quality_score": (TQ.quality_score(), ["documents"]),
         "token_stats": (TQ.token_stats(), ["documents"]),
+        "winnow_pairs": (TQ.winnow_pairs(), ["documents"]),
         "ann_topk": (TQ.ann_topk(), ["embeddings"]),
         "neardup_embedding": (TQ.neardup_embedding(), ["embeddings"]),
         "events_hourly": (TQ.events_hourly(), ["events"]),

@@ -405,7 +405,31 @@ def run_queries() -> dict:
 
     timed("q11_minhash_longdocs", lambda: q11("fast"))
     timed("q11_minhash_longdocs_md5_legacy", lambda: q11("md5"))
+
+    # q14 — winnowing fingerprints (rolling k-gram hash + window-min,
+    # Arrow-vectorized SipHash kernel) + capped posting-list pair join
+    # over the long-doc corpus augmented with prefix-trimmed copies of
+    # every 8th doc (so the pair stage finds real near-dups, not just
+    # an empty join). The eager hot-fingerprint counting pass is inside
+    # the timed region on purpose — it is part of the operator's cost.
+    longdocs.createOrReplaceTempView("_winnow_docs")
+    windocs = spark.sql(
+        "SELECT doc_id, text FROM _winnow_docs UNION ALL "
+        "SELECT doc_id + 1000000, regexp_replace(text, '^([^ ]+ ){3}', '') "
+        "FROM _winnow_docs WHERE doc_id % 8 = 0"
+    ).persist()
+    windocs.count()  # materialize (generation is NOT the measured stage)
+
+    def q14():
+        from eo_tools_spark.operators.dedup import winnow_candidates
+
+        return winnow_candidates(
+            windocs, k=4, w=5, min_shared=1, max_bucket=4096
+        ).count()
+
+    winnow_pairs_found = timed("q14_winnow_fingerprints", q14)
     longdocs.unpersist()
+    windocs.unpersist()
 
     # q12 — data-density-driven adaptive cell splitting over the image
     # table's hotspot (50% of rows inside [10,11]x[40,41]): ONE counting
@@ -529,6 +553,7 @@ def run_queries() -> dict:
         ),
         adaptive_cover=adaptive_report,
         neardup_clustering=cc_report,
+        winnow_pairs_found=winnow_pairs_found,
         snapshot=snapshot_summary,
         partition_lineage=lineage_summary,
     )

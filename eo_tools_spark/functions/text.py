@@ -139,6 +139,44 @@ def fingerprint(expr: str, dialect: str) -> str:
     return f"md5(lower(trim({expr})))"
 
 
+def kgram_hashes(expr: str, k: int, dialect: str) -> str:
+    """Rolling word-k-gram hash array: position i → 60-bit hash of the
+    k consecutive word tokens starting at i (one element per window
+    position, overlapping — the rolling-hash stream that winnowing
+    selects from). Docs shorter than k tokens produce one hash of the
+    whole token list (both engines' slice truncates past the end the
+    same way)."""
+    tok = tokens(expr, dialect)
+    if dialect == "spark":
+        gram = f"concat_ws(' ', slice({tok}, i, {k}))"
+        return (
+            f"transform(sequence(1, greatest(size({tok}) - {k - 1}, 1)), "
+            f"i -> {md5_bigint(gram, dialect)})"
+        )
+    gram = f"array_to_string(({tok})[i:i+{k - 1}], ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({tok}) - {k - 1}, 1) + 1), "
+        f"i -> {md5_bigint(gram, dialect)})"
+    )
+
+
+def winnow_mins(hashes: str, w: int, dialect: str) -> str:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003): the
+    distinct minima of every length-``w`` window over the rolling
+    k-gram hash stream ``hashes``. Guarantee: two documents sharing a
+    run of ≥ w+k-1 identical tokens share at least one fingerprint,
+    while only ~2/(w+1) of positions are retained."""
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size({hashes}) - {w - 1}, 1)), "
+            f"j -> array_min(slice({hashes}, j, {w}))))"
+        )
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({hashes}) - {w - 1}, 1) + 1), "
+        f"j -> list_min(({hashes})[j:j+{w - 1}])))"
+    )
+
+
 # -------- augmented corpus: seeds exact + near duplicates so dedup ops
 # have positive pairs; pure SQL, identical in both engines.
 

@@ -391,6 +391,48 @@ def band_key_cols(bands: int, sig_col: str = "sig") -> Column:
     ).alias("band", "key")
 
 
+def _flat_shingles(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """ONE flat object array of every doc's word ``shingle``-gram
+    strings (in document/position order) plus per-doc counts — no
+    intermediate per-doc lists (list.extend into a single buffer +
+    shifted-zip string adds measure ~1.5× faster than the per-doc
+    comprehension + re-flatten it replaced, with byte-identical
+    strings). Shared by minhash_signatures (set semantics) and
+    winnow_fingerprints_fast (which additionally relies on the
+    position order within each doc's segment)."""
+    buf: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    if shingle <= 1:
+        for d, t in enumerate(texts):
+            toks = t.split(" ")
+            buf.extend(toks)
+            lens[d] = len(toks)
+    elif shingle == 2:
+        for d, t in enumerate(texts):
+            toks = t.split(" ")
+            if len(toks) < 2:
+                buf.extend(toks)
+                lens[d] = len(toks)
+            else:
+                buf.extend(
+                    [a + " " + b for a, b in zip(toks, toks[1:])]
+                )
+                lens[d] = len(toks) - 1
+    else:
+        for d, t in enumerate(texts):
+            toks = t.split(" ")
+            if len(toks) < shingle:
+                buf.extend(toks)
+                lens[d] = len(toks)
+            else:
+                buf.extend(
+                    " ".join(w)
+                    for w in zip(*(toks[i:] for i in range(shingle)))
+                )
+                lens[d] = len(toks) - shingle + 1
+    return np.array(buf, dtype=object), lens
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -415,42 +457,7 @@ def minhash_signatures(
             f"unknown token_hash {token_hash!r} (expected 'fast' or 'md5')"
         )
     def flat_shingles(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """ONE flat object array of every doc's shingle strings plus
-        per-doc counts — no intermediate per-doc lists (list.extend
-        into a single buffer + shifted-zip string adds measure ~1.5×
-        faster than the per-doc comprehension + re-flatten it
-        replaced, with byte-identical strings)."""
-        buf: list[str] = []
-        lens = np.empty(len(texts), dtype=np.int64)
-        if shingle <= 1:
-            for d, t in enumerate(texts):
-                toks = t.split(" ")
-                buf.extend(toks)
-                lens[d] = len(toks)
-        elif shingle == 2:
-            for d, t in enumerate(texts):
-                toks = t.split(" ")
-                if len(toks) < 2:
-                    buf.extend(toks)
-                    lens[d] = len(toks)
-                else:
-                    buf.extend(
-                        [a + " " + b for a, b in zip(toks, toks[1:])]
-                    )
-                    lens[d] = len(toks) - 1
-        else:
-            for d, t in enumerate(texts):
-                toks = t.split(" ")
-                if len(toks) < shingle:
-                    buf.extend(toks)
-                    lens[d] = len(toks)
-                else:
-                    buf.extend(
-                        " ".join(w)
-                        for w in zip(*(toks[i:] for i in range(shingle)))
-                    )
-                    lens[d] = len(toks) - shingle + 1
-        return np.array(buf, dtype=object), lens
+        return _flat_shingles(texts, shingle)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -525,6 +532,137 @@ def lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+    out._eo_drop_report = drop_report(capped)
+    return out
+
+
+def winnow_fingerprints_fast(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) — distinct winnowing fingerprints, PRODUCTION path.
+
+    Arrow-batched kernel: the word-k-gram stream is built once per
+    batch into a flat buffer (``_flat_shingles`` — position order
+    preserved inside each doc's segment), hashed with the same
+    vectorized SipHash as minhash (one C-level ``pd.util.hash_array``
+    call per batch), then each doc takes a vectorized sliding
+    window-min (``sliding_window_view``) + ``np.unique``.
+
+    Exists because the dual-dialect SQL path (``functions/text.
+    kgram_hashes``) is a Catalyst HIGHER-ORDER function — Spark
+    evaluates lambda bodies interpreted, per element, outside
+    whole-stage codegen, and the per-k-gram md5 there measures ~160k
+    hashes/s across 32 cores (~60 s for 24k long docs) where this
+    kernel does the same stream in ~2 s. Different (coherent) hash
+    family than the SQL path, so fingerprint VALUES differ; the
+    winnowing guarantee — a shared token run of ≥ w+k-1 yields a
+    shared fingerprint — holds for any consistent family
+    (pytest-pinned on planted dups). Docs shorter than k tokens
+    fall back to single-token hashes (vs the SQL path's one
+    whole-doc hash) — both degenerate consistently within their
+    family."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("fp", LongType())])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            if len(texts) == 0:
+                yield pd.DataFrame({id_col: ids, "fp": []})
+                continue
+            flat, lens = _flat_shingles(texts, k)
+            base = _token_base_hash(flat)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            out_ids, out_fps = [], []
+            for d in range(len(texts)):
+                h = base[bounds[d]:bounds[d + 1]]
+                if len(h) == 0:
+                    continue
+                if len(h) <= w:
+                    fps = h.min(keepdims=True)
+                else:
+                    fps = np.unique(sliding_window_view(h, w).min(axis=1))
+                out_ids.append(np.full(len(fps), ids[d], dtype=ids.dtype))
+                out_fps.append(fps)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "fp": np.concatenate(out_fps).view(np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def winnow_candidates(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 4096,
+    token_hash: str = "fast",
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD
+    2003) → near-dup candidate pairs ``(id_a, id_b, n_shared)``.
+
+    The operator/scale path of ``text_queries.winnow_pairs``.
+    ``token_hash="fast"`` (default) extracts fingerprints with the
+    Arrow-vectorized SipHash kernel (``winnow_fingerprints_fast`` —
+    the production path); ``"sql"`` uses the dual-dialect Catalyst
+    array SQL (``functions/text.kgram_hashes`` + ``winnow_mins``),
+    whose pairs are identical to the DuckDB oracle recomputation
+    (pytest-pinned) but whose per-k-gram md5 runs interpreted inside a
+    Catalyst higher-order function — keep it for oracle parity, not
+    for volume. Either way the pair stage is the same equi-join shape
+    as ``lsh_pairs`` with the posting list per fingerprint as the
+    bucket, so boilerplate phrases (a hot fingerprint shared by
+    millions of docs at 100 TB) go through the same skew-immune
+    ``cap_hot_buckets`` guard — counting pass, no-skew fast path,
+    measured-size broadcast — instead of detonating the self-join.
+    Same EAGER-BUILD contract as lsh_pairs when ``max_bucket`` is set;
+    ``None`` builds a fully lazy, uncapped plan.
+    """
+    if token_hash not in ("fast", "sql"):
+        raise ValueError(
+            f"unknown token_hash {token_hash!r} (expected 'fast' or 'sql')"
+        )
+    if token_hash == "fast":
+        f = winnow_fingerprints_fast(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    else:
+        from ..functions import text as _T
+
+        h = _T.kgram_hashes(text_col, k, "spark")
+        fps = _T.winnow_mins("h", w, "spark")
+        f = (
+            df.select(F.col(id_col), F.expr(h).alias("h"))
+            .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+        )
+    f = filter_null_keys(f, ["fp"])
+    capped = cap_hot_buckets(f, ["fp"], max_bucket, "winnow")
+    a = capped.alias("a")
+    b = self_join_probe_side(f, drop_report(capped)).alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
     out._eo_drop_report = drop_report(capped)
     return out

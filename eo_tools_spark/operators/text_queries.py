@@ -192,6 +192,39 @@ def token_stats() -> tuple[str, str]:
     return build("spark"), build("duck")
 
 
+def winnow_pairs(k: int = 4, w: int = 5, min_shared: int = 2) -> tuple[str, str]:
+    """Winnowing rolling-hash document fingerprints (Schleimer et al.,
+    SIGMOD 2003) → near-dup candidate pairs by shared fingerprints.
+
+    Per doc: hash every overlapping word-k-gram (the rolling-hash
+    stream), keep the distinct minima of each length-w window — any two
+    docs sharing a run of ≥ w+k-1 identical tokens are GUARANTEED to
+    share a fingerprint, at ~2/(w+1) retention. Pairs = an equi-join on
+    fingerprint + count ≥ min_shared (suppresses single-collision
+    noise). All array ops — runs whole-stage-codegen JVM-side; the
+    100 TB shape is the LSH bucket join (posting list per fingerprint),
+    with hot-fingerprint skew handled by ``dedup.winnow_candidates``'s
+    ``cap_hot_buckets`` on the operator path.
+    """
+
+    def build(d: str) -> str:
+        h = T.kgram_hashes("text", k, d)
+        fps = T.winnow_mins("h", w, d)
+        un = "explode(fps)" if d == "spark" else "unnest(fps)"
+        return (
+            f"WITH {_docs_aug(d)}, "
+            f"b AS (SELECT doc_id, {h} AS h FROM docs), "
+            f"wm AS (SELECT doc_id, {fps} AS fps FROM b), "
+            f"f AS (SELECT doc_id, {un} AS fp FROM wm) "
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_shared "
+            f"FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            f"GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {min_shared}"
+        )
+
+    return build("spark"), build("duck")
+
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"

@@ -399,3 +399,108 @@ def test_cap_null_keys_filtered_and_metric_truthful(spark):
     # with a generous cap, non-null rows survive; NULLs stay filtered
     out2 = cap_hot_buckets(df, ["band", "key"], 100, "nulltest2")
     assert out2.count() == 50
+
+
+class TestWinnowing:
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003) —
+    dedup.winnow_candidates + the dual-dialect builders behind the
+    winnow_pairs driver query."""
+
+    def test_guarantee_and_cross_engine_parity(self, spark):
+        """Planted exact copies and first-token-edit near-dups must pair
+        (winnowing guarantee: a shared token run of >= w+k-1 yields a
+        shared fingerprint), and the operator output equals a DuckDB
+        recomputation through the duck-dialect builders."""
+        import duckdb
+
+        from eo_tools_spark.functions import text as T
+        from eo_tools_spark.operators.dedup import winnow_candidates
+
+        df, rows = corpus(spark, n=60)
+        out = winnow_candidates(
+            df, k=4, w=5, min_shared=2, max_bucket=None, token_hash="sql"
+        ).toPandas()
+        pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+        for i in range(0, 60, 10):
+            assert (i, 10000 + i) in pairs  # exact copy
+        for i in range(5, 60, 10):
+            # first-token edit leaves a shared run of >= 19 tokens
+            assert (i, 20000 + i) in pairs
+        pdf = pd.DataFrame(list(rows.items()), columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        h = T.kgram_hashes("text", 4, "duck")
+        fps = T.winnow_mins("h", 5, "duck")
+        du = con.sql(
+            f"WITH b AS (SELECT doc_id, {h} AS h FROM docs), "
+            f"wm AS (SELECT doc_id, {fps} AS fps FROM b), "
+            f"f AS (SELECT doc_id, unnest(fps) AS fp FROM wm) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ).df()
+        key = ["id_a", "id_b", "n_shared"]
+        got = out[key].sort_values(key).reset_index(drop=True)
+        exp = du[key].sort_values(key).reset_index(drop=True).astype(
+            got.dtypes.to_dict()
+        )
+        assert got.equals(exp)
+
+    def test_hot_fingerprint_capped(self, spark):
+        """30 docs sharing identical 20-token boilerplate make every
+        boilerplate fingerprint's posting list 30 members; max_bucket=10
+        drops those lists BEFORE the self-join (no quadratic family),
+        the drop report says so, and a small pair sharing a distinct
+        tail still comes through."""
+        from eo_tools_spark.operators.dedup import winnow_candidates
+
+        rng = np.random.default_rng(11)
+        boiler = " ".join(f"b{i:02d}" for i in range(20))
+        vocab = np.array([f"u{i:03d}" for i in range(500)])
+        rows = []
+        for i in range(30):
+            tail = " ".join(rng.choice(vocab, size=12))
+            rows.append((i, boiler + " " + tail))
+        shared_tail = " ".join(rng.choice(vocab, size=15))
+        rows.append((900, "zz aa " + shared_tail))
+        rows.append((901, "qq rr " + shared_tail))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = winnow_candidates(df, k=4, w=5, min_shared=1, max_bucket=10)
+        out = capped.toPandas()
+        pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+        assert (900, 901) in pairs
+        assert not any(a < 30 and b < 30 for a, b in pairs)
+        rep = capped._eo_drop_report
+        assert rep["n_hot_buckets"] > 0 and rep["rows_dropped"] > 0
+        # uncapped, the boilerplate family pairs quadratically
+        full = winnow_candidates(
+            df, k=4, w=5, min_shared=1, max_bucket=None
+        ).toPandas()
+        assert len(full) >= len(out) + 30 * 29 // 2
+
+    def test_fast_kernel_guarantee(self, spark):
+        """The production (vectorized SipHash) fingerprint family obeys
+        the same winnowing guarantee: every planted exact copy and
+        first-token-edit near-dup pairs, and an unrelated-doc pair with
+        no shared >= k-token run does not appear spuriously at
+        min_shared=2 on this corpus."""
+        from eo_tools_spark.operators.dedup import (
+            winnow_candidates,
+            winnow_fingerprints_fast,
+        )
+
+        df, rows = corpus(spark, n=60)
+        out = winnow_candidates(
+            df, k=4, w=5, min_shared=2, max_bucket=None, token_hash="fast"
+        ).toPandas()
+        pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+        for i in range(0, 60, 10):
+            assert (i, 10000 + i) in pairs
+        for i in range(5, 60, 10):
+            assert (i, 20000 + i) in pairs
+        # exact copies share ALL fingerprints in any consistent family
+        fps = winnow_fingerprints_fast(df, k=4, w=5).toPandas()
+        by_doc = fps.groupby("doc_id").fp.apply(set)
+        for i in range(0, 60, 10):
+            assert by_doc[i] == by_doc[10000 + i]
