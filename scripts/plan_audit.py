@@ -251,6 +251,38 @@ def main() -> int:
     )
     checks.append(c)
 
+    # ---- q14 winnowing fingerprint pairs (lazy plan: max_bucket=None)
+    from eo_tools_spark.operators.dedup import winnow_candidates
+
+    q14 = winnow_candidates(docs, min_shared=1, max_bucket=None)
+    c = Check(
+        "q14 winnowing fingerprint pairs (lazy plan)",
+        q14,
+        "fingerprint extraction is the Arrow-vectorized SipHash kernel "
+        "(one mapInPandas, no per-row Python); the posting-list "
+        "self-join shuffles (id, fp) only — text never rides an "
+        "exchange; the shared-fingerprint count aggregates map-side "
+        "before its shuffle.",
+    )
+    c.expect("fingerprint kernel is Arrow-batched", c.has(r"MapInPandas"))
+    c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+    c.expect(
+        "pair count aggregates map-side (partial)",
+        c.has(r"partial_count"),
+    )
+    exchange_blocks = re.findall(
+        r"\(\d+\) Exchange[^\n]*\n(?:[^\n]+\n)+?(?=\n)", c.plan
+    )
+    c.expect(
+        "no text column through any shuffle",
+        all(
+            not re.search(r"\btext\b", b.split("Input")[-1])
+            for b in exchange_blocks
+        ),
+        f"exchanges inspected = {len(exchange_blocks)}",
+    )
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
