@@ -117,19 +117,30 @@ def run_queries() -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, repeats: int = 2):
+    def timed(name, fn, repeats: int = 2, max_repeats: int = 4):
         # best-of-N FOR EVERY QUERY: the host is shared (load avg ~10
         # while idle), so single-shot timings carry heavy external noise
         # — the round-3 committed artifact showed q8 at 8.86 s where a
         # fresh quiet run measures 5.77 s, and an inverted q11 speedup,
         # purely from host load. Best-of-2 costs ~2x suite wall time and
         # buys a committed artifact that reflects the engine.
-        best, result = None, None
-        for _ in range(repeats):
+        #
+        # ADAPTIVE tail: when the base reps DISAGREE by >30% the slow
+        # rep was almost certainly a tenant burst that may also have
+        # dented the "fast" one (measured: q8 17.0 s best-of-2 in one
+        # suite run vs 4.3-5.2 s in three others at the same HEAD) —
+        # spend up to max_repeats until two reps land within 30% of the
+        # running best, so a single noisy window can't define the
+        # committed number.
+        best, result, reps = None, None, []
+        for i in range(max_repeats):
             t0 = time.time()
             result = fn()
             dt = time.time() - t0
+            reps.append(dt)
             best = dt if best is None else min(best, dt)
+            if i >= repeats - 1 and sum(1 for r in reps if r <= best * 1.3) >= 2:
+                break
         timings[name] = round(best, 3)
         return result
 
@@ -403,8 +414,17 @@ def run_queries() -> dict:
             longdocs, num_hashes=64, shingle=2, token_hash=token_hash
         ).count()
 
-    timed("q11_minhash_longdocs", lambda: q11("fast"))
-    timed("q11_minhash_longdocs_md5_legacy", lambda: q11("md5"))
+    # repeats=3 + tighter tail: the headline here is a RATIO of these
+    # two timings (sig_speedup_vs_md5), so noise on either side inverts
+    # the conclusion — measured fast-path draws of 0.77/1.41/1.60 s at
+    # one HEAD. Both legs are ~1.5 s, so extra reps are nearly free.
+    timed("q11_minhash_longdocs", lambda: q11("fast"), repeats=3, max_repeats=6)
+    timed(
+        "q11_minhash_longdocs_md5_legacy",
+        lambda: q11("md5"),
+        repeats=3,
+        max_repeats=6,
+    )
 
     # q14 — winnowing fingerprints (rolling k-gram hash + window-min,
     # Arrow-vectorized SipHash kernel) + capped posting-list pair join
