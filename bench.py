@@ -685,7 +685,7 @@ def run_scaling() -> None:
     print(json.dumps({
         "scaling_efficiency": round(eff, 3),
         "join_scaling_efficiency": round(jeff, 3),
-        "pipeline_ips_8": t8, "pipeline_ips_32": t32,
+        f"pipeline_ips_{lo}": t8, f"pipeline_ips_{hi}": t32,
     }))
 
 
