@@ -434,7 +434,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spark.sql(DOCS_AUG_SQL)
     sig = simhash_signatures(docs, token_hash="md5")
-    return simhash_pairs(sig, max_hamming=6).select(
+    # max_bucket=None: the DuckDB oracle is an uncapped brute-force
+    # join, so the correctness gate must compare CAP-FREE plans — with
+    # md5 token hashes the top 4 simhash bits are always zero (60-bit
+    # hash), lowering chunk-key entropy, and at a larger sf a hot-bucket
+    # drop would silently fail the gate. The cap stays on for the
+    # bench/scale path (bench q9 and production defaults).
+    return simhash_pairs(sig, max_hamming=6, max_bucket=None).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 

@@ -391,7 +391,9 @@ def band_key_cols(bands: int, sig_col: str = "sig") -> Column:
     ).alias("band", "key")
 
 
-def _flat_shingles(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+def _flat_shingles(
+    texts: np.ndarray, shingle: int, short_whole: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
     """ONE flat object array of every doc's word ``shingle``-gram
     strings (in document/position order) plus per-doc counts — no
     intermediate per-doc lists (list.extend into a single buffer +
@@ -399,7 +401,13 @@ def _flat_shingles(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndar
     comprehension + re-flatten it replaced, with byte-identical
     strings). Shared by minhash_signatures (set semantics) and
     winnow_fingerprints_fast (which additionally relies on the
-    position order within each doc's segment)."""
+    position order within each doc's segment).
+
+    ``short_whole`` controls docs with fewer than ``shingle`` tokens:
+    False emits one gram per token (minhash set semantics), True emits
+    ONE whole-text gram — the same degenerate shape as the SQL path's
+    ``slice(tokens, i, k)`` truncation (split-then-join on ' ' is the
+    identity, so the single gram string is the text itself)."""
     buf: list[str] = []
     lens = np.empty(len(texts), dtype=np.int64)
     if shingle <= 1:
@@ -411,8 +419,12 @@ def _flat_shingles(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndar
         for d, t in enumerate(texts):
             toks = t.split(" ")
             if len(toks) < 2:
-                buf.extend(toks)
-                lens[d] = len(toks)
+                if short_whole:
+                    buf.append(t)
+                    lens[d] = 1
+                else:
+                    buf.extend(toks)
+                    lens[d] = len(toks)
             else:
                 buf.extend(
                     [a + " " + b for a, b in zip(toks, toks[1:])]
@@ -422,8 +434,12 @@ def _flat_shingles(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndar
         for d, t in enumerate(texts):
             toks = t.split(" ")
             if len(toks) < shingle:
-                buf.extend(toks)
-                lens[d] = len(toks)
+                if short_whole:
+                    buf.append(t)
+                    lens[d] = 1
+                else:
+                    buf.extend(toks)
+                    lens[d] = len(toks)
             else:
                 buf.extend(
                     " ".join(w)
@@ -563,9 +579,11 @@ def winnow_fingerprints_fast(
     winnowing guarantee — a shared token run of ≥ w+k-1 yields a
     shared fingerprint — holds for any consistent family
     (pytest-pinned on planted dups). Docs shorter than k tokens
-    fall back to single-token hashes (vs the SQL path's one
-    whole-doc hash) — both degenerate consistently within their
-    family."""
+    emit ONE whole-text fingerprint (``short_whole=True``) — the
+    same degenerate structure as the SQL path, so the CANDIDATE
+    PAIR sets of token_hash='fast' and 'sql' agree on short docs
+    too (two distinct short docs sharing one token no longer pair
+    under 'fast' at min_shared=1)."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("fp", LongType())])
 
@@ -578,7 +596,7 @@ def winnow_fingerprints_fast(
             if len(texts) == 0:
                 yield pd.DataFrame({id_col: ids, "fp": []})
                 continue
-            flat, lens = _flat_shingles(texts, k)
+            flat, lens = _flat_shingles(texts, k, short_whole=True)
             base = _token_base_hash(flat)
             bounds = np.concatenate(([0], np.cumsum(lens)))
             out_ids, out_fps = [], []

@@ -504,3 +504,37 @@ class TestWinnowing:
         by_doc = fps.groupby("doc_id").fp.apply(set)
         for i in range(0, 60, 10):
             assert by_doc[i] == by_doc[10000 + i]
+
+    def test_short_doc_parity_fast_vs_sql(self, spark):
+        """Docs with fewer than k tokens emit ONE whole-text fingerprint
+        in BOTH hash families (round-4 ADVICE: the fast kernel used to
+        emit per-token hashes, so two distinct short docs sharing a
+        single token paired under 'fast' but not 'sql' at min_shared=1).
+        The candidate PAIR sets must now be identical."""
+        from eo_tools_spark.operators.dedup import (
+            winnow_candidates,
+            winnow_fingerprints_fast,
+        )
+
+        rows = [
+            (0, "alpha beta"),          # short, shares 'beta' with 1
+            (1, "beta gamma"),          # short — must NOT pair with 0
+            (2, "alpha beta"),          # exact short dup of 0 — must pair
+            (3, "one two three"),       # 3 tokens < k=4
+            (4, "one two three"),       # exact dup of 3
+            (5, "one two three four five six"),  # long doc containing 3's text
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints_fast(df, k=4, w=5).toPandas()
+        n_by_doc = fps.groupby("doc_id").fp.nunique()
+        for d in (0, 1, 2, 3, 4):
+            assert n_by_doc[d] == 1  # one whole-text fingerprint
+        pair_sets = {}
+        for th in ("fast", "sql"):
+            out = winnow_candidates(
+                df, k=4, w=5, min_shared=1, max_bucket=None, token_hash=th
+            ).toPandas()
+            pair_sets[th] = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+        assert pair_sets["fast"] == pair_sets["sql"]
+        assert (0, 2) in pair_sets["fast"] and (3, 4) in pair_sets["fast"]
+        assert (0, 1) not in pair_sets["fast"]
