@@ -525,6 +525,38 @@ def _ann_topk_ivf_oracle() -> str:
     return f"SELECT query_id, vec_id, rank FROM ({duck}) t"
 
 
+def q_ann_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index under the exact-oracle gate (round-4
+    verdict task 1): build_ivf_index materializes (cell, vec_id,
+    embedding) through the snapshot layer partitioned by cell, then
+    ivf_topk_pruned answers by scanning ONLY probed-cell partitions
+    (PartitionFilters on cell — I/O pruning, not just compute skip;
+    plan-audited as PLANS.md q15). With nprobe = ncells every cell is
+    probed, so the result is the exact top-k — identical rows to the
+    brute-force oracle. Same centroids as ivf_topk (deterministic
+    hash-ordered sample), so the pinned recall curve transfers to the
+    pruned path at approximate nprobe (pytest-pinned equality)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_pruned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    idx_path = tempfile.mkdtemp(prefix="ivf_idx_")
+    build_ivf_index(emb, idx_path, ncells=16, id_col="vec_id")
+    out = ivf_topk_pruned(spark, idx_path, q, k=10, nprobe=16, id_col="vec_id")
+    return out.select("query_id", "vec_id", "rank")
+
+
 # ----------------------------------------------- InSAR / terrain lifecycle
 # The reference's flagship chains (process.py:47-222 align→ifg→coh,
 # process.py:1305-1458 geocode_and_merge, process.py:2505-2535 +
@@ -628,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["terrain_gamma"] = q_terrain_gamma
     out["neardup_clusters"] = q_neardup_clusters
     out["ann_topk_ivf"] = q_ann_topk_ivf
+    out["ann_topk_ivf_pruned"] = q_ann_topk_ivf_pruned
     out["simhash_pairs"] = q_simhash_pairs
     out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
     return out
@@ -707,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
     out["annotation_etl"] = ANNOTATION_ETL_ORACLE
     out["neardup_clusters"] = _neardup_clusters_oracle()
     out["ann_topk_ivf"] = _ann_topk_ivf_oracle()
+    out["ann_topk_ivf_pruned"] = _ann_topk_ivf_oracle()
     out["simhash_pairs"] = _simhash_pairs_oracle()
     # identical truth through a structurally different (split) cover
     out["pip_aoi_join_adaptive"] = aoi_pip_oracle_sql()

@@ -6,19 +6,29 @@
   rows, never the corpus. This is the 100 TB-safe exact path.
 - ivf_topk: IVF-style ANN — deterministic k-means-lite centroids
   (numpy, trained on a driver sample), map-side cell assignment, probe
-  the nprobe nearest cells only. Trades recall for a ~ncells/nprobe scan
-  reduction; recall measured in tests against brute_topk.
+  the nprobe nearest cells only. A COMPUTE reduction only: every query
+  batch still scans the whole corpus to assign cells on the fly. Kept
+  for index-free one-shot queries.
+- build_ivf_index / ivf_topk_pruned: the 100 TB path. The cell
+  assignment is materialized ONCE as ``(cell, vec_id, embedding)``
+  through the snapshot layer, Hive-partitioned by cell, and queries
+  scan ONLY the probed cells' partitions — `.where(cell IN probes)` is
+  a partition filter, so non-probed cells' bytes are never read
+  (I/O pruning, asserted by tests + scripts/plan_audit.py q15).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -99,6 +109,28 @@ def train_centroids(sample: np.ndarray, ncells: int, iters: int = 10, seed: int 
     return C
 
 
+def _train_from_df(
+    emb_df: DataFrame,
+    ncells: int,
+    sample_rows: int,
+    id_col: str,
+    emb_col: str,
+) -> np.ndarray:
+    """Deterministic centroid training sample: the sample_rows smallest
+    xxhash64(id) values — a seeded pseudo-random sample identical across
+    sessions, partitionings, and resumed runs (an unordered limit()
+    would let scan order pick it). One TakeOrdered job (per-partition
+    top-k + driver merge, ≤ sample_rows rows per partition shipped), no
+    count() pre-pass."""
+    sample_df = (
+        emb_df.select(id_col, emb_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_rows)
+    )
+    sample = np.vstack([r[1] for r in sample_df.collect()])
+    return train_centroids(sample, ncells)
+
+
 def ivf_topk(
     emb_df: DataFrame,
     queries: pd.DataFrame,
@@ -119,13 +151,7 @@ def ivf_topk(
     top-k + driver merge, ≤ sample_rows rows per partition shipped), no
     count() pre-pass."""
     spark = emb_df.sparkSession
-    sample_df = (
-        emb_df.select(id_col, emb_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_rows)
-    )
-    sample = np.vstack([r[1] for r in sample_df.collect()])
-    C = train_centroids(sample, ncells)
+    C = _train_from_df(emb_df, ncells, sample_rows, id_col, emb_col)
     Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
     qids = queries["query_id"].to_numpy()
     probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
@@ -166,5 +192,169 @@ def ivf_topk(
                 )
 
     cand = emb_df.select(id_col, emb_col).mapInPandas(local, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# --------------------------------------------------- persisted IVF index
+#
+# The round-4 verdict's one remaining 100 TB scale-killer: ivf_topk
+# re-assigns every corpus vector to a cell per query batch, so the scan
+# is never pruned. A real IVF persists the cell assignment once and
+# lets the PARTITION LAYOUT do the pruning — at 100 TB with ncells=4096
+# and nprobe=16, a query batch opens 16/4096 of the files instead of
+# scanning everything.
+
+_CENTROIDS_FILE = "_ivf_centroids.json"
+_IVF_BATCH = "ivf-cells"
+
+
+def build_ivf_index(
+    emb_df: DataFrame,
+    path: str,
+    ncells: int = 16,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF index at ``path``: ``(cell, vec_id,
+    embedding)`` committed through the snapshot layer (atomic,
+    resumable, lineage-tracked — sources/snapshots.py), Hive-partitioned
+    by ``cell`` so probed-cell reads prune at the file level. Centroids
+    land next to the table as JSON (atomic tmp+rename), so queries load
+    them without touching the data files.
+
+    Idempotent: re-building over an existing committed index is a
+    snapshot-layer skip (same contract as every other checkpointed
+    batch — crash-resume re-runs are no-ops).
+
+    Cell assignment runs in ONE Arrow-batched pass (argmax of V @ C.T
+    per batch); the write shuffles nothing — each input partition's
+    rows are split across cell directories by the writer."""
+    from eo_tools_spark.sources.snapshots import SnapshotTable
+
+    spark = emb_df.sparkSession
+    t = SnapshotTable(spark, path)
+    cfile = os.path.join(path, _CENTROIDS_FILE)
+    if _IVF_BATCH in t.committed_batches() and os.path.exists(cfile):
+        with open(cfile) as f:
+            meta = json.load(f)
+        return {"skipped": True, "ncells": meta["ncells"], "path": path}
+
+    C = _train_from_df(emb_df, ncells, sample_rows, id_col, emb_col)
+    bc = spark.sparkContext.broadcast(C)
+
+    id_field = emb_df.schema[id_col]
+    emb_field = emb_df.schema[emb_col]
+    schema = StructType(
+        [StructField("cell", IntegerType()), id_field, emb_field]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            cells = np.argmax(V @ C_.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"cell": cells, id_col: pdf[id_col], emb_col: pdf[emb_col]}
+            )
+
+    assigned = emb_df.select(id_col, emb_col).mapInPandas(assign, schema=schema)
+    res = t.append_batch(assigned, _IVF_BATCH, partition_by=["cell"])
+    # centroids: atomic tmp+rename next to the committed table
+    tmp = cfile + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"ncells": int(ncells), "centroids": C.tolist()}, f)
+    os.replace(tmp, cfile)
+    res.update(ncells=int(ncells), path=path)
+    return res
+
+
+def load_ivf_centroids(path: str) -> np.ndarray:
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+
+def ivf_probed_scan(
+    spark: SparkSession, path: str, probe_cells: set[int]
+) -> DataFrame:
+    """The pruned index scan: committed snapshot read + ``cell IN
+    (probes)``. Because the table is Hive-partitioned by cell, Catalyst
+    turns the IN into a PartitionFilter — non-probed cells' files are
+    never opened (inputFiles()-asserted in tests and plan_audit q15)."""
+    from eo_tools_spark.sources.snapshots import SnapshotTable
+
+    idx = SnapshotTable(spark, path).read()
+    return idx.where(F.col("cell").isin(sorted(int(c) for c in probe_cells)))
+
+
+def ivf_topk_pruned(
+    spark: SparkSession,
+    path: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a PERSISTED IVF index (build_ivf_index): load
+    centroids (driver-side JSON, no data-file touch), pick each query's
+    nprobe nearest cells, scan ONLY those cells' partitions, GEMM + local
+    top-k per Arrow batch, one tiny global top-k. Same output schema and
+    — given identical centroids — identical results to ivf_topk at equal
+    nprobe (pytest-pinned), so the pinned recall curve
+    (dist/oracle/ivf_recall_sf001.json) transfers to this path.
+
+    Scale shape: the shuffle carries k×partitions candidate rows; the
+    scan reads ≤ len(union of probe sets)/ncells of the index bytes."""
+    C = load_ivf_centroids(path)
+    Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
+    qids = queries["query_id"].to_numpy()
+    nprobe = min(nprobe, C.shape[0])
+    probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
+    probe_union = {int(c) for row in probe for c in row}
+    scan = ivf_probed_scan(spark, path, probe_union)
+    bc = spark.sparkContext.broadcast((qids, Q, probe))
+
+    id_field = scan.schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            id_field,
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, probe_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            cells = pdf["cell"].to_numpy()  # from the partition layout
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for j in range(Q_.shape[0]):
+                m = np.isin(cells, probe_[j])
+                if not m.any():
+                    continue
+                sims = V[m] @ Q_[j]
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.append(np.full(kk, qids_[j]))
+                out_id.append(ids[m][top])
+                out_s.append(sims[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_id),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    cand = scan.select("cell", id_col, emb_col).mapInPandas(local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -227,17 +227,30 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- writes
 
-    def _stage(self, df: DataFrame, batch_id: str) -> tuple[str, list, int]:
+    def _stage(
+        self,
+        df: DataFrame,
+        batch_id: str,
+        partition_by: list[str] | None = None,
+    ) -> tuple[str, list, int]:
         """Write the batch's data + lineage files under a UNIQUE token
         (never visible to readers — read() resolves directories through
         committed snapshot summaries only). Mirrors Iceberg writing
         immutable data files before the metadata swap; a crashed or
-        losing writer leaves only orphan files (vacuum_orphans)."""
+        losing writer leaves only orphan files (vacuum_orphans).
+
+        ``partition_by`` lays the batch out in Hive-style value
+        directories (Iceberg: an identity partition spec on those
+        columns) so downstream equality/IN filters on them prune at the
+        FILE level — the reader never opens non-matching partitions."""
         token = uuid.uuid4().hex[:12]
         t0 = time.time()
         data_dir = f"{self.path}/data/batch={batch_id}-{token}"
         staged = df.withColumn("_pid", F.spark_partition_id())
-        staged.write.mode("overwrite").parquet(data_dir)
+        writer = staged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         # lineage metrics from the written files; n_rows is the sum of
         # the per-partition counts (no second full scan of the batch)
         written = self.spark.read.parquet(data_dir)
@@ -260,7 +273,12 @@ class SnapshotTable:
             f"{self.path}/_lineage/batch={batch_id}-{token}", ignore_errors=True
         )
 
-    def append_batch(self, df: DataFrame, batch_id: str) -> dict:
+    def append_batch(
+        self,
+        df: DataFrame,
+        batch_id: str,
+        partition_by: list[str] | None = None,
+    ) -> dict:
         """Write one batch; idempotent (already-committed ids are
         skipped). Records per-(spark)partition lineage metrics: rows and
         wall-clock write time.
@@ -285,7 +303,7 @@ class SnapshotTable:
             raise ValueError(f"invalid batch_id {batch_id!r} (reserved/unsafe)")
         if batch_id in self.committed_batches():
             return {"batch_id": batch_id, "skipped": True}
-        token, metrics_rows, wall_ms = self._stage(df, batch_id)
+        token, metrics_rows, wall_ms = self._stage(df, batch_id, partition_by)
         n_rows = sum(int(r.rows) for r in metrics_rows)
         try:
             self._try_commit(

@@ -283,6 +283,82 @@ def main() -> int:
     )
     checks.append(c)
 
+    # ---- q15 persisted-IVF pruned scan: partition filter = probe cells
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from eo_tools_spark.operators.similarity import (
+        _normalize,
+        build_ivf_index,
+        ivf_topk_pruned,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx_path = tempfile.mkdtemp(prefix="plan_audit_ivf_")
+    try:
+        build_ivf_index(emb, idx_path, ncells=16)
+        qpdf = (
+            emb.where(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .toPandas()
+        )
+        nprobe = 3
+        q15 = ivf_topk_pruned(spark, idx_path, qpdf, k=10, nprobe=nprobe)
+        c = Check(
+            "q15 persisted-IVF pruned ANN scan",
+            q15,
+            "the 100 TB IVF path: the index is a snapshot table "
+            "partitioned by cell; a query batch's scan must carry a "
+            "PartitionFilter of EXACTLY the probed cells (I/O pruning — "
+            "non-probed cells' files are never opened), with the GEMM "
+            "as the only Python (Arrow-batched).",
+        )
+        # recompute the probe set the operator derived
+        C_ = load_ivf_centroids(idx_path)
+        Qm = _normalize(
+            np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        )
+        probe = np.argsort(-(Qm @ C_.T), axis=1, kind="stable")[:, :nprobe]
+        probe_union = sorted({int(x) for row in probe for x in row})
+        # Catalyst renders short lists as `IN (a,b)` and long ones as
+        # `INSET a, b, ...` — accept both
+        m = re.search(
+            r"PartitionFilters: \[cell#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+))\]",
+            c.plan,
+        )
+        filter_cells = (
+            sorted(int(x) for x in (m.group(1) or m.group(2)).replace(" ", "").split(","))
+            if m
+            else None
+        )
+        c.expect(
+            "scan carries a PartitionFilter on cell",
+            m is not None,
+        )
+        c.expect(
+            "partition filter is EXACTLY the probe-cell set",
+            filter_cells == probe_union,
+            f"filter cells = {filter_cells}, probes = {probe_union}",
+        )
+        c.expect(
+            "probe set is a strict subset of the index (scan actually prunes)",
+            len(probe_union) < 16,
+            f"{len(probe_union)}/16 cells probed",
+        )
+        c.expect("GEMM kernel is Arrow-batched", c.has(r"MapInPandas"))
+        c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+        c.expect(
+            "only the global top-k shuffles (k×partitions candidate rows)",
+            c.count(r"Arguments: hashpartitioning") == 1,
+            f"hash exchanges = {c.count(r'Arguments: hashpartitioning')}",
+        )
+        checks.append(c)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",

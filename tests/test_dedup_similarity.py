@@ -275,6 +275,113 @@ class TestTopK:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestIvfPersistedIndex:
+    """build_ivf_index / ivf_topk_pruned — the 100 TB IVF path (round-4
+    verdict task 1): the cell assignment is materialized once through
+    the snapshot layer, partitioned by cell, and queries read ONLY the
+    probed cells' files."""
+
+    def _index(self, spark, tmp_path, ncells=8):
+        from eo_tools_spark.operators.similarity import build_ivf_index
+
+        df, V = embeddings_df(spark)
+        path = str(tmp_path / "ivf_idx")
+        res = build_ivf_index(df, path, ncells=ncells)
+        return df, V, path, res
+
+    def test_pruned_equals_inflight_ivf_all_nprobe(self, spark, tmp_path):
+        """Identical centroids + identical assignment => the persisted
+        path must return exactly ivf_topk's rows at every nprobe, so the
+        pinned recall curve (ivf_recall_sf001.json) transfers."""
+        from eo_tools_spark.operators.similarity import ivf_topk_pruned
+
+        df, V, path, res = self._index(spark, tmp_path)
+        assert res.get("rows") == 400 and res["ncells"] == 8
+        queries = pd.DataFrame(
+            {"query_id": np.arange(6), "embedding": [V[i].tolist() for i in range(6)]}
+        )
+        for nprobe in (1, 2, 3, 8):
+            a = (
+                ivf_topk(df, queries, k=10, ncells=8, nprobe=nprobe)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            b = (
+                ivf_topk_pruned(spark, path, queries, k=10, nprobe=nprobe)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+                .astype(a.dtypes.to_dict())
+            )
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_scan_prunes_to_probed_partitions(self, spark, tmp_path):
+        """THE scale property: the executed scan must carry a
+        PartitionFilter on cell and open ONLY the probed cells' files
+        (numFiles metric), not the whole index."""
+        import re
+
+        from eo_tools_spark.operators.similarity import ivf_probed_scan
+
+        df, V, path, _ = self._index(spark, tmp_path)
+        probes = {1, 4}
+        scan = ivf_probed_scan(spark, path, probes)
+        rows = scan.collect()
+        assert all(r.cell in probes for r in rows) and len(rows) > 0
+        ep = scan._jdf.queryExecution().executedPlan()
+        s = ep.toString()
+        m = re.search(r"PartitionFilters: \[cell#\d+ IN \(1,4\)\]", s)
+        assert m, f"no partition filter on cell in plan: {s[:500]}"
+
+        def find_scan(node):
+            if node.nodeName().startswith("Scan"):
+                return node
+            for i in range(node.children().size()):
+                r = find_scan(node.children().apply(i))
+                if r is not None:
+                    return r
+            return None
+
+        metrics = {}
+        it = find_scan(ep).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        # the scan opened exactly the files under the probed cells'
+        # directories (a cell dir may hold several part files — one per
+        # writing task), and strictly fewer than the whole index
+        import glob
+
+        def files_under(cells):
+            return [
+                f
+                for c in cells
+                for f in glob.glob(f"{path}/data/batch=*/cell={c}/*.parquet")
+            ]
+
+        assert metrics["numFiles"] == len(files_under(probes))
+        assert metrics["numFiles"] < len(files_under(range(8)))
+
+    def test_rebuild_is_snapshot_skip(self, spark, tmp_path):
+        """Idempotent build: the second call is a snapshot-layer skip
+        (crash-resume contract), and the index still answers."""
+        from eo_tools_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk_pruned,
+        )
+
+        df, V, path, first = self._index(spark, tmp_path)
+        assert "rows" in first
+        again = build_ivf_index(df, path, ncells=8)
+        assert again["skipped"] is True
+        queries = pd.DataFrame(
+            {"query_id": [0], "embedding": [V[0].tolist()]}
+        )
+        out = ivf_topk_pruned(spark, path, queries, k=5, nprobe=8).toPandas()
+        assert list(out.sort_values("rank")["vec_id"])[0] == 0  # self is top-1
+
+
 class TestHammingBanding:
     """Pair-banding (narrow-chunk scheme) + hot-bucket cap (VERDICT r1
     item 4: band-key skew guard)."""
