@@ -97,18 +97,9 @@ def stopword_hits(expr: str, lang: str, dialect: str) -> str:
     return f"len(list_filter(string_split({expr}, ' '), t -> t IN ({words})))"
 
 
-def langid_case(expr: str, dialect: str) -> str:
-    """argmax over STOPWORDS languages of stopword hit counts; ties break
-    by language-key order (en > es > de via >= chain)."""
-    hits = {lang: stopword_hits(expr, lang, dialect) for lang in STOPWORDS}
-    langs = list(STOPWORDS)
-    clauses = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(
-            f"({hits[lang]}) >= ({hits[other]})" for other in langs[i + 1:]
-        )
-        clauses.append(f"WHEN {conds} THEN '{lang}'")
-    return f"CASE {' '.join(clauses)} ELSE '{langs[-1]}' END"
+# NOTE: language identification lives in functions/langid.py (25-lang
+# Cavnar–Trenkle n-gram profiles with margin + und); the STOPWORDS
+# above remain only as the quality-scoring stopword_ratio feature.
 
 
 def punct_count(expr: str, dialect: str) -> str:

@@ -132,15 +132,14 @@ def ngram_jaccard_pairs(n: int = 3, threshold: float = 0.3) -> tuple[str, str]:
 
 
 def langid() -> tuple[str, str]:
+    """Language-ID over documents: 25-language Cavnar–Trenkle
+    character-n-gram profiles with confidence margin + und rule
+    (functions/langid.py — replaced the 3×5 stopword toy, round-4
+    verdict task 2). Integer scoring → exact cross-engine parity."""
+    from eo_tools_spark.functions.langid import langid_select
+
     def build(d: str) -> str:
-        hits = ", ".join(
-            f"CAST({T.stopword_hits('text', lang, d)} AS BIGINT) AS hits_{lang}"
-            for lang in T.STOPWORDS
-        )
-        return (
-            f"SELECT doc_id, {T.langid_case('text', d)} AS lang_pred, {hits} "
-            f"FROM documents"
-        )
+        return langid_select("documents", "text", "doc_id", d)
 
     return build("spark"), build("duck")
 
