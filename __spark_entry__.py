@@ -379,6 +379,41 @@ def q_image_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- media pipeline
+# real multimodal decode (round-4 verdict task 3): deterministic AVI/WAV
+# container bytes (sources/synthetic.media_table) decoded by the pure
+# numpy RIFF parsers (functions/media.py) inside mapInPandas. Oracles
+# are fixture parquet pinned by scripts/make_media_oracle.py, which
+# re-parses every container with an INDEPENDENT struct-walk and asserts
+# package == independent == generator before writing.
+
+_MEDIA_NV = 40
+_MEDIA_NA = 40
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed-AVI frame sampling: decode → every-2nd frame →
+    digest + exact-mean stats (raw frame bytes projected away for the
+    hash compare; pixel equality is pinned by the digest column and
+    tests/test_imaging.py's array_equal check)."""
+    from eo_tools_spark.operators.image_pipeline import frame_sample
+    from eo_tools_spark.sources.synthetic import media_table
+
+    media = media_table(spark, n_video=_MEDIA_NV, n_audio=0)
+    return frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", "fh", "fw", "f_mean", "digest"
+    )
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 WAV decode + exact integer per-clip statistics."""
+    from eo_tools_spark.operators.image_pipeline import audio_stats
+    from eo_tools_spark.sources.synthetic import media_table
+
+    media = media_table(spark, n_video=0, n_audio=_MEDIA_NA)
+    return audio_stats(media)
+
+
 # ----------------------------------------------------- near-dup clustering
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_topk_ivf_pruned"] = q_ann_topk_ivf_pruned
     out["simhash_pairs"] = q_simhash_pairs
     out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
+    out["frame_sample"] = q_frame_sample
+    out["audio_stats"] = q_audio_stats
     return out
 
 
@@ -780,6 +817,20 @@ def oracle_sql() -> dict[str, str]:
             "WITH pip AS (" + " UNION ALL ".join(pip_parts) + ") "
             f"SELECT aoi_id, {tile_id_sql('lon', 'lat')} AS dem_tile_id, "
             "COUNT(*) AS n_images FROM pip GROUP BY 1, 2"
+        )
+    # media fixtures: pinned by scripts/make_media_oracle.py AFTER the
+    # independent struct-walk parser agrees with the package codecs
+    _fs = os.path.join(_oracle_dir, f"frame_sample_{_MEDIA_NV}.parquet")
+    _au = os.path.join(_oracle_dir, f"audio_stats_{_MEDIA_NA}.parquet")
+    if os.path.exists(_fs):
+        out["frame_sample"] = (
+            "SELECT media_id, frame_idx, fh, fw, f_mean, digest "
+            f"FROM read_parquet('{_fs}')"
+        )
+    if os.path.exists(_au):
+        out["audio_stats"] = (
+            "SELECT media_id, rate, n_samples, sum_s, sum_sq, peak "
+            f"FROM read_parquet('{_au}')"
         )
     # InSAR / terrain fixtures: pinned by scripts/make_insar_oracle.py,
     # which verifies the Spark chains against the dense numpy oracle

@@ -1,0 +1,192 @@
+"""Real multimodal container codecs — pure numpy/struct, no codec libs.
+
+De-stubs the video/audio decode path (round-4 verdict task 3): the two
+RIFF containers every toolchain can produce — uncompressed AVI
+(BI_RGB 24-bit DIB frames) and WAV (PCM16) — are parsed from the raw
+byte layout per the public RIFF/AVI/WAVE specifications (Microsoft
+multimedia file format docs; the same layout ffmpeg's `-c:v rawvideo
+-pix_fmt bgr24` / `pcm_s16le` emits).
+
+Encoders exist so the synthetic media table carries REAL container
+bytes (sources/synthetic.media_table); decoders are the production
+path inside mapInPandas kernels (operators/image_pipeline.frame_sample,
+audio_stats). scripts/make_media_oracle.py re-parses the same bytes
+with an INDEPENDENT struct-walk (no shared code) before pinning the
+driver-query fixture.
+
+Layout notes that the tests pin:
+- RIFF chunks are word-aligned: odd-sized chunk data is followed by a
+  pad byte not counted in the chunk size.
+- DIB frames are BOTTOM-UP BGR with rows padded to 4 bytes.
+- AVI frame chunks are '00db' (uncompressed) inside 'LIST movi'.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ------------------------------------------------------------------ WAV
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono PCM16 WAV. ``samples``: int16 1-D array."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,              # PCM
+        1,              # mono
+        rate,
+        rate * 2,       # byte rate
+        2,              # block align
+        16,             # bits per sample
+    )
+    chunks = b"".join(
+        _chunk(b"fmt ", fmt) + _chunk(b"data", data)
+        for _ in (0,)
+    )
+    riff_body = b"WAVE" + chunks
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """→ (sample_rate, int16 samples). Mono PCM16 only (loud error
+    otherwise — honest contract, not a silent wrong answer)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    rate, n_channels, bits = None, None, None
+    data = None
+    for cid, payload in _walk_chunks(b, 12):
+        if cid == b"fmt ":
+            audio_fmt, n_channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV codec {audio_fmt} (PCM only)")
+        elif cid == b"data":
+            data = payload
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if n_channels != 1 or bits != 16:
+        raise ValueError(f"unsupported layout: {n_channels}ch {bits}bit (mono 16 only)")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+# ------------------------------------------------------------------ AVI
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Uncompressed AVI: ``frames`` uint8 (n, h, w, 3) RGB, stored as
+    BI_RGB bottom-up BGR DIBs in '00db' chunks."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) RGB uint8")
+    n, h, w, _ = f.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,   # microseconds per frame
+        frame_bytes * fps,  # max bytes per second
+        0,                  # padding granularity
+        0x10,               # AVIF_HASINDEX off; plain flags
+        n, 0, 1,            # total frames, initial frames, streams
+        frame_bytes,        # suggested buffer
+        w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,
+        1, fps,             # scale, rate → fps
+        0, n,               # start, length
+        frame_bytes, 10000,  # suggested buffer, quality
+        0,                  # sample size
+        0, 0, int(w), int(h),  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0,  # BITMAPINFOHEADER, BI_RGB
+        frame_bytes, 0, 0, 0, 0,
+    )
+    strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
+
+    movi_frames = []
+    pad = np.zeros((h, row_bytes - w * 3), dtype=np.uint8)
+    for i in range(n):
+        dib = f[i, ::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.concatenate([dib.reshape(h, w * 3), pad], axis=1)
+        movi_frames.append(_chunk(b"00db", rows.tobytes()))
+    movi = _list(b"movi", b"".join(movi_frames))
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(b: bytes) -> np.ndarray:
+    """→ uint8 (n, h, w, 3) RGB frames from an uncompressed
+    (BI_RGB '00db') AVI. Compressed streams raise — honest contract."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    w = h = None
+    bitcount = compression = None
+    frames: list[np.ndarray] = []
+    for cid, payload in _walk_chunks(b, 12):
+        if cid == b"LIST":
+            kind = payload[:4]
+            if kind == b"hdrl":
+                for c2, p2 in _walk_chunks(payload, 4):
+                    if c2 == b"avih":
+                        vals = struct.unpack("<IIIIIIIIII", p2[:40])
+                        w, h = vals[8], vals[9]
+                    elif c2 == b"LIST" and p2[:4] == b"strl":
+                        for c3, p3 in _walk_chunks(p2, 4):
+                            if c3 == b"strf":
+                                (_, bw, bh, _, bitcount, compression) = (
+                                    struct.unpack("<IiiHHI", p3[:20])
+                                )
+            elif kind == b"movi":
+                if compression not in (0, None):
+                    raise ValueError(
+                        f"unsupported AVI compression 0x{compression:x} "
+                        "(BI_RGB only)"
+                    )
+                if bitcount not in (24, None):
+                    raise ValueError(f"unsupported bit depth {bitcount}")
+                row_bytes = (w * 3 + 3) & ~3
+                for c2, p2 in _walk_chunks(payload, 4):
+                    if c2 in (b"00db", b"00dc"):
+                        arr = np.frombuffer(p2, dtype=np.uint8)
+                        rows = arr[: row_bytes * h].reshape(h, row_bytes)
+                        dib = rows[:, : w * 3].reshape(h, w, 3)
+                        frames.append(dib[::-1, :, ::-1])  # top-down RGB
+    if w is None or not frames:
+        raise ValueError("missing hdrl/movi")
+    return np.stack(frames)
+
+
+# ----------------------------------------------------------- RIFF utils
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return cid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
+
+
+def _walk_chunks(b: bytes, off: int):
+    """Yield (chunk_id, payload) over a RIFF chunk sequence starting at
+    ``off`` (word-aligned: odd payloads are followed by a pad byte)."""
+    n = len(b)
+    while off + 8 <= n:
+        cid = b[off:off + 4]
+        (size,) = struct.unpack("<I", b[off + 4:off + 8])
+        payload = b[off + 8:off + 8 + size]
+        yield cid, payload
+        off += 8 + size + (size % 2)

@@ -120,3 +120,104 @@ def images_table(spark: SparkSession, n: int, seed: int = 42, partitions: int | 
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
 
     return rng_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+# --------------------------------------------------------------- media
+# Deterministic audio/video rows carrying REAL container bytes
+# (functions/media.py encoders) — the multimodal decode path's input
+# (round-4 verdict task 3: de-stubbed frame sampling).
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fh", IntegerType()),
+        StructField("fw", IntegerType()),
+        StructField("rate", IntegerType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+
+def make_video(i: int, seed: int = 42):
+    """One deterministic uncompressed-AVI row — pure in (i, seed):
+    a drifting gradient + per-frame noise, 4-9 frames, odd/even dims
+    to exercise DIB row padding."""
+    from eo_tools_spark.functions.media import encode_avi
+
+    rng = np.random.default_rng(
+        np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i) * np.uint64(2) + np.uint64(1)
+    )
+    n = 4 + i % 6
+    h = 12 + i % 5          # 12..16 → odd widths hit the 4-byte pad
+    w = 15 + (i // 5) % 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        base = (xx * 7 + yy * 5 + t * 11) % 256
+        noise = rng.integers(0, 32, (h, w, 3))
+        frames.append(
+            np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+        )
+    f = np.stack(frames)
+    return (
+        f"vid-{i:08d}",
+        "avi",
+        encode_avi(f, fps=10),
+        n,
+        h,
+        w,
+        10,
+        f"clip {i} of {n} frames",
+        f,
+    )
+
+
+def make_audio(i: int, seed: int = 42):
+    """One deterministic WAV row — pure in (i, seed): two tones +
+    noise, PCM16 mono."""
+    from eo_tools_spark.functions.media import encode_wav
+
+    rng = np.random.default_rng(
+        np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i) * np.uint64(2)
+    )
+    rate = 8000
+    n = 800 + (i % 7) * 160
+    t = np.arange(n) / rate
+    f0, f1 = 200 + (i % 10) * 50, 1000 + (i % 5) * 100
+    sig = (
+        8000 * np.sin(2 * np.pi * f0 * t)
+        + 4000 * np.sin(2 * np.pi * f1 * t)
+        + rng.normal(0, 400, n)
+    )
+    s = np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+    return (
+        f"aud-{i:08d}",
+        "wav",
+        encode_wav(s, rate),
+        0,
+        0,
+        0,
+        rate,
+        f"tone {i} at {f0}hz",
+        s,
+    )
+
+
+def media_table(spark: SparkSession, n_video: int, n_audio: int, seed: int = 42) -> DataFrame:
+    """Distributed deterministic media table: even ids → AVI rows,
+    then WAV rows — identical bytes at any parallelism."""
+    rng_df = spark.range(0, n_video + n_audio)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = make_video(i, seed) if i < n_video else make_audio(i - n_video, seed)
+                rows.append(r[:-1])
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return rng_df.mapInPandas(gen, schema=MEDIA_SCHEMA)

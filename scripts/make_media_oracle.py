@@ -1,0 +1,156 @@
+"""Pin oracle fixtures for the media driver queries (frame_sample,
+audio_stats) — and INDEPENDENTLY verify the package codecs first.
+
+The media table is synthesized deterministically (make_video/make_audio
+are pure in (i, seed)), so expected outputs are computable outside
+Spark. Crucially, this script does NOT trust the package decoders: it
+re-parses every container with its own struct-walk (written straight
+from the public RIFF/AVI/WAVE layout, sharing no code with
+functions/media.py) and asserts the package decode == the independent
+decode == the generator's source arrays, BEFORE writing the fixture.
+
+Run:  python scripts/make_media_oracle.py   (writes dist/oracle/*.parquet)
+Idempotent — same bytes every run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eo_tools_spark.functions.media import decode_avi, decode_wav  # noqa: E402
+from eo_tools_spark.sources.synthetic import make_audio, make_video  # noqa: E402
+
+N_VIDEO = 40
+N_AUDIO = 40
+EVERY_N = 2
+SEED = 42
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "dist", "oracle"
+)
+
+
+# ------------------------- independent RIFF parsers (no shared code)
+
+def _chunks(b, off, end):
+    while off + 8 <= end:
+        cid = b[off:off + 4]
+        size = int.from_bytes(b[off + 4:off + 8], "little")
+        yield cid, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def independent_avi(b: bytes) -> np.ndarray:
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    w = h = None
+    frames = []
+    for cid, off, size in _chunks(b, 12, len(b)):
+        if cid != b"LIST":
+            continue
+        kind = b[off:off + 4]
+        if kind == b"hdrl":
+            for c2, o2, s2 in _chunks(b, off + 4, off + size):
+                if c2 == b"avih":
+                    w = int.from_bytes(b[o2 + 32:o2 + 36], "little")
+                    h = int.from_bytes(b[o2 + 36:o2 + 40], "little")
+                elif c2 == b"LIST" and b[o2:o2 + 4] == b"strl":
+                    for c3, o3, s3 in _chunks(b, o2 + 4, o2 + s2):
+                        if c3 == b"strf":
+                            bitcount = int.from_bytes(b[o3 + 14:o3 + 16], "little")
+                            compression = int.from_bytes(b[o3 + 16:o3 + 20], "little")
+                            assert bitcount == 24 and compression == 0
+        elif kind == b"movi":
+            stride = (w * 3 + 3) // 4 * 4
+            for c2, o2, s2 in _chunks(b, off + 4, off + size):
+                if c2 == b"00db":
+                    raw = np.frombuffer(b[o2:o2 + s2], dtype=np.uint8)
+                    rows = raw[: stride * h].reshape(h, stride)[:, : w * 3]
+                    bgr_bottom_up = rows.reshape(h, w, 3)
+                    frames.append(bgr_bottom_up[::-1, :, ::-1].copy())
+    return np.stack(frames)
+
+
+def independent_wav(b: bytes) -> tuple[int, np.ndarray]:
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    rate, data = None, None
+    for cid, off, size in _chunks(b, 12, len(b)):
+        if cid == b"fmt ":
+            fmt_tag, ch, rate = struct.unpack("<HHI", b[off:off + 8])
+            bits = int.from_bytes(b[off + 14:off + 16], "little")
+            assert fmt_tag == 1 and ch == 1 and bits == 16
+        elif cid == b"data":
+            data = b[off:off + size]
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+# ----------------------------------------------------------- fixtures
+
+def build_frame_sample() -> pd.DataFrame:
+    out = []
+    for i in range(N_VIDEO):
+        r = make_video(i, SEED)
+        media_id, payload, src = r[0], r[2], r[-1]
+        pkg = decode_avi(payload)
+        ind = independent_avi(payload)
+        assert np.array_equal(pkg, src), f"package decode != source for {media_id}"
+        assert np.array_equal(ind, src), f"independent decode != source for {media_id}"
+        for fi in range(0, src.shape[0], EVERY_N):
+            f = src[fi]
+            out.append(
+                (
+                    media_id,
+                    fi,
+                    f.shape[0],
+                    f.shape[1],
+                    float(int(f.sum())) / f.size,
+                    hashlib.md5(f.tobytes()).hexdigest(),
+                )
+            )
+    return pd.DataFrame(
+        out, columns=["media_id", "frame_idx", "fh", "fw", "f_mean", "digest"]
+    )
+
+
+def build_audio_stats() -> pd.DataFrame:
+    out = []
+    for i in range(N_AUDIO):
+        r = make_audio(i, SEED)
+        media_id, payload, src = r[0], r[2], r[-1]
+        rate_p, pkg = decode_wav(payload)
+        rate_i, ind = independent_wav(payload)
+        assert rate_p == rate_i == 8000
+        assert np.array_equal(pkg, src) and np.array_equal(ind, src), media_id
+        s = src.astype(np.int64)
+        out.append(
+            (
+                media_id,
+                8000,
+                len(s),
+                int(s.sum()),
+                int((s * s).sum()),
+                int(np.abs(s).max()),
+            )
+        )
+    return pd.DataFrame(
+        out, columns=["media_id", "rate", "n_samples", "sum_s", "sum_sq", "peak"]
+    )
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    fs = build_frame_sample()
+    au = build_audio_stats()
+    fs.to_parquet(os.path.join(OUT, f"frame_sample_{N_VIDEO}.parquet"), index=False)
+    au.to_parquet(os.path.join(OUT, f"audio_stats_{N_AUDIO}.parquet"), index=False)
+    print(f"pinned frame_sample ({len(fs)} rows), audio_stats ({len(au)} rows)")
+
+
+if __name__ == "__main__":
+    main()

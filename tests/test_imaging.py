@@ -177,16 +177,58 @@ class TestImageTable:
         zero = pairs[pairs.hamming == 0]
         assert len(zero) >= 10
 
-    def test_frame_sample_stub(self, spark):
+    def test_frame_sample_real_avi(self, spark):
+        """The de-stubbed multimodal path (round-4 verdict task 3):
+        REAL uncompressed-AVI container bytes decoded distributed; every
+        sampled frame must equal the generator's source frames exactly."""
+        import numpy as np
+
+        from eo_tools_spark.operators.image_pipeline import frame_sample
+        from eo_tools_spark.sources.synthetic import make_video, media_table
+
+        media = media_table(spark, n_video=8, n_audio=0)
+        out = frame_sample(media, every_n=2).toPandas()
+        assert len(out) > 0
+        for r in out.itertuples():
+            i = int(r.media_id.split("-")[1])
+            src = make_video(i)[-1]
+            f = np.frombuffer(r.frame, dtype=np.uint8).reshape(r.fh, r.fw, 3)
+            assert np.array_equal(f, src[r.frame_idx])
+            assert r.f_mean == float(int(src[r.frame_idx].sum())) / src[r.frame_idx].size
+        # every_n sampling: frame indices are 0, 2, 4, ...
+        assert set(out.frame_idx % 2) == {0}
+
+    def test_audio_stats_real_wav(self, spark):
+        import numpy as np
+
+        from eo_tools_spark.operators.image_pipeline import audio_stats
+        from eo_tools_spark.sources.synthetic import make_audio, media_table
+
+        media = media_table(spark, n_video=0, n_audio=6)
+        out = audio_stats(media).toPandas()
+        assert len(out) == 6
+        for r in out.itertuples():
+            i = int(r.media_id.split("-")[1])
+            s = make_audio(i)[-1].astype(np.int64)
+            assert r.n_samples == len(s) and r.rate == 8000
+            assert r.sum_s == int(s.sum()) and r.sum_sq == int((s * s).sum())
+            assert r.peak == int(np.abs(s).max())
+
+    def test_unknown_media_format_raises(self, spark):
+        """Honest contract: formats without a codec raise loudly."""
         import pandas as pd
 
-        from eo_tools_spark.operators.image_pipeline import frame_sample_stub
+        from eo_tools_spark.operators.image_pipeline import (
+            audio_stats,
+            frame_sample,
+        )
 
         media = spark.createDataFrame(
-            pd.DataFrame({"media_id": ["v1", "v2"], "bytes": [b"\0" * 4096, b"\0" * 10240]})
+            pd.DataFrame(
+                {"media_id": ["v1"], "fmt": ["mp4"], "bytes": [b"\0" * 64]}
+            )
         )
-        out = frame_sample_stub(media, every_n=2, fake=True).toPandas()
-        assert set(out.media_id) == {"v1", "v2"}
-        assert all(len(f) == 256 for f in out.frame)
-        with pytest.raises(Exception):
-            frame_sample_stub(media, fake=False).collect()
+        with pytest.raises(Exception, match="mp4"):
+            frame_sample(media).collect()
+        with pytest.raises(Exception, match="mp4"):
+            audio_stats(media).collect()

@@ -1,0 +1,88 @@
+"""RIFF container codecs (functions/media.py) — layout edge cases the
+public spec mandates: word-aligned chunks, 4-byte DIB row padding,
+bottom-up BGR order, honest errors on unsupported codecs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from eo_tools_spark.functions.media import (
+    decode_avi,
+    decode_wav,
+    encode_avi,
+    encode_wav,
+)
+
+
+class TestWav:
+    def test_roundtrip_exact(self):
+        rng = np.random.default_rng(3)
+        for n in (1, 100, 101, 4096):
+            s = rng.integers(-32768, 32767, n).astype(np.int16)
+            rate, t = decode_wav(encode_wav(s, 22050))
+            assert rate == 22050 and np.array_equal(s, t)
+
+    def test_odd_data_chunk_is_word_aligned(self):
+        """1 sample → 2-byte data chunk (even); check an odd-sized
+        trailing chunk scenario via a hand-built extra chunk."""
+        s = np.array([7], dtype=np.int16)
+        b = encode_wav(s, 8000)
+        # append an odd-sized unknown chunk + pad, then data must still
+        # be found when the unknown chunk comes first
+        extra = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        rebuilt = b[:12] + extra + b[12:]
+        rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+        rate, t = decode_wav(rebuilt)
+        assert rate == 8000 and np.array_equal(t, s)
+
+    def test_non_pcm_raises(self):
+        s = np.zeros(4, dtype=np.int16)
+        b = bytearray(encode_wav(s, 8000))
+        # fmt tag lives right after 'fmt '+size — flip PCM(1) → ALAW(6)
+        i = b.index(b"fmt ") + 8
+        b[i:i + 2] = struct.pack("<H", 6)
+        with pytest.raises(ValueError, match="codec"):
+            decode_wav(bytes(b))
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError):
+            decode_wav(b"\x00" * 64)
+
+
+class TestAvi:
+    def test_roundtrip_exact_odd_dims(self):
+        """Odd widths exercise the 4-byte DIB row stride."""
+        rng = np.random.default_rng(5)
+        for (n, h, w) in [(2, 7, 5), (3, 16, 17), (1, 1, 1), (4, 3, 31)]:
+            f = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+            g = decode_avi(encode_avi(f, fps=25))
+            assert np.array_equal(f, g), (n, h, w)
+
+    def test_dib_rows_are_bottom_up_bgr(self):
+        """Pin the byte layout itself (not just the roundtrip): the
+        first stored row of the DIB is the LAST image row, in BGR."""
+        f = np.zeros((1, 2, 1, 3), dtype=np.uint8)
+        f[0, 0, 0] = (1, 2, 3)    # top row RGB
+        f[0, 1, 0] = (9, 8, 7)    # bottom row RGB
+        b = encode_avi(f)
+        i = b.index(b"00db") + 8
+        stride = 4  # w*3=3 padded to 4
+        first_row = b[i:i + 3]
+        assert first_row == bytes([7, 8, 9])  # bottom row, BGR
+        second_row = b[i + stride:i + stride + 3]
+        assert second_row == bytes([3, 2, 1])
+
+    def test_compressed_stream_raises(self):
+        f = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+        b = bytearray(encode_avi(f))
+        i = b.index(b"strf") + 8 + 16  # biCompression offset in BITMAPINFOHEADER
+        b[i:i + 4] = struct.pack("<I", 0x44495658)  # 'XVID'
+        with pytest.raises(ValueError, match="compression"):
+            decode_avi(bytes(b))
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError):
+            decode_avi(b"RIFFxxxxWAVE")
