@@ -641,6 +641,47 @@ def q_geocode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_digest(mosaic, "mosaic")
 
 
+def q_coherence_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDALONE tile-algebra coherence operator under the driver
+    gate (round-4 verdict task 5; insar_products covers the fused
+    aligned-pair chain — this gates tiles_coherence directly, WITH
+    multilook so the presum path is driver-gated too): fused product
+    join + one multi-channel halo exchange; per-tile md5 digests,
+    pinned by scripts/make_insar_oracle.py after dense-numpy parity +
+    cross-parallelism bit-stability."""
+    from eo_tools_spark.operators.tiles import tiles_coherence
+    from eo_tools_spark.sources.insar_fixture import (
+        insar_pair_tiles, tiles_digest,
+    )
+
+    prm, sec, _lut = insar_pair_tiles(spark)
+    coh = tiles_coherence(prm, sec, box_az=5, box_rg=5, mlt_az=2, mlt_rg=2)
+    return tiles_digest(coh, "coh_mlt2")
+
+
+def q_polsar_h_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-pol covariance + H/alpha decomposition under the driver
+    gate (round-4 verdict task 5): polsar_products' fused two-exchange
+    plan emits c11/c22/c12/halpha tiles from one vv⋈vh join + one halo
+    exchange; digests per raster, same fixture protocol."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.polsar import polsar_products
+    from eo_tools_spark.sources.insar_fixture import (
+        insar_pair_tiles, tiles_digest,
+    )
+
+    vv, vh, _lut = insar_pair_tiles(spark)
+    prods = polsar_products(
+        vv, vh, box_az=5, box_rg=5, mlt_az=2, mlt_rg=2, h_alpha=True
+    )
+    out = None
+    for rid in ("c11", "c22", "c12", "halpha"):
+        d = tiles_digest(prods.where(F.col("raster_id") == rid), rid)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def q_terrain_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terrain-flattening γ simulation: per-DEM-block triangle kernel
     (map-side, incl. shadow line-scan) + per-pixel scatter reduce.
@@ -700,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
     out["frame_sample"] = q_frame_sample
     out["audio_stats"] = q_audio_stats
+    out["coherence_tiles"] = q_coherence_tiles
+    out["polsar_h_alpha"] = q_polsar_h_alpha
     return out
 
 
@@ -841,6 +884,8 @@ def oracle_sql() -> dict[str, str]:
         ("insar_products", "product, ty, tx, th, tw, digest"),
         ("geocode_merge", "product, ty, tx, th, tw, digest"),
         ("terrain_gamma", "az, rg, n_contrib, gamma_sum"),
+        ("coherence_tiles", "product, ty, tx, th, tw, digest"),
+        ("polsar_h_alpha", "product, ty, tx, th, tw, digest"),
     ]:
         fx = os.path.join(_oracle_dir, f"{qname}.parquet")
         if os.path.exists(fx):

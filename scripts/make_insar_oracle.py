@@ -138,6 +138,59 @@ def verify_terrain(spark) -> None:
     print(f"terrain_gamma: dense-oracle parity OK ({n} lit pixels)")
 
 
+def verify_coherence_tiles(spark) -> None:
+    """tiles_coherence WITH multilook (the driver-gated standalone op,
+    round-4 verdict task 5) vs the dense single-array chain."""
+    from eo_tools_spark.functions import raster as R
+    from eo_tools_spark.operators.tiles import tiles_coherence, tiles_to_raster
+    from eo_tools_spark.sources.insar_fixture import (
+        T_INSAR, dense_pair, insar_pair_tiles,
+    )
+
+    prm, sec, _, _ = dense_pair()
+    prm_t, sec_t, _lut = insar_pair_tiles(spark)
+    coh_t = tiles_coherence(prm_t, sec_t, box_az=5, box_rg=5, mlt_az=2, mlt_rg=2)
+    got = tiles_to_raster(coh_t, T_INSAR // 2)
+    exp = R.coherence(prm, sec, 5, 5, 2, 2).astype(np.float32)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+    interior = exp[4:100, 4:100]
+    print(f"coherence_tiles: dense-oracle parity OK (mlt 2x2, mean interior "
+          f"{np.nanmean(interior):.3f})")
+
+
+def verify_polsar(spark) -> None:
+    """polsar_products(h_alpha=True) vs the dense reference-order chain
+    (tests/test_polsar.dense_oracle) + dense h_alpha on top."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_polsar import dense_oracle
+
+    from eo_tools_spark.functions import raster as R
+    from eo_tools_spark.operators.polsar import polsar_products
+    from eo_tools_spark.operators.tiles import tiles_to_raster
+    from eo_tools_spark.sources.insar_fixture import (
+        T_INSAR, dense_pair, insar_pair_tiles,
+    )
+    from pyspark.sql import functions as F
+
+    vv, vh, _, _ = dense_pair()
+    vv_t, vh_t, _lut = insar_pair_tiles(spark)
+    prods = polsar_products(vv_t, vh_t, box_az=5, box_rg=5, mlt_az=2, mlt_rg=2,
+                            h_alpha=True)
+    e11, e22, e12 = dense_oracle(vv, vh, 5, 5, 2, 2)
+    for rid, exp in (("c11", e11), ("c22", e22), ("c12", e12)):
+        got = tiles_to_raster(prods.where(F.col("raster_id") == rid), T_INSAR // 2)
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+    H, alpha = R.h_alpha(e11.astype(np.float64), e22.astype(np.float64),
+                         e12.astype(np.complex128))
+    exp_ha = (H + 1j * alpha).astype(np.complex64)
+    got_ha = tiles_to_raster(prods.where(F.col("raster_id") == "halpha"), T_INSAR // 2)
+    np.testing.assert_allclose(got_ha, exp_ha, rtol=1e-4, atol=1e-5, equal_nan=True)
+    print("polsar_h_alpha: dense-oracle parity OK (c11/c22/c12/halpha, mlt 2x2)")
+
+
 def main() -> None:
     from eo_tools_spark.session import get_spark
     import __spark_entry__ as entry
@@ -149,11 +202,15 @@ def main() -> None:
     verify_insar(spark)
     verify_geocode_merge(spark)
     verify_terrain(spark)
+    verify_coherence_tiles(spark)
+    verify_polsar(spark)
 
     queries = {
         "insar_products": entry.q_insar_products,
         "geocode_merge": entry.q_geocode_merge,
         "terrain_gamma": entry.q_terrain_gamma,
+        "coherence_tiles": entry.q_coherence_tiles,
+        "polsar_h_alpha": entry.q_polsar_h_alpha,
     }
     first = {}
     for name, q in queries.items():
