@@ -101,6 +101,16 @@ class TileIndex:
         return cand[topk], d2[rows, topk]
 
 
+#: byte budget for the driver-built broadcast TileIndex (round-4
+#: verdict task 7): the index holds ~3 numpy copies of the catalog plus
+#: bucket dict overhead, so the guard multiplies the measured catalog
+#: bytes by _INDEX_OVERHEAD before comparing. A global 1° grid (64800
+#: tiles) measures ~5 MB — comfortably inside; a pathological catalog
+#: (millions of "tiles") falls back to the distributed ring join.
+MAX_INDEX_BYTES = 64 << 20
+_INDEX_OVERHEAD = 4
+
+
 def knn_join(
     scenes: DataFrame,
     tiles_pdf: pd.DataFrame,
@@ -110,10 +120,26 @@ def knn_join(
     id_col: str = "scene_id",
     tile_id_col: str = "dem_tile_id",
     index_res: int = 6,
+    max_index_bytes: int = MAX_INDEX_BYTES,
 ) -> DataFrame:
     """For each scene, the k nearest tiles. Output columns:
-    (id_col, tile_id, knn_rank 1-based, dist2)."""
+    (id_col, tile_id, knn_rank 1-based, dist2).
+
+    The broadcast grid-bucket index is bounded by MEASURED bytes
+    (``max_index_bytes``): an oversized catalog routes to
+    ``knn_join_distributed`` — the same exact kNN semantics (identical
+    rows, pytest-pinned) through an escalating distributed cell-ring
+    equi-join instead of a driver-built broadcast structure."""
     spark = scenes.sparkSession
+    measured = int(
+        tiles_pdf[[tile_id_col, "cx", "cy"]].memory_usage(deep=True).sum()
+    )
+    if measured * _INDEX_OVERHEAD > max_index_bytes:
+        tiles_df = spark.createDataFrame(tiles_pdf[[tile_id_col, "cx", "cy"]])
+        return knn_join_distributed(
+            scenes, tiles_df, k=k, lon=lon, lat=lat, id_col=id_col,
+            tile_id_col=tile_id_col, index_res=index_res,
+        )
     index = TileIndex(
         tiles_pdf[tile_id_col].to_numpy(),
         tiles_pdf["cx"].to_numpy(),
@@ -162,3 +188,126 @@ def knn_join(
             )
 
     return scenes.select(id_col, lon, lat).mapInPandas(compute, schema=out_schema)
+
+
+def knn_join_distributed(
+    scenes: DataFrame,
+    tiles_df: DataFrame,
+    k: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "scene_id",
+    tile_id_col: str = "dem_tile_id",
+    index_res: int = 6,
+    explode_cap: int = 15,
+) -> DataFrame:
+    """Exact kNN WITHOUT a driver-built index — the fallback when the
+    tile catalog exceeds the broadcast byte budget (round-4 verdict
+    task 7). Same rows as the broadcast path: dist2 is the identical
+    IEEE expression ((cx-lon)² + (cy-lat)²) and the tie-break is the
+    same (dist2, tile_id) order; exactness comes from the same coverage
+    guarantee the TileIndex ring loop uses (a tile outside Chebyshev
+    ring r is at least (r-1)·min(cell_w, cell_h) away from any point
+    in the center cell).
+
+    Physical shape per round: scenes explode to their (2r+1)² ring grid
+    coordinates (JVM-side sequence explode, out-of-range filtered like
+    cell_ring's clip), equi-join tiles on (ix, iy) — both sides shuffle
+    on integer grid keys, never a cross product — then a per-scene
+    window top-k. Scenes whose kth distance is inside the guaranteed
+    radius are done; the rest escalate r ×2, and past ``explode_cap``
+    the stragglers (typically points in empty oceans) take one full
+    scan pass. At 100 TB the first round resolves almost everything —
+    rounds are data-dependent but bounded by log(grid)/log(2)."""
+    from pyspark.sql import Window, functions as F
+
+    spark = scenes.sparkSession
+    n = 1 << index_res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    guard_unit = min(cell_w, cell_h)
+    n_tiles = tiles_df.count()
+    kk = min(k, n_tiles)
+
+    def grid_ix(col, lo, width):
+        return F.least(
+            F.greatest(
+                F.floor((F.col(col) + lo) * n / width).cast("long"), F.lit(0)
+            ),
+            F.lit(n - 1),
+        )
+
+    tiles_c = tiles_df.select(
+        tile_id_col, "cx", "cy",
+        grid_ix("cx", 180.0, 360.0).alias("ix"),
+        grid_ix("cy", 90.0, 180.0).alias("iy"),
+    )
+    remaining = scenes.select(
+        id_col, lon, lat,
+        grid_ix(lon, 180.0, 360.0).alias("six"),
+        grid_ix(lat, 90.0, 180.0).alias("siy"),
+    ).persist()
+    remaining.count()
+
+    dist2 = (
+        (F.col("cx") - F.col(lon)) * (F.col("cx") - F.col(lon))
+        + (F.col("cy") - F.col(lat)) * (F.col("cy") - F.col(lat))
+    ).alias("dist2")
+    w = Window.partitionBy(id_col).orderBy("dist2", tile_id_col)
+
+    out = None
+    r = 1
+    while True:
+        full_pass = (2 * r + 1) > explode_cap or (2 * r + 1) >= n
+        if full_pass:
+            cand = remaining.select(id_col, lon, lat).crossJoin(
+                tiles_c.select(tile_id_col, "cx", "cy")
+            )
+        else:
+            cand = (
+                remaining.withColumn(
+                    "ix", F.explode(F.expr(f"sequence(six - {r}, six + {r})"))
+                )
+                .withColumn(
+                    "iy", F.explode(F.expr(f"sequence(siy - {r}, siy + {r})"))
+                )
+                .where((F.col("ix") >= 0) & (F.col("ix") < n))
+                .where((F.col("iy") >= 0) & (F.col("iy") < n))
+                .join(tiles_c, ["ix", "iy"])
+            )
+        ranked = (
+            cand.select(id_col, lon, lat, tile_id_col, dist2)
+            .withColumn("knn_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("knn_rank") <= kk)
+        )
+        if full_pass:
+            part = ranked.select(id_col, tile_id_col, "knn_rank", "dist2")
+            out = part if out is None else out.unionByName(part)
+            break
+        guaranteed = (r - 1) * guard_unit
+        stats = ranked.groupBy(id_col).agg(
+            F.max("knn_rank").alias("n_cand"),
+            F.max(
+                F.when(F.col("knn_rank") == kk, F.col("dist2"))
+            ).alias("kth_d2"),
+        )
+        resolved = stats.where(
+            (F.col("n_cand") == kk)
+            & (F.col("kth_d2") <= F.lit(guaranteed * guaranteed))
+        ).select(id_col)
+        part = (
+            ranked.join(resolved, id_col)
+            .select(id_col, tile_id_col, "knn_rank", "dist2")
+        )
+        # materialize this round's rows before remaining shrinks
+        part = part.persist()
+        n_done = part.count()
+        out = part if out is None else out.unionByName(part)
+        nxt = remaining.join(resolved, id_col, "left_anti").persist()
+        n_left = nxt.count()
+        remaining.unpersist()
+        remaining = nxt
+        if n_left == 0:
+            break
+        r *= 2
+    remaining.unpersist()
+    return out

@@ -68,6 +68,62 @@ class TestKNN:
         exp_d2 = np.min((cx[None] - qx[:, None]) ** 2 + (cy[None] - qy[:, None]) ** 2, axis=1)
         np.testing.assert_allclose(out["dist2"].to_numpy(), exp_d2)
 
+    def test_catalog_byte_guard_forces_distributed_fallback(self, spark):
+        """Round-4 verdict task 7: an over-budget catalog must route to
+        the distributed ring join and return IDENTICAL rows (incl.
+        dist2 bit-equality — the two paths evaluate the same IEEE
+        expression)."""
+        tiles = make_tiles()
+        rng = np.random.default_rng(11)
+        n = 300
+        # spread queries wide so the escalation loop (r=1 → 2 → full)
+        # and the edge-clip filter both exercise
+        qx = np.concatenate([rng.uniform(-9.5, 9.5, n - 4),
+                             [-179.9, 179.9, -9.5, 9.5]])
+        qy = np.concatenate([rng.uniform(30.5, 49.5, n - 4),
+                             [-89.9, 89.9, 30.5, 49.5]])
+        scenes = spark.createDataFrame(
+            pd.DataFrame({"scene_id": np.arange(len(qx)), "lon": qx, "lat": qy})
+        )
+        key = ["scene_id", "knn_rank"]
+        broad = (
+            knn_join(scenes, tiles, k=3)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        # max_index_bytes=1 → guard trips → distributed path
+        dist = (
+            knn_join(scenes, tiles, k=3, max_index_bytes=1)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            broad[["scene_id", "dem_tile_id", "knn_rank", "dist2"]],
+            dist[["scene_id", "dem_tile_id", "knn_rank", "dist2"]].astype(
+                broad[["scene_id", "dem_tile_id", "knn_rank", "dist2"]].dtypes.to_dict()
+            ),
+        )
+
+    def test_distributed_fallback_small_catalog_k_truncation(self, spark):
+        """Catalog smaller than k: both paths return all tiles ranked."""
+        from eo_tools_spark.operators.knn import knn_join_distributed
+
+        tiles = make_tiles(1, 2)  # 2 tiles
+        scenes = spark.createDataFrame(
+            pd.DataFrame({"scene_id": [0, 1], "lon": [-9.5, 0.0], "lat": [30.5, 31.0]})
+        )
+        broad = knn_join(scenes, tiles, k=5).toPandas()
+        dist = knn_join_distributed(
+            spark.createDataFrame(
+                pd.DataFrame({"scene_id": [0, 1], "lon": [-9.5, 0.0], "lat": [30.5, 31.0]})
+            ),
+            spark.createDataFrame(tiles),
+            k=5,
+        ).toPandas()
+        key = ["scene_id", "knn_rank"]
+        a = broad.sort_values(key).reset_index(drop=True)
+        b = dist.sort_values(key).reset_index(drop=True)[a.columns].astype(a.dtypes.to_dict())
+        assert len(a) == 4  # 2 scenes × 2 tiles
+        pd.testing.assert_frame_equal(a, b)
+
 
 class TestBBoxJoin:
     def test_vs_duckdb(self, spark):
