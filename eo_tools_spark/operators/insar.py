@@ -228,3 +228,55 @@ def _fill_missing_tiles(
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return joined.mapInPandas(fill, schema=TILE_SCHEMA)
+
+
+def to_geotiff(
+    mosaic_tiles: DataFrame,
+    path: str,
+    tile: int,
+    geo_origin: tuple[float, float],
+    geo_px: float,
+    epsg: int = 4326,
+    nodata: float = float("nan"),
+    max_bytes: int = 1 << 30,
+) -> dict:
+    """Export a geocode_and_merge mosaic to a georeferenced GeoTIFF —
+    the reference's rasterio COG export seam (process.py:1461-1549),
+    written from scratch (functions/geotiff.py; no rasterio in this
+    container). ``geo_origin`` is the TOP-LEFT corner of geo pixel
+    (0, 0) in model coordinates; ``geo_px`` the (square) pixel size;
+    north-up (rows go south), the reference's from_origin convention.
+
+    DRIVER-SIDE by design — a single .tif is a single file (the
+    reference writes it from one process too, process.py:1474). The
+    collect is guarded by a MEASURED byte budget: one cheap metadata
+    agg (sum of th×tw) before any tile bytes move; over budget raises
+    with the measured size instead of OOMing the driver. Complex tiles
+    export their magnitude is NOT implied — c8 mosaics are rejected
+    (export amplitude/phase explicitly first)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.functions.geotiff import write_geotiff
+    from eo_tools_spark.operators.tiles import tiles_to_raster
+
+    kinds = [r.kind for r in mosaic_tiles.select("kind").distinct().collect()]
+    if kinds != ["f4"]:
+        raise ValueError(
+            f"to_geotiff exports f4 mosaics; got kind(s) {kinds} — export "
+            "amplitude/phase explicitly first"
+        )
+    est = mosaic_tiles.agg(
+        F.sum(F.col("th").cast("long") * F.col("tw")).alias("px")
+    ).collect()[0].px
+    est_bytes = int(est or 0) * 4
+    if est_bytes > max_bytes:
+        raise ValueError(
+            f"mosaic measures {est_bytes} bytes > max_bytes={max_bytes}; "
+            "raise the budget explicitly or export a sub-extent"
+        )
+    arr = tiles_to_raster(mosaic_tiles, tile)
+    write_geotiff(
+        path, arr, origin=geo_origin, pixel_size=(geo_px, geo_px),
+        epsg=epsg, nodata=nodata,
+    )
+    return {"path": path, "shape": arr.shape, "bytes": est_bytes, "epsg": epsg}
