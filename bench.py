@@ -743,6 +743,9 @@ def compare_to(old_path: str, new: dict) -> dict:
     committed best (the measured single-run variance of this host)."""
     with open(old_path) as f:
         old = json.load(f)
+    # driver-committed BENCH_r{N}.json wraps the bench line under "parsed"
+    if "queries" not in old and isinstance(old.get("parsed"), dict):
+        old = old["parsed"]
     old_bands = old.get("bands", {})
     regressions, improvements = [], []
     for name, t_new in new["queries"].items():
@@ -791,6 +794,8 @@ def run_sf1() -> None:
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
+        if "queries" not in base and isinstance(base.get("parsed"), dict):
+            base = base["parsed"]
         for key in ("images_per_sec", "pipeline_images_per_sec"):
             if key in base and base[key]:
                 r[f"{key}_ratio_vs_sf01"] = round(r[key] / base[key], 3)
