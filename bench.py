@@ -790,6 +790,9 @@ def run_sf1() -> None:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"sf1 child failed (rc={out.returncode})")
     r = json.loads(out.stdout.strip().splitlines()[-1])
+    # the "sf" field reflects the metadata dir (sf0.1); the image table
+    # itself is overridden to sf1 scale — record that explicitly
+    r["sf_images"] = round(int(n) / 600_000, 3)
     baseline_path = os.environ.get("SPARK_GRAFT_SF1_BASELINE", "BENCH_r04.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
