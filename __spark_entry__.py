@@ -145,6 +145,72 @@ def q_burst_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partial_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-product download PLANNING end to end (SURVEY §2.1 partial
+    S3 download row, network as a seam): burst-footprint×AOI intersects
+    → per (product, subswath) burst range → per-polarization jobs with
+    line windows and measurement file names
+    (download.py:378-443 `_build_download_list` semantics)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from eo_tools_spark.geo.wkb import box_to_wkb
+    from eo_tools_spark.sources.derived import aoi_rings
+    from eo_tools_spark.sources.stac import plan_partial_downloads
+
+    scenes = _scenes(spark, sf_dir).where("scene_id % 5 = 0")
+
+    schema = StructType([
+        StructField("product_id", StringType()),
+        StructField("subswath", StringType()),
+        StructField("burst", IntegerType()),
+        StructField("footprint", BinaryType()),
+    ])
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (r.product_id, r.subswath, int(r.burst),
+                 box_to_wkb(r.lon - 0.15, r.lat - 0.1, r.lon + 0.15, r.lat + 0.1))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                rows, columns=["product_id", "subswath", "burst", "footprint"]
+            )
+
+    bursts = scenes.select(
+        "product_id", "subswath", "burst", "lon", "lat"
+    ).mapInPandas(mk, schema=schema)
+
+    # measurement assets per (product, subswath, pol) — href follows the
+    # SAFE naming convention so `file` is its basename
+    assets = (
+        scenes.select("product_id", "subswath").distinct()
+        .crossJoin(spark.createDataFrame([("vv",), ("vh",)], "pol string"))
+        .withColumn(
+            "href",
+            F.concat(
+                F.lit("s3://eodata/"), F.col("product_id"),
+                F.lit(".SAFE/measurement/s1a-"), F.lower("subswath"),
+                F.lit("-slc-"), F.col("pol"), F.lit("-"),
+                F.lower("product_id"), F.lit(".tiff"),
+            ),
+        )
+    )
+    ring = aoi_rings()["aoi_mid"]
+    return plan_partial_downloads(
+        bursts, ring, lines_per_burst=1507, pol="full", assets=assets, res=8
+    ).select(
+        "product_id", "subswath", "pol", "min_burst", "max_burst",
+        "line_start", "number_of_lines", "file",
+    )
+
+
 def q_esd_phase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESD phase-difference mean: associative complex mean via
     groupBy(sum re, sum im) (SURVEY §2.4; core.py:1009-1014).
@@ -722,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "knn_tile": q_knn_tile,
         "burst_range": q_burst_range,
+        "partial_plan": q_partial_plan,
         "esd_phase_mean": q_esd_phase_mean,
         "footprint_aoi_join": q_footprint_aoi_join,
     }
@@ -767,6 +834,21 @@ def oracle_sql() -> dict[str, str]:
     footprint_sql = f"{scenes_cte} " + " UNION ALL ".join(fp_parts)
 
     x0, y0, x1, y1 = AOI_BOXES["aoi_mid"]
+    partial_plan_sql = (
+        f"{scenes_cte} "
+        "SELECT r.product_id, r.subswath, p.pol, r.min_burst, r.max_burst, "
+        "1507 * (r.min_burst - 1) AS line_start, "
+        "1507 * (r.max_burst - r.min_burst + 1) AS number_of_lines, "
+        "'measurement/s1a-' || lower(r.subswath) || '-slc-' || p.pol || "
+        "'-' || lower(r.product_id) || '.tiff' AS file "
+        "FROM (SELECT product_id, subswath, "
+        "MIN(burst) AS min_burst, MAX(burst) AS max_burst FROM scenes "
+        "WHERE scene_id % 5 = 0 "
+        f"AND lon - 0.15 <= {x1} AND lon + 0.15 >= {x0} "
+        f"AND lat - 0.1 <= {y1} AND lat + 0.1 >= {y0} "
+        "GROUP BY product_id, subswath) r "
+        "CROSS JOIN (SELECT 'vv' AS pol UNION ALL SELECT 'vh') p"
+    )
     burst_range_sql = (
         f"{scenes_cte} "
         "SELECT product_id, subswath, "
@@ -806,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_tile": knn_sql,
         "burst_range": burst_range_sql,
+        "partial_plan": partial_plan_sql,
         "footprint_aoi_join": footprint_sql,
         "esd_phase_mean": (
             "SELECT l_returnflag, "
