@@ -492,6 +492,105 @@ def run_queries() -> dict:
     longdocs.unpersist()
     windocs.unpersist()
 
+    # q15 — similarity search over a PERSISTED IVF index (the round-5
+    # scale path): exact brute-force GEMM top-k vs the pruned-scan ANN
+    # over a fixed-size deterministic embedding corpus (like q11's
+    # longdocs, size independent of sf). The corpus parquet and the
+    # index build are cached on disk across runs (snapshot-layer
+    # idempotent commit), so the timed legs measure QUERY cost only.
+    n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "1000000"))
+    emb_path = f"/tmp/eo_bench_emb_n{n_vecs}"
+    ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64"
+    from pyspark.sql.types import ArrayType, FloatType
+
+    _emb_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    # clustered corpus (256 gaussian centers, sigma 0.35): isotropic
+    # random vectors have NO neighborhood structure, which makes any
+    # IVF read ~uniform recall = probed-mass fraction — real embedding
+    # corpora cluster, which is the regime IVF exists for
+    def _ann_center(c):
+        return np.random.default_rng(7_000_000 + int(c)).normal(size=64)
+
+    def _emb_gen(batches):
+        for pdf in batches:
+            rows = [
+                (int(i),
+                 (_ann_center(int(i) % 256)
+                  + 0.35 * np.random.default_rng(2_000_000 + int(i))
+                  .normal(size=64)).astype(np.float32).tolist())
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        (
+            spark.range(n_vecs).mapInPandas(_emb_gen, schema=_emb_schema)
+            .write.mode("overwrite").parquet(emb_path)
+        )
+        open(os.path.join(emb_path, "_SUCCESS"), "a").close()
+    emb = spark.read.parquet(emb_path)
+
+    from eo_tools_spark.operators.similarity import (
+        brute_topk,
+        build_ivf_index,
+        ivf_topk_pruned,
+    )
+
+    build_ivf_index(emb, ivf_path, ncells=64, sample_rows=4096)  # untimed
+
+    # held-out FOCUSED query batch: 16 queries near 4 corpus clusters —
+    # the realistic "match this new shard against the corpus" shape
+    # (a batch of unrelated queries probes every cell and nothing
+    # prunes; per-batch locality is what the cell layout monetizes)
+    q_rows = [
+        (int(i),
+         (_ann_center(i % 4)
+          + 0.35 * np.random.default_rng(9_000_000 + int(i))
+          .normal(size=64)).astype(np.float32).tolist())
+        for i in range(16)
+    ]
+    ann_queries = pd.DataFrame(q_rows, columns=["query_id", "embedding"])
+
+    timed("q15_ann_brute", lambda: brute_topk(emb, ann_queries, k=10).count())
+    timed(
+        "q15_ann_ivf_pruned",
+        lambda: ivf_topk_pruned(
+            spark, ivf_path, ann_queries, k=10, nprobe=4
+        ).count(),
+    )
+    # recall@10 of the pruned path vs exact (untimed, 640 rows)
+    exact = brute_topk(emb, ann_queries, k=10).toPandas()
+    approx = ivf_topk_pruned(spark, ivf_path, ann_queries, k=10, nprobe=4).toPandas()
+    hits = 0
+    for qid, grp in exact.groupby("query_id"):
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(set(grp["vec_id"]) & got)
+    from eo_tools_spark.operators.similarity import load_ivf_centroids, _normalize
+
+    C_ann = load_ivf_centroids(ivf_path)
+    Q_ann = _normalize(np.vstack(ann_queries["embedding"].to_numpy()).astype(np.float64))
+    probe_union = {
+        int(c)
+        for row in np.argsort(-(Q_ann @ C_ann.T), axis=1)[:, :4]
+        for c in row
+    }
+    ann_report = {
+        "n_vectors": n_vecs,
+        "ncells": 64,
+        "nprobe": 4,
+        "scan_fraction": round(len(probe_union) / 64, 3),
+        "recall_at_10": round(hits / max(len(exact), 1), 4),
+        "ann_speedup_vs_brute": round(
+            timings["q15_ann_brute"] / max(timings["q15_ann_ivf_pruned"], 1e-9), 3
+        ),
+    }
+
     # q12 — data-density-driven adaptive cell splitting over the image
     # table's hotspot (50% of rows inside [10,11]x[40,41]): ONE counting
     # scan + driver-only quadtree splits; report per-boundary-cell max
@@ -613,6 +712,7 @@ def run_queries() -> dict:
             2,
         ),
         adaptive_cover=adaptive_report,
+        ann=ann_report,
         neardup_clustering=cc_report,
         winnow_pairs_found=winnow_pairs_found,
         snapshot=snapshot_summary,

@@ -229,8 +229,16 @@ def build_ivf_index(
     batch — crash-resume re-runs are no-ops).
 
     Cell assignment runs in ONE Arrow-batched pass (argmax of V @ C.T
-    per batch); the write shuffles nothing — each input partition's
-    rows are split across cell directories by the writer."""
+    per batch); the write then clusters rows by cell (one hash
+    repartition on the cell key) so each cell directory holds O(1)
+    files instead of one-per-input-partition — without it an
+    N-partition corpus × ncells layout writes N×ncells tiny files and
+    the probed-cell scan pays per-file open cost that swamps the
+    pruning (measured: 32×64 ≈ 2k 25 KB files made the pruned scan
+    SLOWER than brute force at 200k rows). The shuffle moves each row
+    once at build time — the classic write-amortized clustering every
+    partitioned index at scale requires (Iceberg's rewrite/cluster
+    compaction plays the same role)."""
     from eo_tools_spark.sources.snapshots import SnapshotTable
 
     spark = emb_df.sparkSession
@@ -261,7 +269,11 @@ def build_ivf_index(
                 {"cell": cells, id_col: pdf[id_col], emb_col: pdf[emb_col]}
             )
 
-    assigned = emb_df.select(id_col, emb_col).mapInPandas(assign, schema=schema)
+    assigned = (
+        emb_df.select(id_col, emb_col)
+        .mapInPandas(assign, schema=schema)
+        .repartition(int(ncells), "cell")
+    )
     res = t.append_batch(assigned, _IVF_BATCH, partition_by=["cell"])
     # centroids: atomic tmp+rename next to the committed table
     tmp = cfile + ".tmp"
