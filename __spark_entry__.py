@@ -211,6 +211,48 @@ def q_partial_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the oracle gate (SURVEY §2.9): the
+    documents table plus planted near-in-time duplicates flows through
+    `stream_exact_dedup` (dropDuplicatesWithinWatermark over md5(text),
+    availableNow trigger, parquet sink + checkpoint); the sink must
+    equal the batch DISTINCT — duplicates arriving inside the watermark
+    horizon are suppressed exactly once. Output columns are
+    fp-functional (fp, text_len) so first-seen row arbitrariness can't
+    leak into the compare."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.streaming.pipeline import stream_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="eo_stream_dedup_")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ).cast("timestamp").alias("ts"),
+    ).withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("doc_id") % 600))
+    docs.write.mode("overwrite").parquet(src)
+    # duplicates 30 min later — inside the 2 h watermark → suppressed
+    dups = docs.where("doc_id % 5 = 0").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    ).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    dups.write.mode("append").parquet(src)
+
+    q = stream_exact_dedup(
+        spark, src, docs.schema, sink, ckpt,
+        text_col="text", id_col="doc_id", watermark="2 hours",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .select("fp", F.length("text").cast("long").alias("text_len"))
+    )
+
+
 def q_esd_phase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESD phase-difference mean: associative complex mean via
     groupBy(sum re, sum im) (SURVEY §2.4; core.py:1009-1014).
@@ -789,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_tile": q_knn_tile,
         "burst_range": q_burst_range,
         "partial_plan": q_partial_plan,
+        "stream_dedup": q_stream_dedup,
         "esd_phase_mean": q_esd_phase_mean,
         "footprint_aoi_join": q_footprint_aoi_join,
     }
@@ -889,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_tile": knn_sql,
         "burst_range": burst_range_sql,
         "partial_plan": partial_plan_sql,
+        "stream_dedup": (
+            "SELECT DISTINCT md5(text) AS fp, "
+            "CAST(LENGTH(text) AS BIGINT) AS text_len FROM documents"
+        ),
         "footprint_aoi_join": footprint_sql,
         "esd_phase_mean": (
             "SELECT l_returnflag, "
