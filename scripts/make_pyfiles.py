@@ -1,25 +1,21 @@
 #!/usr/bin/env python
-"""Build dist/eo_tools_spark.zip for spark-submit --py-files."""
+"""Build dist/eo_tools_spark.zip for spark-submit --py-files.
+
+Thin CLI kept for the documented `python scripts/make_pyfiles.py`
+workflow (scripts/flagship_job.py header); the actual builder is
+make_submit_zip.build — deterministic entries (sorted, zeroed
+timestamps) so identical sources produce identical artifact bytes.
+"""
 
 import os
-import zipfile
+
+from make_submit_zip import build
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    os.makedirs(os.path.join(ROOT, "dist"), exist_ok=True)
-    out = os.path.join(ROOT, "dist", "eo_tools_spark.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        pkg = os.path.join(ROOT, "eo_tools_spark")
-        for dirpath, _dirs, files in os.walk(pkg):
-            if "__pycache__" in dirpath:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(dirpath, f)
-                    z.write(full, os.path.relpath(full, ROOT))
-    print(out)
+    print(build(os.path.join(ROOT, "dist", "eo_tools_spark.zip")))
 
 
 if __name__ == "__main__":
