@@ -359,6 +359,42 @@ def main() -> int:
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
+    # ---- q16 partial-download planning (stac.plan_partial_downloads)
+    import __spark_entry__ as entry
+
+    q16 = entry.q_partial_plan(spark, SF_DIR)
+    c = Check(
+        "q16 partial-download planning (STAC seam)",
+        q16,
+        "burst×AOI cover join broadcast; pol expansion and assets join "
+        "broadcast (jobs side is tiny after burst_range); source scan "
+        "column-pruned to the two orders columns the scene derivation "
+        "needs; zero per-row Python (footprint WKB construction is the "
+        "only Python, Arrow-batched).",
+    )
+    c.expect("AOI cover is broadcast", c.has(r"BroadcastExchange"))
+    c.expect(
+        "pol expansion is a broadcast cross join",
+        c.has(r"BroadcastNestedLoopJoin"),
+    )
+    c.expect(
+        "assets join is broadcast (no shuffle of the jobs side)",
+        c.count(r"BroadcastHashJoin") >= 2,
+        f"broadcast hash joins = {c.count(r'BroadcastHashJoin')}",
+    )
+    c.expect(
+        "orders scan prunes to the derivation columns",
+        c.has(r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+    )
+    c.expect("footprint kernel is Arrow-batched", c.has(r"MapInPandas"))
+    c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+    c.expect(
+        "shuffles: candidate dedup + burst_range agg only",
+        c.count(r"Arguments: hashpartitioning") <= 3,
+        f"hash exchanges = {c.count(r'Arguments: hashpartitioning')}",
+    )
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
