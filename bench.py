@@ -484,9 +484,14 @@ def run_queries() -> dict:
     def q14():
         from eo_tools_spark.operators.dedup import winnow_candidates
 
-        return winnow_candidates(
+        cand = winnow_candidates(
             windocs, k=4, w=5, min_shared=1, max_bucket=4096
-        ).count()
+        )
+        try:
+            return cand.count()
+        finally:
+            if cand._eo_persisted is not None:
+                cand._eo_persisted.unpersist()
 
     winnow_pairs_found = timed("q14_winnow_fingerprints", q14)
     longdocs.unpersist()
