@@ -790,6 +790,53 @@ def q_polsar_h_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_goldstein_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone Goldstein phase filter under the driver gate
+    (process.py:2113 map_overlap depth-32 semantics): raw fixture
+    interferogram → tiles_goldstein (64×64 FFT patch grid per padded
+    chunk, halo 32); per-tile md5 digests pinned by
+    scripts/make_insar_oracle.py after per-tile dense-numpy parity +
+    cross-parallelism bit-stability."""
+    from eo_tools_spark.operators.tiles import tiles_goldstein, tiles_interferogram
+    from eo_tools_spark.sources.insar_fixture import (
+        insar_pair_tiles, tiles_digest,
+    )
+
+    prm, sec, _lut = insar_pair_tiles(spark)
+    flt = tiles_goldstein(tiles_interferogram(prm, sec), alpha=0.5)
+    return tiles_digest(flt, "goldstein")
+
+
+def q_s2_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 color composite under the driver gate (S2.py:236-289): three
+    fixture reflectance bands → SWIR recipe 3-way tile join →
+    uint8(255·clip(band, 0, 1)) interleaved RGB tiles; digests per tile,
+    same fixture-pinning protocol."""
+    from eo_tools_spark.operators.s2 import s2_color_composite
+    from eo_tools_spark.sources.insar_fixture import (
+        S2_FIX_BANDS, s2_band_tiles, tiles_digest,
+    )
+
+    bands = {b: s2_band_tiles(spark, b) for b in S2_FIX_BANDS}
+    rgb = s2_color_composite(bands, name="SWIR")
+    return tiles_digest(rgb, "swir")
+
+
+def q_coreg_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed coregistration (core.py:838-918) under the driver
+    gate: DEM-node LUT pair (node-per-row, with a NaN hole) →
+    coreg_project's block-quad scatter + max_by(rank) reduce →
+    per-primary-pixel secondary (az, rg). Doubles compare bit-exactly:
+    each pixel's value is produced by exactly one (quad, triangle)
+    winner — no cross-partition float accumulation."""
+    from eo_tools_spark.operators.coreg import coreg_project
+    from eo_tools_spark.sources.insar_fixture import (
+        COREG_NAZ, COREG_NRG, coreg_nodes,
+    )
+
+    return coreg_project(coreg_nodes(spark), COREG_NAZ, COREG_NRG, block=16)
+
+
 def q_terrain_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terrain-flattening γ simulation: per-DEM-block triangle kernel
     (map-side, incl. shadow line-scan) + per-pixel scatter reduce.
@@ -853,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["audio_stats"] = q_audio_stats
     out["coherence_tiles"] = q_coherence_tiles
     out["polsar_h_alpha"] = q_polsar_h_alpha
+    out["goldstein_tiles"] = q_goldstein_tiles
+    out["s2_composite"] = q_s2_composite
+    out["coreg_offsets"] = q_coreg_offsets
     return out
 
 
@@ -1016,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
         ("terrain_gamma", "az, rg, n_contrib, gamma_sum"),
         ("coherence_tiles", "product, ty, tx, th, tw, digest"),
         ("polsar_h_alpha", "product, ty, tx, th, tw, digest"),
+        ("goldstein_tiles", "product, ty, tx, th, tw, digest"),
+        ("s2_composite", "product, ty, tx, th, tw, digest"),
+        ("coreg_offsets", "apix, rpix, az_s, rg_s"),
     ]:
         fx = os.path.join(_oracle_dir, f"{qname}.parquet")
         if os.path.exists(fx):

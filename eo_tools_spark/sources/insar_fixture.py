@@ -85,8 +85,9 @@ def coreg_lut(i: np.ndarray, j: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return az, rg
 
 
-def _tile_gen(raster_id: str, fld, n: int, tile: int):
+def _tile_gen(raster_id: str, fld, n: int, tile: int, kind: str = "c8"):
     nt = n // tile
+    dt = {"c8": np.complex64, "f4": np.float32}[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,8 +97,8 @@ def _tile_gen(raster_id: str, fld, n: int, tile: int):
                 ii, jj = np.mgrid[
                     ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile
                 ].astype(np.float64)
-                blk = fld(ii, jj).astype(np.complex64)
-                rows.append((raster_id, ty, tx, blk.tobytes(), tile, tile, "c8"))
+                blk = fld(ii, jj).astype(dt)
+                rows.append((raster_id, ty, tx, blk.tobytes(), tile, tile, kind))
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return gen
@@ -320,6 +321,100 @@ def terrain_contributions(spark: SparkSession) -> DataFrame:
             )
 
     return spark.range(TERRAIN_BLOCKS).mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------- S2 band fixture
+
+#: the SWIR composite recipe (operators/s2.COMPOSITES) — three distinct
+#: bands so the 3-way tile join is genuinely exercised
+S2_FIX_BANDS = ("B12", "B8A", "B4")
+
+
+def s2_band_field(band: str):
+    """Analytic reflectance field per band, range ≈ [-0.25, 1.45] so the
+    composite's clip(0, 1) is exercised on BOTH sides (reference
+    S2.py:244-247 does uint8(255·clip(band, 0, 1)))."""
+    k = float(S2_FIX_BANDS.index(band) + 1)
+
+    def fld(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        v = 0.6 + 0.7 * np.sin(i / 13.0 + k) * np.cos(j / 19.0 - 2.0 * k)
+        return v + 0.3 * (_hash_noise(i, j, 3.3 * k) - 0.5)
+
+    return fld
+
+
+def s2_band_tiles(spark: SparkSession, band: str) -> DataFrame:
+    """One band's reflectance tile frame (TILE_SCHEMA, f4), pure in
+    (ty, tx) like every fixture here."""
+    nt = N_INSAR // T_INSAR
+    src = spark.range(nt * nt)
+    return src.mapInPandas(
+        _tile_gen(band, s2_band_field(band), N_INSAR, T_INSAR, kind="f4"),
+        schema=TILE_SCHEMA,
+    )
+
+
+def s2_band_dense(band: str) -> np.ndarray:
+    """The same band as a full float32 raster (for the oracle recipe)."""
+    ii, jj = np.mgrid[0:N_INSAR, 0:N_INSAR].astype(np.float64)
+    return s2_band_field(band)(ii, jj).astype(np.float32)
+
+
+# --------------------------------------------- coregistration fixture
+
+COREG_NL, COREG_NC = 48, 52        # DEM node grid
+COREG_NAZ, COREG_NRG = 128, 136    # primary pixel grid
+
+
+def coreg_nodes_dense():
+    """Analytic DEM-node LUTs (azp, rgp, azs, rgs), each (NL, NC):
+    primary (az, rg) spreads the node grid ~2.7-2.8 px apart with smooth
+    warps (every primary pixel covered by some quad); secondary =
+    primary plus a slowly varying misregistration field. A NaN hole
+    (nodes [20:23, 24:27]) exercises the reference's skip-NaN-quad path
+    (core.py:838-918)."""
+    i, j = np.mgrid[0:COREG_NL, 0:COREG_NC].astype(np.float64)
+    azp = i * 2.8 + 0.8 * np.sin(j / 5.0) - 1.0
+    rgp = j * 2.7 + 0.8 * np.cos(i / 6.0) - 1.0
+    azs = azp + 1.3 + 0.2 * np.sin(i / 9.0 + j / 11.0)
+    rgs = rgp - 2.1 + 0.2 * np.cos(i / 8.0 - j / 13.0)
+    hole = (slice(20, 23), slice(24, 27))
+    for a in (azp, rgp, azs, rgs):
+        a[hole] = np.nan
+    return azp, rgp, azs, rgs
+
+
+def coreg_nodes(spark: SparkSession) -> DataFrame:
+    """Node-per-row DataFrame (i, j, azp, rgp, azs, rgs) — the natural
+    DataFrame shape of a DEM-grid LUT pair; pure in the node index."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("azp", DoubleType()),
+            StructField("rgp", DoubleType()),
+            StructField("azs", DoubleType()),
+            StructField("rgs", DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        azp, rgp, azs, rgs = coreg_nodes_dense()
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            ii = (idx // COREG_NC).astype(np.int32)
+            jj = (idx % COREG_NC).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "i": ii, "j": jj,
+                    "azp": azp[ii, jj], "rgp": rgp[ii, jj],
+                    "azs": azs[ii, jj], "rgs": rgs[ii, jj],
+                }
+            )
+
+    return spark.range(COREG_NL * COREG_NC).mapInPandas(gen, schema=schema)
 
 
 def terrain_gamma_dense_oracle() -> np.ndarray:

@@ -191,6 +191,105 @@ def verify_polsar(spark) -> None:
     print("polsar_h_alpha: dense-oracle parity OK (c11/c22/c12/halpha, mlt 2x2)")
 
 
+def verify_goldstein(spark) -> None:
+    """tiles_goldstein vs per-tile dense replication: for each tile,
+    slice its 32-px symmetric-padded neighborhood from the dense ifg
+    and run goldstein_chunk — the reference's chunk-relative map_overlap
+    semantics (process.py:2113), built with np.pad + slicing instead of
+    the Spark halo join."""
+    from eo_tools_spark.functions import raster as R
+    from eo_tools_spark.operators.tiles import (
+        tiles_goldstein, tiles_interferogram, tiles_to_raster,
+    )
+    from eo_tools_spark.sources.insar_fixture import (
+        N_INSAR, T_INSAR, dense_pair, insar_pair_tiles,
+    )
+
+    prm, sec, _, _ = dense_pair()
+    prm_t, sec_t, _lut = insar_pair_tiles(spark)
+    got = tiles_to_raster(
+        tiles_goldstein(tiles_interferogram(prm_t, sec_t), alpha=0.5), T_INSAR
+    )
+
+    ifg = R.interferogram(prm, sec).astype(np.complex64)
+    padded = np.pad(ifg, 32, mode="symmetric")
+    exp = np.empty_like(ifg)
+    nt = N_INSAR // T_INSAR
+    for ty in range(nt):
+        for tx in range(nt):
+            chunk = padded[
+                ty * T_INSAR : (ty + 1) * T_INSAR + 64,
+                tx * T_INSAR : (tx + 1) * T_INSAR + 64,
+            ]
+            out = R.goldstein_chunk(chunk, alpha=0.5)[32:-32, 32:-32]
+            exp[
+                ty * T_INSAR : (ty + 1) * T_INSAR,
+                tx * T_INSAR : (tx + 1) * T_INSAR,
+            ] = out.astype(np.complex64)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+    # sanity: the filter must actually denoise the fixture phase ramp
+    assert np.abs(exp).sum() > 0
+    print("goldstein_tiles: dense-oracle parity OK (per-tile chunk grid)")
+
+
+def verify_s2_composite(spark) -> None:
+    """s2_color_composite vs the dense recipe uint8(255·clip(b, 0, 1))
+    per channel (S2.py:244-247), compared tile by tile."""
+    from eo_tools_spark.operators.s2 import COMPOSITES, s2_color_composite
+    from eo_tools_spark.sources.insar_fixture import (
+        N_INSAR, S2_FIX_BANDS, T_INSAR, s2_band_dense, s2_band_tiles,
+    )
+
+    assert list(COMPOSITES["SWIR"]) == list(S2_FIX_BANDS)
+    bands = {b: s2_band_tiles(spark, b) for b in S2_FIX_BANDS}
+    rows = s2_color_composite(bands, name="SWIR").collect()
+    nt = N_INSAR // T_INSAR
+    assert len(rows) == nt * nt, f"expected {nt * nt} tiles, got {len(rows)}"
+
+    dense = np.stack(
+        [(255 * s2_band_dense(b).clip(0, 1)).astype(np.uint8) for b in S2_FIX_BANDS],
+        axis=-1,
+    )
+    n_clip = int((s2_band_dense("B12") < 0).sum() + (s2_band_dense("B12") > 1).sum())
+    assert n_clip > 100, "fixture must exercise the clip on both sides"
+    for r in rows:
+        got = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(r.th, r.tw, 3)
+        exp = dense[
+            r.ty * T_INSAR : (r.ty + 1) * T_INSAR,
+            r.tx * T_INSAR : (r.tx + 1) * T_INSAR,
+        ]
+        np.testing.assert_array_equal(got, exp)
+    print(f"s2_composite: dense-recipe parity OK ({len(rows)} tiles, "
+          f"{n_clip} clipped px/band)")
+
+
+def verify_coreg(spark) -> None:
+    """coreg_project vs the dense reference-loop coregister() — covered
+    sets equal, values allclose; the NaN hole must remove coverage."""
+    from eo_tools_spark.operators.coreg import coreg_project, coregister
+    from eo_tools_spark.sources.insar_fixture import (
+        COREG_NAZ, COREG_NRG, coreg_nodes, coreg_nodes_dense,
+    )
+
+    azp, rgp, azs, rgs = coreg_nodes_dense()
+    exp_az, exp_rg = coregister(azp, rgp, azs, rgs, COREG_NAZ, COREG_NRG)
+    pdf = coreg_project(
+        coreg_nodes(spark), COREG_NAZ, COREG_NRG, block=16
+    ).toPandas()
+
+    got_az = np.full((COREG_NAZ, COREG_NRG), np.nan)
+    got_rg = np.full((COREG_NAZ, COREG_NRG), np.nan)
+    got_az[pdf.apix, pdf.rpix] = pdf.az_s
+    got_rg[pdf.apix, pdf.rpix] = pdf.rg_s
+    assert (np.isnan(got_az) == np.isnan(exp_az)).all(), "coverage mismatch"
+    np.testing.assert_allclose(got_az, exp_az, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(got_rg, exp_rg, rtol=1e-12, equal_nan=True)
+    n_cov = int(np.isfinite(exp_az).sum())
+    n_all = COREG_NAZ * COREG_NRG
+    assert 0 < n_cov < n_all, "fixture must cover some but not all pixels"
+    print(f"coreg_offsets: dense-oracle parity OK ({n_cov}/{n_all} px covered)")
+
+
 def main() -> None:
     from eo_tools_spark.session import get_spark
     import __spark_entry__ as entry
@@ -204,6 +303,9 @@ def main() -> None:
     verify_terrain(spark)
     verify_coherence_tiles(spark)
     verify_polsar(spark)
+    verify_goldstein(spark)
+    verify_s2_composite(spark)
+    verify_coreg(spark)
 
     queries = {
         "insar_products": entry.q_insar_products,
@@ -211,6 +313,9 @@ def main() -> None:
         "terrain_gamma": entry.q_terrain_gamma,
         "coherence_tiles": entry.q_coherence_tiles,
         "polsar_h_alpha": entry.q_polsar_h_alpha,
+        "goldstein_tiles": entry.q_goldstein_tiles,
+        "s2_composite": entry.q_s2_composite,
+        "coreg_offsets": entry.q_coreg_offsets,
     }
     first = {}
     for name, q in queries.items():

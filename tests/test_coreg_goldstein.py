@@ -87,6 +87,51 @@ class TestCoregister:
         np.testing.assert_allclose(got_rg, exp_rg, atol=1e-9, equal_nan=True)
 
 
+class TestCoregProject:
+    """Distributed coregistration (coreg_project) vs the dense
+    reference loop (coregister) on the driver-gate fixture — the same
+    parity the oracle-pinning script asserts, kept here as the durable
+    regression net."""
+
+    def _dense(self, pdf, naz, nrg):
+        az = np.full((naz, nrg), np.nan)
+        rg = np.full((naz, nrg), np.nan)
+        az[pdf.apix, pdf.rpix] = pdf.az_s
+        rg[pdf.apix, pdf.rpix] = pdf.rg_s
+        return az, rg
+
+    @pytest.mark.parametrize("block", [16, 64])
+    def test_matches_dense_reference(self, spark, block):
+        from eo_tools_spark.operators.coreg import coreg_project
+        from eo_tools_spark.sources.insar_fixture import (
+            COREG_NAZ, COREG_NRG, coreg_nodes, coreg_nodes_dense,
+        )
+
+        azp, rgp, azs, rgs = coreg_nodes_dense()
+        exp_az, exp_rg = coregister(azp, rgp, azs, rgs, COREG_NAZ, COREG_NRG)
+        pdf = coreg_project(
+            coreg_nodes(spark), COREG_NAZ, COREG_NRG, block=block
+        ).toPandas()
+        got_az, got_rg = self._dense(pdf, COREG_NAZ, COREG_NRG)
+        # block=16 vs 64 partitions quads differently; both must agree
+        # with the dense loop — the halo replication and the global quad
+        # rank make "later quads win" partition-invariant
+        assert (np.isnan(got_az) == np.isnan(exp_az)).all()
+        np.testing.assert_allclose(got_az, exp_az, rtol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(got_rg, exp_rg, rtol=1e-12, equal_nan=True)
+        n_cov = int(np.isfinite(exp_az).sum())
+        assert 0 < n_cov < COREG_NAZ * COREG_NRG  # NaN hole removes coverage
+
+    def test_one_row_per_pixel(self, spark):
+        from eo_tools_spark.operators.coreg import coreg_project
+        from eo_tools_spark.sources.insar_fixture import (
+            COREG_NAZ, COREG_NRG, coreg_nodes,
+        )
+
+        pdf = coreg_project(coreg_nodes(spark), COREG_NAZ, COREG_NRG).toPandas()
+        assert not pdf.duplicated(["apix", "rpix"]).any()
+
+
 class TestPhiTopo:
     def test_formula(self):
         # Sentinel-1 C-band-ish constants
