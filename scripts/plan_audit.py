@@ -395,6 +395,43 @@ def main() -> int:
     )
     checks.append(c)
 
+    # ---- q17 distributed coregistration (coreg_project)
+    from eo_tools_spark.operators.coreg import coreg_project
+    from eo_tools_spark.sources.insar_fixture import (
+        COREG_NAZ, COREG_NRG, coreg_nodes,
+    )
+
+    q17 = coreg_project(coreg_nodes(spark), COREG_NAZ, COREG_NRG, block=16)
+    c = Check(
+        "q17 distributed coregistration (coreg_project)",
+        q17,
+        "halo replication (≤4× the node table) is a JVM-side explode of "
+        "the candidate-block arrays — no Python before the quad kernel; "
+        "the kernel is one grouped Arrow stage per node block; the "
+        "contribution reduce is a single max_by that combines map-side, "
+        "so the second exchange carries ~1 row per covered pixel, not "
+        "one per (pixel × quad) when AQE coalesces partials.",
+    )
+    c.expect(
+        "halo spread is JVM-side (Generate explode, no Python)",
+        c.has(r"\(\d+\) Generate") and c.has(r"Arguments: explode"),
+    )
+    c.expect(
+        "quad kernel is a grouped Arrow stage",
+        c.has(r"FlatMapGroupsInPandas"),
+    )
+    c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+    c.expect(
+        "exactly two shuffles: block grouping + pixel reduce",
+        c.count(r"Arguments: hashpartitioning") == 2,
+        f"hash exchanges = {c.count(r'Arguments: hashpartitioning')}",
+    )
+    c.expect(
+        "pixel reduce aggregates map-side (partial max_by)",
+        c.has(r"partial_max_by"),
+    )
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
