@@ -69,77 +69,127 @@ def coregister(azp, rgp, azs, rgs, naz: int, nrg: int):
     return az_out, rg_out
 
 
+#: element budget for one batched quad slab (nq × H × W doubles); keeps
+#: peak kernel memory ~a few hundred MB even for degenerate huge quads
+_QUAD_SLAB_ELEMS = 8_000_000
+
+
+def _empty_contribs():
+    z = np.empty(0)
+    return (z.astype(np.int32), z.astype(np.int32), z.astype(np.int64), z, z)
+
+
 def _quad_contribs(sub: np.ndarray, i0: int, j0: int, naz: int, nrg: int):
     """Contributions of one node block's quads: ``sub`` is a
     (nl, nc, 4) array of (azp, rgp, azs, rgs) node values (NaN where the
     node is absent), whose [0, 0] node is global (i0, j0). Runs the
-    reference quad loop (core.py:838-918: 2 triangles per quad, verts
-    (0,1,2) then (3,1,2), second triangle overwriting within the quad)
-    and returns (apix, rpix, rank, v_az, v_rg) arrays where
-    rank = global row-major quad order — the reduce key that makes
-    "later quads win" deterministic across any block partitioning."""
-    apix: list[np.ndarray] = []
-    rpix: list[np.ndarray] = []
-    rank: list[np.ndarray] = []
-    vaz: list[np.ndarray] = []
-    vrg: list[np.ndarray] = []
+    reference quad semantics (core.py:838-918: 2 triangles per quad,
+    verts (0,1,2) then (3,1,2), second triangle overwriting within the
+    quad) BATCHED across every quad in the block — the barycentric
+    expressions are the scalar loop's, broadcast over a (nq, H, W)
+    pixel-window slab, so each element sees bit-identical float64 ops.
+    Returns (apix, rpix, rank, v_az, v_rg) arrays where rank = global
+    row-major quad order — the reduce key that makes "later quads win"
+    deterministic across any block partitioning. Quads are processed in
+    window-area-sorted slabs of ≤ _QUAD_SLAB_ELEMS elements so one
+    degenerate giant quad can't blow kernel memory."""
     nl, nc = sub.shape[:2]
-    for i in range(nl - 1):
-        for j in range(nc - 1):
-            q = sub[i : i + 2, j : j + 2]          # (2, 2, 4)
-            if np.isnan(q).any():
-                continue
-            aa = q[:, :, 0].ravel()
-            rr = q[:, :, 1].ravel()
-            aas = q[:, :, 2].ravel()
-            rrs = q[:, :, 3].ravel()
-            amin = max(int(np.floor(aa.min())), 0)
-            amax = min(int(np.ceil(aa.max())), naz - 1)
-            rmin = max(int(np.floor(rr.min())), 0)
-            rmax = min(int(np.ceil(rr.max())), nrg - 1)
-            if amax < amin or rmax < rmin:
-                continue
-            A, R = np.meshgrid(
-                np.arange(amin, amax + 1), np.arange(rmin, rmax + 1), indexing="ij"
+    if nl < 2 or nc < 2:
+        return _empty_contribs()
+    # corner stack in the scalar loop's ravel order (0,0),(0,1),(1,0),(1,1)
+    corn = np.stack(
+        [sub[:-1, :-1], sub[:-1, 1:], sub[1:, :-1], sub[1:, 1:]], axis=2
+    )  # (nl-1, nc-1, 4 corners, 4 channels)
+    qi, qj = np.nonzero(~np.isnan(corn).any(axis=(2, 3)))
+    if qi.size == 0:
+        return _empty_contribs()
+    P = corn[qi, qj]                               # (nq, 4, 4)
+    aa, rr = P[:, :, 0], P[:, :, 1]
+    aas, rrs = P[:, :, 2], P[:, :, 3]
+    amin = np.maximum(np.floor(aa.min(1)), 0).astype(np.int64)
+    amax = np.minimum(np.ceil(aa.max(1)), naz - 1).astype(np.int64)
+    rmin = np.maximum(np.floor(rr.min(1)), 0).astype(np.int64)
+    rmax = np.minimum(np.ceil(rr.max(1)), nrg - 1).astype(np.int64)
+    keep = (amax >= amin) & (rmax >= rmin)
+    if not keep.any():
+        return _empty_contribs()
+    qi, qj = qi[keep], qj[keep]
+    aa, rr, aas, rrs = aa[keep], rr[keep], aas[keep], rrs[keep]
+    amin, amax, rmin, rmax = amin[keep], amax[keep], rmin[keep], rmax[keep]
+    # rank: row-major global quad order; gj < 2^31 keeps it exact
+    rank_q = ((i0 + qi).astype(np.int64) << 31) | (j0 + qj).astype(np.int64)
+
+    ha = amax - amin + 1
+    wr = rmax - rmin + 1
+    order = np.argsort(ha * wr, kind="stable")
+    out = []
+    s = 0
+    while s < order.size:
+        # grow the slab while nq_slab × (padded window H×W) fits budget;
+        # H and W are the running maxima, so a tall-skinny + short-wide
+        # pairing can't silently exceed it
+        e, mh, mw = s, 0, 0
+        while e < order.size:
+            nh = max(mh, int(ha[order[e]]))
+            nw = max(mw, int(wr[order[e]]))
+            if e > s and (e + 1 - s) * nh * nw > _QUAD_SLAB_ELEMS:
+                break
+            mh, mw = nh, nw
+            e += 1
+        sel = order[s:e]
+        s = e
+        out.append(
+            _quad_slab(
+                aa[sel], rr[sel], aas[sel], rrs[sel],
+                amin[sel], amax[sel], rmin[sel], rmax[sel], rank_q[sel],
             )
-            pa = A.astype(np.float64)
-            pr = R.astype(np.float64)
-            hit = np.zeros(A.shape, dtype=bool)
-            q_az = np.empty(A.shape, dtype=np.float64)
-            q_rg = np.empty(A.shape, dtype=np.float64)
-            for verts in ((0, 1, 2), (3, 1, 2)):
-                a0, a1, a2 = aa[list(verts)]
-                r0, r1, r2 = rr[list(verts)]
-                det = (r1 - r2) * (a0 - a2) + (a2 - a1) * (r0 - r2)
-                if det == 0:
-                    continue
-                l1 = ((r1 - r2) * (pa - a2) + (a2 - a1) * (pr - r2)) / det
-                l2 = ((r2 - r0) * (pa - a2) + (a0 - a2) * (pr - r2)) / det
-                l3 = 1 - l1 - l2
-                inside = (l1 >= 0) & (l2 >= 0) & (l1 + l2 < 1)
-                if not inside.any():
-                    continue
-                v_az = l1 * aas[verts[0]] + l2 * aas[verts[1]] + l3 * aas[verts[2]]
-                v_rg = l1 * rrs[verts[0]] + l2 * rrs[verts[1]] + l3 * rrs[verts[2]]
-                q_az[inside] = v_az[inside]      # tri 2 overwrites tri 1,
-                q_rg[inside] = v_rg[inside]      # the reference inner order
-                hit |= inside
-            if not hit.any():
-                continue
-            # rank: row-major global quad order; gj < 2^31 keeps it exact
-            gi, gj = i0 + i, j0 + j
-            r_ = np.full(int(hit.sum()), (gi << 31) | gj, dtype=np.int64)
-            apix.append(A[hit].astype(np.int32))
-            rpix.append(R[hit].astype(np.int32))
-            rank.append(r_)
-            vaz.append(q_az[hit])
-            vrg.append(q_rg[hit])
-    if not apix:
-        z = np.empty(0)
-        return (z.astype(np.int32), z.astype(np.int32), z.astype(np.int64), z, z)
+        )
+    return tuple(np.concatenate(parts) for parts in zip(*out))
+
+
+def _quad_slab(aa, rr, aas, rrs, amin, amax, rmin, rmax, rank_q):
+    """One batched slab: all quads share a padded (H, W) pixel window;
+    pixels outside a quad's own [amin..amax]×[rmin..rmax] are masked.
+    The barycentric/value expressions are copied verbatim from the
+    scalar reference loop — broadcasting doesn't change per-element
+    IEEE arithmetic, so winners carry bit-identical doubles."""
+    nq = aa.shape[0]
+    H = int((amax - amin).max()) + 1
+    W = int((rmax - rmin).max()) + 1
+    A = amin[:, None, None] + np.arange(H, dtype=np.int64)[None, :, None]
+    R = rmin[:, None, None] + np.arange(W, dtype=np.int64)[None, None, :]
+    inwin = (A <= amax[:, None, None]) & (R <= rmax[:, None, None])
+    pa = A.astype(np.float64)
+    pr = R.astype(np.float64)
+    hit = np.zeros((nq, H, W), dtype=bool)
+    q_az = np.empty((nq, H, W), dtype=np.float64)
+    q_rg = np.empty((nq, H, W), dtype=np.float64)
+    for verts in ((0, 1, 2), (3, 1, 2)):
+        a0, a1, a2 = (aa[:, v, None, None] for v in verts)
+        r0, r1, r2 = (rr[:, v, None, None] for v in verts)
+        det = (r1 - r2) * (a0 - a2) + (a2 - a1) * (r0 - r2)
+        ok = det != 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l1 = ((r1 - r2) * (pa - a2) + (a2 - a1) * (pr - r2)) / det
+            l2 = ((r2 - r0) * (pa - a2) + (a0 - a2) * (pr - r2)) / det
+            l3 = 1 - l1 - l2
+            inside = ok & (l1 >= 0) & (l2 >= 0) & (l1 + l2 < 1) & inwin
+            v_az = l1 * aas[:, verts[0], None, None] \
+                + l2 * aas[:, verts[1], None, None] \
+                + l3 * aas[:, verts[2], None, None]
+            v_rg = l1 * rrs[:, verts[0], None, None] \
+                + l2 * rrs[:, verts[1], None, None] \
+                + l3 * rrs[:, verts[2], None, None]
+        q_az[inside] = v_az[inside]          # tri 2 overwrites tri 1,
+        q_rg[inside] = v_rg[inside]          # the reference inner order
+        hit |= inside
+    kq, ka, kr = np.nonzero(hit)
     return (
-        np.concatenate(apix), np.concatenate(rpix), np.concatenate(rank),
-        np.concatenate(vaz), np.concatenate(vrg),
+        (amin[kq] + ka).astype(np.int32),
+        (rmin[kq] + kr).astype(np.int32),
+        rank_q[kq],
+        q_az[hit],
+        q_rg[hit],
     )
 
 
