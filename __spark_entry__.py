@@ -253,6 +253,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING FLAGSHIP under the oracle gate (SURVEY §2.9 +
+    north-rule resumability): the scenes table flows through
+    `stream_images_to_snapshots` — readStream source → broadcast-cover
+    PIP join per micro-batch → exactly-once SnapshotTable commits with
+    per-partition lineage (availableNow trigger) — and the snapshot
+    read-back must equal the batch PIP oracle exactly. A second run of
+    the stream against the same checkpoint is asserted inline to add
+    nothing (replay-safe commits, snapshots.py:276)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.sources.derived import aoi_rings
+    from eo_tools_spark.sources.snapshots import SnapshotTable
+    from eo_tools_spark.streaming.pipeline import stream_images_to_snapshots
+
+    base = tempfile.mkdtemp(prefix="eo_stream_sj_")
+    src, snap, ckpt = f"{base}/src", f"{base}/snap", f"{base}/ckpt"
+
+    scenes = _scenes(spark, sf_dir).select(
+        F.col("scene_id").alias("image_id"), "lon", "lat"
+    )
+    scenes.repartition(12).write.parquet(src)  # backlog → >1 micro-batch
+
+    table = SnapshotTable(spark, snap)
+    q = stream_images_to_snapshots(
+        spark, src, scenes.schema, table, aoi_rings(), ckpt
+    )
+    q.awaitTermination()
+    n_first = table.read().count()
+    q2 = stream_images_to_snapshots(
+        spark, src, scenes.schema, table, aoi_rings(), ckpt
+    )
+    q2.awaitTermination()
+    assert table.read().count() == n_first, "stream replay broke exactly-once"
+    return table.read().select(
+        F.col("image_id").alias("scene_id"), "lon", "lat", "aoi_id"
+    )
+
+
 def q_esd_phase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESD phase-difference mean: associative complex mean via
     groupBy(sum re, sum im) (SURVEY §2.4; core.py:1009-1014).
@@ -879,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_range": q_burst_range,
         "partial_plan": q_partial_plan,
         "stream_dedup": q_stream_dedup,
+        "stream_spatial_join": q_stream_spatial_join,
         "esd_phase_mean": q_esd_phase_mean,
         "footprint_aoi_join": q_footprint_aoi_join,
     }
@@ -986,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT md5(text) AS fp, "
             "CAST(LENGTH(text) AS BIGINT) AS text_len FROM documents"
         ),
+        # the streaming flagship lands the SAME rows as the batch PIP join
+        "stream_spatial_join": aoi_pip_oracle_sql(),
         "footprint_aoi_join": footprint_sql,
         "esd_phase_mean": (
             "SELECT l_returnflag, "
