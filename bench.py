@@ -555,9 +555,14 @@ def run_queries() -> dict:
     # longdocs, size independent of sf). The corpus parquet and the
     # index build are cached on disk across runs (snapshot-layer
     # idempotent commit), so the timed legs measure QUERY cost only.
-    n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "1000000"))
+    # 4M vectors: at 1M x 64d BOTH legs floor at ~1 s of fixed job
+    # overhead (listing + scheduling + Arrow round-trips) and the
+    # speedup reads ~1x regardless of pruning — the corpus must be big
+    # enough that scan+GEMM dominates before the pruned/brute ratio
+    # means anything
+    n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "4000000"))
     emb_path = f"/tmp/eo_bench_emb_n{n_vecs}"
-    ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64"
+    ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64pk"  # pk = packed-vector format
     from pyspark.sql.types import ArrayType, FloatType
 
     _emb_schema = StructType(

@@ -253,9 +253,19 @@ def build_ivf_index(
     bc = spark.sparkContext.broadcast(C)
 
     id_field = emb_df.schema[id_col]
-    emb_field = emb_df.schema[emb_col]
+    # vectors ride as PACKED little-endian binary, not array<float>:
+    # per-element array deserialization dominated the pruned query leg
+    # (measured: the Arrow list→numpy conversion floored BOTH ANN legs
+    # at ~1 s regardless of pruning); a packed column decodes per batch
+    # with one frombuffer. Pack dtype follows the SOURCE element type
+    # (float→<f4, double→<f8) so packing is always lossless.
+    from pyspark.sql.types import BinaryType, FloatType
+
+    elem = emb_df.schema[emb_col].dataType.elementType
+    vec_dtype = "<f4" if isinstance(elem, FloatType) else "<f8"
     schema = StructType(
-        [StructField("cell", IntegerType()), id_field, emb_field]
+        [StructField("cell", IntegerType()), id_field,
+         StructField(emb_col, BinaryType())]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -263,10 +273,14 @@ def build_ivf_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            W = np.vstack(pdf[emb_col].to_numpy())
+            V = _normalize(W.astype(np.float64))
             cells = np.argmax(V @ C_.T, axis=1).astype(np.int32)
+            buf = np.ascontiguousarray(W, dtype=vec_dtype).tobytes()
+            rb = W.shape[1] * np.dtype(vec_dtype).itemsize
+            packed = [buf[i * rb:(i + 1) * rb] for i in range(W.shape[0])]
             yield pd.DataFrame(
-                {"cell": cells, id_col: pdf[id_col], emb_col: pdf[emb_col]}
+                {"cell": cells, id_col: pdf[id_col], emb_col: packed}
             )
 
     assigned = (
@@ -278,15 +292,23 @@ def build_ivf_index(
     # centroids: atomic tmp+rename next to the committed table
     tmp = cfile + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"ncells": int(ncells), "centroids": C.tolist()}, f)
+        json.dump(
+            {"ncells": int(ncells), "centroids": C.tolist(),
+             "vec_dtype": vec_dtype},
+            f,
+        )
     os.replace(tmp, cfile)
     res.update(ncells=int(ncells), path=path)
     return res
 
 
 def load_ivf_centroids(path: str) -> np.ndarray:
+    return np.asarray(_load_ivf_meta(path)["centroids"], dtype=np.float64)
+
+
+def _load_ivf_meta(path: str) -> dict:
     with open(os.path.join(path, _CENTROIDS_FILE)) as f:
-        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+        return json.load(f)
 
 
 def ivf_probed_scan(
@@ -321,13 +343,29 @@ def ivf_topk_pruned(
 
     Scale shape: the shuffle carries k×partitions candidate rows; the
     scan reads ≤ len(union of probe sets)/ncells of the index bytes."""
-    C = load_ivf_centroids(path)
+    meta = _load_ivf_meta(path)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    # packed-binary index (current format); absent on legacy indexes,
+    # whose embedding column is still array<float/double>
+    vec_dtype = meta.get("vec_dtype")
     Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
     qids = queries["query_id"].to_numpy()
     nprobe = min(nprobe, C.shape[0])
     probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
     probe_union = {int(c) for row in probe for c in row}
     scan = ivf_probed_scan(spark, path, probe_union)
+    # File-packing can collapse a NARROW pruned scan into 1-2 input
+    # splits: a cell-clustered index stores ~one file per cell, so
+    # nprobe×few-MB files pack under one maxPartitionBytes split and
+    # the Arrow decode + GEMM stage runs nearly serial (measured: 25
+    # cells / 98 MB → 2 splits → the pruned leg benched SLOWER than
+    # brute at local[32]). When the scan is narrower than half the
+    # cluster width, widen it with one round-robin exchange over the
+    # PRUNED bytes only. At real index scale each cell holds many
+    # files, packing already yields enough splits, and this is a no-op.
+    width = spark.sparkContext.defaultParallelism
+    if scan.rdd.getNumPartitions() < max(2, width // 2):
+        scan = scan.repartition(width)
     bc = spark.sparkContext.broadcast((qids, Q, probe))
 
     id_field = scan.schema[id_col]
@@ -344,7 +382,13 @@ def ivf_topk_pruned(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            if vec_dtype is not None:
+                raw = np.frombuffer(
+                    b"".join(pdf[emb_col]), dtype=np.dtype(vec_dtype)
+                ).reshape(len(pdf), -1)
+                V = _normalize(raw.astype(np.float64))
+            else:
+                V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
             cells = pdf["cell"].to_numpy()  # from the partition layout
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []
