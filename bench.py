@@ -427,47 +427,13 @@ def run_queries() -> dict:
     # burst-sized grid (a S1 burst LUT is ~1500x25000 px from a ~500x
     # ~9000-node DEM grid; this probe carries the same rows/px ratio).
     def q17():
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.types import (
-            DoubleType, IntegerType, StructField, StructType,
-        )
-
         from eo_tools_spark.operators.coreg import coreg_project
+        from eo_tools_spark.sources.insar_fixture import coreg_nodes_frame
 
         NN = 1024
         naz = int((NN - 1) * 2.8) + 3
         nrg = int((NN - 1) * 2.7) + 3
-        schema = StructType(
-            [
-                StructField("i", IntegerType()),
-                StructField("j", IntegerType()),
-                StructField("azp", DoubleType()),
-                StructField("rgp", DoubleType()),
-                StructField("azs", DoubleType()),
-                StructField("rgs", DoubleType()),
-            ]
-        )
-
-        def gen(batches):
-            for pdf in batches:
-                idx = pdf["id"].to_numpy(dtype=np.int64)
-                ii, jj = idx // NN, idx % NN
-                i, j = ii.astype(np.float64), jj.astype(np.float64)
-                azp = i * 2.8 + 0.8 * np.sin(j / 5.0)
-                rgp = j * 2.7 + 0.8 * np.cos(i / 6.0)
-                yield pd.DataFrame(
-                    {
-                        "i": ii.astype(np.int32), "j": jj.astype(np.int32),
-                        "azp": azp, "rgp": rgp,
-                        "azs": azp + 1.3 + 0.2 * np.sin(i / 9.0 + j / 11.0),
-                        "rgs": rgp - 2.1 + 0.2 * np.cos(i / 8.0 - j / 13.0),
-                    }
-                )
-
-        nodes = spark.range(NN * NN, numPartitions=CPUS).mapInPandas(
-            gen, schema=schema
-        )
+        nodes = coreg_nodes_frame(spark, NN, NN, num_partitions=CPUS)
         return coreg_project(nodes, naz, nrg, block=128).count()
 
     n_coreg_px = timed("q17_coreg_project", q17)

@@ -92,7 +92,11 @@ def _quad_contribs(sub: np.ndarray, i0: int, j0: int, naz: int, nrg: int):
     row-major quad order — the reduce key that makes "later quads win"
     deterministic across any block partitioning. Quads are processed in
     window-area-sorted slabs of ≤ _QUAD_SLAB_ELEMS elements so one
-    degenerate giant quad can't blow kernel memory."""
+    degenerate giant quad can't blow kernel memory — a single quad whose
+    window alone exceeds the budget is row-chunked (per-pixel results
+    are window-independent, so chunking the window is free). Non-finite
+    node values (NaN like the reference, plus ±inf which the scalar
+    loop would crash casting) skip their quads."""
     nl, nc = sub.shape[:2]
     if nl < 2 or nc < 2:
         return _empty_contribs()
@@ -100,7 +104,7 @@ def _quad_contribs(sub: np.ndarray, i0: int, j0: int, naz: int, nrg: int):
     corn = np.stack(
         [sub[:-1, :-1], sub[:-1, 1:], sub[1:, :-1], sub[1:, 1:]], axis=2
     )  # (nl-1, nc-1, 4 corners, 4 channels)
-    qi, qj = np.nonzero(~np.isnan(corn).any(axis=(2, 3)))
+    qi, qj = np.nonzero(np.isfinite(corn).all(axis=(2, 3)))
     if qi.size == 0:
         return _empty_contribs()
     P = corn[qi, qj]                               # (nq, 4, 4)
@@ -138,6 +142,24 @@ def _quad_contribs(sub: np.ndarray, i0: int, j0: int, naz: int, nrg: int):
             e += 1
         sel = order[s:e]
         s = e
+        if sel.size == 1 and mh * mw > _QUAD_SLAB_ELEMS:
+            # one quad whose window alone busts the budget: evaluate it
+            # in row chunks — the per-pixel expressions don't depend on
+            # the window, so splitting [amin..amax] changes nothing
+            (q,) = sel
+            rows = max(1, _QUAD_SLAB_ELEMS // max(1, mw))
+            a = int(amin[q])
+            while a <= int(amax[q]):
+                hi = min(a + rows - 1, int(amax[q]))
+                out.append(
+                    _quad_slab(
+                        aa[sel], rr[sel], aas[sel], rrs[sel],
+                        np.array([a]), np.array([hi]),
+                        rmin[sel], rmax[sel], rank_q[sel],
+                    )
+                )
+                a = hi + 1
+            continue
         out.append(
             _quad_slab(
                 aa[sel], rr[sel], aas[sel], rrs[sel],
@@ -216,6 +238,10 @@ def coreg_project(nodes, naz: int, nrg: int, block: int = 64):
     )
 
     b = int(block)
+    if b < 1:
+        # b<=0 would silently NULL out the `div`/`%` block keys and
+        # return an empty frame instead of failing
+        raise ValueError(f"block must be >= 1, got {block}")
     # node (i, j) feeds blocks (i div b, j div b) and, on an exact block
     # boundary, the previous block in that axis (its halo row/col)
     def _cands(col: str) -> str:

@@ -289,14 +289,24 @@ def build_ivf_index(
         .repartition(int(ncells), "cell")
     )
     res = t.append_batch(assigned, _IVF_BATCH, partition_by=["cell"])
-    # centroids: atomic tmp+rename next to the committed table
+    # centroids: atomic tmp+rename next to the committed table. The
+    # stored vec_dtype must describe the COMMITTED data files, not this
+    # build's intent: a resume over a batch committed by an older
+    # array-format build (crash between append and this write) would
+    # otherwise stamp packed metadata onto array files and brick reads.
+    meta = {"ncells": int(ncells), "centroids": C.tolist()}
+    from pyspark.sql.types import BinaryType as _Bin
+
+    committed = t.read()
+    if isinstance(committed.schema[emb_col].dataType, _Bin):
+        # itemsize from a committed row's byte length (dim comes from
+        # the centroids) — authoritative even if the committed batch
+        # was packed by a build with a different source element type
+        nbytes = len(committed.select(emb_col).head()[0])
+        meta["vec_dtype"] = "<f4" if nbytes == 4 * C.shape[1] else "<f8"
     tmp = cfile + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(
-            {"ncells": int(ncells), "centroids": C.tolist(),
-             "vec_dtype": vec_dtype},
-            f,
-        )
+        json.dump(meta, f)
     os.replace(tmp, cfile)
     res.update(ncells=int(ncells), path=path)
     return res

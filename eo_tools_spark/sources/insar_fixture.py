@@ -364,29 +364,44 @@ def s2_band_dense(band: str) -> np.ndarray:
 
 COREG_NL, COREG_NC = 48, 52        # DEM node grid
 COREG_NAZ, COREG_NRG = 128, 136    # primary pixel grid
+COREG_HOLE = ((20, 23), (24, 27))  # NaN node hole (row range, col range)
 
 
-def coreg_nodes_dense():
-    """Analytic DEM-node LUTs (azp, rgp, azs, rgs), each (NL, NC):
-    primary (az, rg) spreads the node grid ~2.7-2.8 px apart with smooth
-    warps (every primary pixel covered by some quad); secondary =
-    primary plus a slowly varying misregistration field. A NaN hole
-    (nodes [20:23, 24:27]) exercises the reference's skip-NaN-quad path
-    (core.py:838-918)."""
-    i, j = np.mgrid[0:COREG_NL, 0:COREG_NC].astype(np.float64)
+def coreg_node_fields(i: np.ndarray, j: np.ndarray):
+    """The analytic LUT fields (azp, rgp, azs, rgs), shared by the
+    pinned fixture and the bench capacity probe (bench.py q17): primary
+    (az, rg) spreads the node grid ~2.7-2.8 px apart with smooth warps
+    (every primary pixel covered by some quad); secondary = primary
+    plus a slowly varying misregistration field."""
     azp = i * 2.8 + 0.8 * np.sin(j / 5.0) - 1.0
     rgp = j * 2.7 + 0.8 * np.cos(i / 6.0) - 1.0
     azs = azp + 1.3 + 0.2 * np.sin(i / 9.0 + j / 11.0)
     rgs = rgp - 2.1 + 0.2 * np.cos(i / 8.0 - j / 13.0)
-    hole = (slice(20, 23), slice(24, 27))
+    return azp, rgp, azs, rgs
+
+
+def coreg_nodes_dense():
+    """The fixture LUT pair as dense (NL, NC) arrays. The NaN hole
+    (COREG_HOLE) exercises the reference's skip-NaN-quad path
+    (core.py:838-918)."""
+    i, j = np.mgrid[0:COREG_NL, 0:COREG_NC].astype(np.float64)
+    azp, rgp, azs, rgs = coreg_node_fields(i, j)
+    hole = (slice(*COREG_HOLE[0]), slice(*COREG_HOLE[1]))
     for a in (azp, rgp, azs, rgs):
         a[hole] = np.nan
     return azp, rgp, azs, rgs
 
 
-def coreg_nodes(spark: SparkSession) -> DataFrame:
-    """Node-per-row DataFrame (i, j, azp, rgp, azs, rgs) — the natural
-    DataFrame shape of a DEM-grid LUT pair; pure in the node index."""
+def coreg_nodes_frame(
+    spark: SparkSession,
+    nl: int,
+    nc: int,
+    hole: tuple | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Node-per-row DataFrame (i, j, azp, rgp, azs, rgs) at ANY grid
+    size — fields computed per batch from the node index (pure, no
+    dense materialization), so bench-scale grids stream."""
     from pyspark.sql.types import DoubleType
 
     schema = StructType(
@@ -401,20 +416,34 @@ def coreg_nodes(spark: SparkSession) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        azp, rgp, azs, rgs = coreg_nodes_dense()
         for pdf in batches:
             idx = pdf["id"].to_numpy(dtype=np.int64)
-            ii = (idx // COREG_NC).astype(np.int32)
-            jj = (idx % COREG_NC).astype(np.int32)
+            ii = (idx // nc).astype(np.int32)
+            jj = (idx % nc).astype(np.int32)
+            azp, rgp, azs, rgs = coreg_node_fields(
+                ii.astype(np.float64), jj.astype(np.float64)
+            )
+            if hole is not None:
+                (r0, r1), (c0, c1) = hole
+                m = (ii >= r0) & (ii < r1) & (jj >= c0) & (jj < c1)
+                for a in (azp, rgp, azs, rgs):
+                    a[m] = np.nan
             yield pd.DataFrame(
-                {
-                    "i": ii, "j": jj,
-                    "azp": azp[ii, jj], "rgp": rgp[ii, jj],
-                    "azs": azs[ii, jj], "rgs": rgs[ii, jj],
-                }
+                {"i": ii, "j": jj, "azp": azp, "rgp": rgp,
+                 "azs": azs, "rgs": rgs}
             )
 
-    return spark.range(COREG_NL * COREG_NC).mapInPandas(gen, schema=schema)
+    src = (
+        spark.range(nl * nc, numPartitions=num_partitions)
+        if num_partitions
+        else spark.range(nl * nc)
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
+def coreg_nodes(spark: SparkSession) -> DataFrame:
+    """The pinned-oracle fixture frame (48×52 grid with the NaN hole)."""
+    return coreg_nodes_frame(spark, COREG_NL, COREG_NC, hole=COREG_HOLE)
 
 
 def terrain_gamma_dense_oracle() -> np.ndarray:

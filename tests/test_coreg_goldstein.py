@@ -122,14 +122,41 @@ class TestCoregProject:
         n_cov = int(np.isfinite(exp_az).sum())
         assert 0 < n_cov < COREG_NAZ * COREG_NRG  # NaN hole removes coverage
 
-    def test_one_row_per_pixel(self, spark):
-        from eo_tools_spark.operators.coreg import coreg_project
-        from eo_tools_spark.sources.insar_fixture import (
-            COREG_NAZ, COREG_NRG, coreg_nodes,
-        )
+    def test_contribution_stream_and_rank_winner(self):
+        """The reduce semantics BEFORE the groupBy collapses them: the
+        kernel emits at most one contribution per (pixel, quad), some
+        pixels receive contributions from several quads, and taking the
+        max-rank winner per pixel reproduces the dense reference loop
+        (the property coreg_project's max_by relies on)."""
+        import pandas as pd
 
-        pdf = coreg_project(coreg_nodes(spark), COREG_NAZ, COREG_NRG).toPandas()
-        assert not pdf.duplicated(["apix", "rpix"]).any()
+        from eo_tools_spark.operators.coreg import _quad_contribs
+
+        # a FOLDED azimuth LUT (1.5·i + 2.5·sin i is non-monotonic in i)
+        # makes later quads genuinely overwrite earlier ones — the smooth
+        # fixture's quads partition the pixel grid, which would leave the
+        # multi-writer reduce untested
+        g = np.mgrid[0:8, 0:8].astype(float)
+        azp = g[0] * 1.5 + 2.5 * np.sin(g[0])
+        rgp = g[1] * 1.5
+        azs, rgs = azp + 2.0, rgp - 1.0
+        naz = nrg = 16
+        exp_az, _ = coregister(azp, rgp, azs, rgs, naz, nrg)
+        sub = np.stack([azp, rgp, azs, rgs], axis=-1)
+        apix, rpix, rank, vaz, vrg = _quad_contribs(sub, 0, 0, naz, nrg)
+        c = pd.DataFrame(
+            {"a": apix, "r": rpix, "k": rank, "va": vaz, "vr": vrg}
+        )
+        # one row per (pixel, quad) — the shuffle volume claim
+        assert not c.duplicated(["a", "r", "k"]).any()
+        # the fold makes some pixels see >1 quad, so max_by does real
+        # work (not a degenerate single-writer reduce)
+        per_pix = c.groupby(["a", "r"]).size()
+        assert (per_pix > 1).any()
+        win = c.sort_values("k").groupby(["a", "r"]).last()
+        got_az = np.full((naz, nrg), np.nan)
+        got_az[win.index.get_level_values(0), win.index.get_level_values(1)] = win["va"]
+        np.testing.assert_allclose(got_az, exp_az, rtol=1e-12, equal_nan=True)
 
 
 class TestPhiTopo:
