@@ -27,6 +27,20 @@ def _scenes(spark: SparkSession, sf_dir: str):
     return scenes_view(spark, sf_dir)
 
 
+def _fresh_tmp(prefix: str) -> str:
+    """Tempdir for a driver query, removing dirs left by PREVIOUS
+    invocations of the same query first — repeated oracle-gate/bench
+    rounds otherwise accumulate unbounded /tmp trees on the shared
+    host (this process is the only writer of these prefixes)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        shutil.rmtree(old, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 # ---------------------------------------------------------------- queries
 
 def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +240,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eo_tools_spark.streaming.pipeline import stream_exact_dedup
 
-    base = tempfile.mkdtemp(prefix="eo_stream_dedup_")
+    base = _fresh_tmp("eo_stream_dedup_")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -270,7 +284,7 @@ def q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eo_tools_spark.sources.snapshots import SnapshotTable
     from eo_tools_spark.streaming.pipeline import stream_images_to_snapshots
 
-    base = tempfile.mkdtemp(prefix="eo_stream_sj_")
+    base = _fresh_tmp("eo_stream_sj_")
     src, snap, ckpt = f"{base}/src", f"{base}/snap", f"{base}/ckpt"
 
     scenes = _scenes(spark, sf_dir).select(
@@ -735,7 +749,7 @@ def q_ann_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
-    idx_path = tempfile.mkdtemp(prefix="ivf_idx_")
+    idx_path = _fresh_tmp("ivf_idx_")
     build_ivf_index(emb, idx_path, ncells=16, id_col="vec_id")
     out = ivf_topk_pruned(spark, idx_path, q, k=10, nprobe=16, id_col="vec_id")
     return out.select("query_id", "vec_id", "rank")

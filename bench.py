@@ -546,10 +546,14 @@ def run_queries() -> dict:
         return np.random.default_rng(7_000_000 + int(c)).normal(size=64)
 
     def _emb_gen(batches):
+        # the 256 fixed centers once per task, not once per ROW — the
+        # per-row default_rng construction + redraw added minutes of
+        # pure redundant RNG work to the one-time 4M-row corpus build
+        centers = np.stack([_ann_center(c) for c in range(256)])
         for pdf in batches:
             rows = [
                 (int(i),
-                 (_ann_center(int(i) % 256)
+                 (centers[int(i) % 256]
                   + 0.35 * np.random.default_rng(2_000_000 + int(i))
                   .normal(size=64)).astype(np.float32).tolist())
                 for i in pdf["id"]

@@ -43,11 +43,7 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         2,              # block align
         16,             # bits per sample
     )
-    chunks = b"".join(
-        _chunk(b"fmt ", fmt) + _chunk(b"data", data)
-        for _ in (0,)
-    )
-    riff_body = b"WAVE" + chunks
+    riff_body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
@@ -91,7 +87,9 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         1_000_000 // fps,   # microseconds per frame
         frame_bytes * fps,  # max bytes per second
         0,                  # padding granularity
-        0x10,               # AVIF_HASINDEX off; plain flags
+        0,                  # flags: no AVIF_HASINDEX — we write no idx1
+                            # chunk, so asserting an index would break
+                            # spec-conforming players that seek via it
         n, 0, 1,            # total frames, initial frames, streams
         frame_bytes,        # suggested buffer
         w, h,

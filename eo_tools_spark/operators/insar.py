@@ -249,15 +249,19 @@ def to_geotiff(
 
     DRIVER-SIDE by design — a single .tif is a single file (the
     reference writes it from one process too, process.py:1474). The
-    collect is guarded by a MEASURED byte budget: one cheap metadata
-    agg (sum of th×tw) before any tile bytes move; over budget raises
-    with the measured size instead of OOMing the driver. Complex tiles
-    export their magnitude is NOT implied — c8 mosaics are rejected
-    (export amplitude/phase explicitly first)."""
+    collect is guarded by a MEASURED byte budget on the DENSE EXTENT
+    the raster actually allocates (max tile edge × max tile edge), not
+    the tile-payload sum — a sparse or offset mosaic's extent can dwarf
+    its payload, which is exactly the shape that would OOM the driver.
+    One cheap metadata agg runs before any tile bytes move; over budget
+    raises with the measured size. Pixels covered by no tile export as
+    ``nodata``. Complex tiles export their magnitude is NOT implied —
+    c8 mosaics are rejected (export amplitude/phase explicitly
+    first)."""
     from pyspark.sql import functions as F
 
     from eo_tools_spark.functions.geotiff import write_geotiff
-    from eo_tools_spark.operators.tiles import tiles_to_raster
+    from eo_tools_spark.operators.tiles import _decode
 
     kinds = [r.kind for r in mosaic_tiles.select("kind").distinct().collect()]
     if kinds != ["f4"]:
@@ -265,16 +269,25 @@ def to_geotiff(
             f"to_geotiff exports f4 mosaics; got kind(s) {kinds} — export "
             "amplitude/phase explicitly first"
         )
-    est = mosaic_tiles.agg(
-        F.sum(F.col("th").cast("long") * F.col("tw")).alias("px")
-    ).collect()[0].px
-    est_bytes = int(est or 0) * 4
+    ext = mosaic_tiles.agg(
+        F.max(F.col("ty").cast("long") * tile + F.col("th")).alias("h"),
+        F.max(F.col("tx").cast("long") * tile + F.col("tw")).alias("w"),
+    ).collect()[0]
+    if ext.h is None:
+        raise ValueError("empty mosaic — nothing to export")
+    est_bytes = int(ext.h) * int(ext.w) * 4
     if est_bytes > max_bytes:
         raise ValueError(
-            f"mosaic measures {est_bytes} bytes > max_bytes={max_bytes}; "
-            "raise the budget explicitly or export a sub-extent"
+            f"mosaic extent {ext.h}x{ext.w} measures {est_bytes} bytes > "
+            f"max_bytes={max_bytes}; raise the budget explicitly or "
+            "export a sub-extent"
         )
-    arr = tiles_to_raster(mosaic_tiles, tile)
+    arr = np.full((int(ext.h), int(ext.w)), np.float32(nodata), dtype=np.float32)
+    for r in mosaic_tiles.collect():
+        arr[r.ty * tile: r.ty * tile + r.th,
+            r.tx * tile: r.tx * tile + r.tw] = _decode(
+            bytes(r.data), r.th, r.tw, r.kind
+        )
     write_geotiff(
         path, arr, origin=geo_origin, pixel_size=(geo_px, geo_px),
         epsg=epsg, nodata=nodata,

@@ -255,6 +255,7 @@ def knn_join_distributed(
     w = Window.partitionBy(id_col).orderBy("dist2", tile_id_col)
 
     out = None
+    pinned: list = []  # per-round materialized parts, released at the end
     r = 1
     while True:
         full_pass = (2 * r + 1) > explode_cap or (2 * r + 1) >= n
@@ -300,7 +301,8 @@ def knn_join_distributed(
         )
         # materialize this round's rows before remaining shrinks
         part = part.persist()
-        n_done = part.count()
+        part.count()
+        pinned.append(part)
         out = part if out is None else out.unionByName(part)
         nxt = remaining.join(resolved, id_col, "left_anti").persist()
         n_left = nxt.count()
@@ -309,5 +311,17 @@ def knn_join_distributed(
         if n_left == 0:
             break
         r *= 2
+    # materialize the result ONCE, then release every intermediate:
+    # unpersisting `remaining` while the full-pass leg of `out` is still
+    # lazy would force the caller's first action to recompute the whole
+    # iterative anti-join chain, and the per-round parts would otherwise
+    # stay pinned for the session lifetime
+    out = out.persist()
+    out.count()
+    for f in pinned:
+        f.unpersist()
     remaining.unpersist()
+    # caller may release when done (same convention as
+    # dedup.winnow_candidates' persisted frame)
+    out._eo_persisted = out
     return out

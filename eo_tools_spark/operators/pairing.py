@@ -104,10 +104,18 @@ def burst_range(joined: DataFrame) -> DataFrame:
     )
 
 
-def line_range(burst_range_df: DataFrame, lines_per_burst: int) -> DataFrame:
+def line_range(burst_range_df: DataFrame, lines_per_burst) -> DataFrame:
     """Partial-product line window arithmetic
-    (download.py:414-415: line_start = lpb·(min−1), n = lpb·(max−min+1))."""
-    lpb = F.lit(lines_per_burst)
+    (download.py:414-415: line_start = lpb·(min−1), n = lpb·(max−min+1)).
+    ``lines_per_burst`` may be an int or a Column (per-row lpb, used by
+    stac.plan_partial_downloads) — the single home of this formula."""
+    from pyspark.sql import Column
+
+    lpb = (
+        lines_per_burst
+        if isinstance(lines_per_burst, Column)
+        else F.lit(lines_per_burst)
+    )
     return burst_range_df.withColumn(
         "line_start", lpb * (F.col("min_burst") - 1)
     ).withColumn(

@@ -217,17 +217,14 @@ def plan_partial_downloads(
         ranges = ranges.withColumn(
             "lines_per_burst", F.lit(int(lines_per_burst))
         )
-    # download.py:414-415
-    lpb = F.col("lines_per_burst")
-    jobs = (
+    # download.py:414-415 — the shared formula home (per-row lpb Column)
+    from eo_tools_spark.operators.pairing import line_range
+
+    jobs = line_range(
         ranges.crossJoin(
             F.broadcast(spark.createDataFrame([(p,) for p in pols], "pol string"))
-        )
-        .withColumn("line_start", lpb * (F.col("min_burst") - 1))
-        .withColumn(
-            "number_of_lines",
-            lpb * (F.col("max_burst") - F.col("min_burst") + 1),
-        )
+        ),
+        F.col("lines_per_burst"),
     )
     if assets is not None:
         jobs = jobs.join(
@@ -249,9 +246,15 @@ def partial_manifest(
     subsets[subswath][pol] in the reference's iteration order (pol
     outer per normalize order, subswath sorted). Bounded collect: ≤
     (subswaths × pols) rows for one product."""
+    # pol must iterate in the canonical normalize order (vv before vh)
+    # so a YAML dump key-orders like the reference's writer; a plain
+    # orderBy("pol") would sort vh first alphabetically
+    pol_rank = F.array_position(
+        F.array(*[F.lit(p) for p in ALLOWED_POLS]), F.col("pol")
+    )
     rows = (
         jobs.filter(F.col("product_id") == product_id)
-        .orderBy("subswath", "pol")
+        .orderBy("subswath", pol_rank)
         .collect()
     )
     info: dict[str, Any] = {

@@ -130,6 +130,34 @@ class TestToGeotiffSeam:
             to_geotiff(tiles, str(tmp_path / "x.tif"), 32,
                        geo_origin=(0, 64.0), geo_px=1.0, max_bytes=100)
 
+    def test_sparse_extent_guard_and_nodata_fill(self, spark, tmp_path):
+        """The budget must measure the DENSE EXTENT the export
+        allocates, not the tile-payload sum: two small offset tiles
+        with a big gap must (a) trip the guard when the extent exceeds
+        it, and (b) export uncovered pixels as nodata, not 0."""
+        import pandas as pd
+
+        from eo_tools_spark.operators.insar import to_geotiff
+        from eo_tools_spark.operators.tiles import TILE_SCHEMA
+
+        blk = np.full((4, 4), 7.0, np.float32)
+        rows = [("m", 0, 0, blk.tobytes(), 4, 4, "f4"),
+                ("m", 30, 30, blk.tobytes(), 4, 4, "f4")]
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields]),
+            schema=TILE_SCHEMA,
+        )
+        # extent = 124x124 px x 4 B ≈ 61.5 kB >> payload 128 B
+        with pytest.raises(ValueError, match="extent"):
+            to_geotiff(tiles, str(tmp_path / "x.tif"), 4,
+                       geo_origin=(0, 124.0), geo_px=1.0, max_bytes=1000)
+        p = str(tmp_path / "sparse.tif")
+        to_geotiff(tiles, p, 4, geo_origin=(0, 124.0), geo_px=1.0)
+        arr, _, _, _, nodata = read_geotiff(p)
+        assert arr.shape == (124, 124) and np.isnan(nodata)
+        assert np.isnan(arr[10, 10])           # gap → nodata, not 0
+        assert (arr[:4, :4] == 7.0).all() and (arr[120:, 120:] == 7.0).all()
+
     def test_complex_mosaic_rejected(self, spark, tmp_path):
         from eo_tools_spark.operators.insar import to_geotiff
         from eo_tools_spark.operators.tiles import raster_to_tiles
