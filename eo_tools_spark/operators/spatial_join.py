@@ -301,15 +301,22 @@ def aoi_footprint_join(
     with_cells = footprints.withColumn(
         "_cells", S.cover_cells_udf(F.col(wkb_col), F.lit(res))
     ).withColumn("_cell", F.explode("_cells")).drop("_cells")
-    # dedupe candidate pairs on the row identity if given — deduping on
-    # full rows forces wide (binary-payload) columns through the shuffle
+    # refine FIRST, dedupe AFTER: when id_cols don't uniquely key the
+    # footprint rows (e.g. many scene rows per (product, subswath,
+    # burst)), a pre-refine dropDuplicates keeps an ARBITRARY survivor
+    # per id — possibly a non-intersecting footprint — and the refine
+    # then drops an id that a discarded duplicate would have matched
+    # (found at sf0.1: burst 5 of a product vanished from the partial
+    # plan). Post-refine dedup is also strictly cheaper: the exchange
+    # carries only refine-survivors.
     dedup_cols = (id_cols or footprints.columns) + ["aoi_id"]
     cand = (
         with_cells.join(F.broadcast(cover_df), with_cells["_cell"] == cover_df["cell"])
         .drop("_cell", "cell", "boundary")
-        .dropDuplicates(dedup_cols)
     )
-    out = cand.where(refine(F.col("aoi_id"), F.col(wkb_col)))
+    out = cand.where(refine(F.col("aoi_id"), F.col(wkb_col))).dropDuplicates(
+        dedup_cols
+    )
     if require_nonempty and out.isEmpty():
         raise EmptyJoinError("No burst intersects the AOI")
     return out

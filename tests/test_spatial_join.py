@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from eo_tools_spark.geo import points_in_polygon, polygon_to_wkb
+from eo_tools_spark.geo.wkb import box_to_wkb
 from eo_tools_spark.operators.spatial_join import (
     EmptyJoinError,
     aoi_footprint_join,
@@ -61,6 +62,25 @@ def test_adaptive_resolution():
     big = derived.aoi_rings()["aoi_mid"]
     small = derived.aoi_rings()["aoi_hot"]
     assert pick_res(small) > pick_res(big)  # smaller AOI → finer cells
+
+
+def test_footprint_join_nonunique_ids_keep_any_intersecting(spark):
+    """When id_cols do NOT uniquely key the footprint rows (many scene
+    rows per (product, burst), the partial-plan shape), the id must
+    appear in the output if ANY of its footprints intersects — the
+    sf0.1 regression: a pre-refine dropDuplicates kept an arbitrary
+    non-intersecting survivor and the id vanished."""
+    aoi = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    # burst 7: 5 rows far outside + ONE inside; burst 8: all outside
+    rows = [(7, bytearray(box_to_wkb(50 + i, 50, 50.3 + i, 50.2))) for i in range(5)]
+    rows.append((7, bytearray(box_to_wkb(4.0, 4.0, 4.3, 4.2))))
+    rows += [(8, bytearray(box_to_wkb(60 + i, 60, 60.3 + i, 60.2))) for i in range(4)]
+    fp = spark.createDataFrame(rows, "burst int, footprint binary")
+    out = aoi_footprint_join(fp, {"a": aoi}, res=8, id_cols=["burst"])
+    got = {(r.burst, r.aoi_id) for r in out.select("burst", "aoi_id").collect()}
+    assert got == {(7, "a")}
+    # exactly one row per surviving (id, aoi) pair
+    assert out.count() == 1
 
 
 def test_footprint_join_matches_numpy_oracle(spark):
