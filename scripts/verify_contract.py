@@ -8,8 +8,14 @@ aoi_footprint_join's pre-refine dropDuplicates keeping an arbitrary —
 possibly non-intersecting — survivor per id, which the sf0.01 gate
 could not see).
 
-Run: python scripts/verify_contract.py [sf_dir] [--only q1,q2,...]
+Run: python scripts/verify_contract.py [sf_dir] [--only=q1,q2,...]
+     python scripts/verify_contract.py [sf_dir] --stability
 Exit code 1 on any mismatch.
+
+--stability runs every query under TWO Spark configs (cores 16/
+shuffle 16, then cores 3/shuffle 7) and requires identical sorted
+results — the cross-parallelism determinism gate the fixture-pinning
+scripts apply to InSAR queries, extended to the whole contract.
 """
 
 from __future__ import annotations
@@ -83,5 +89,35 @@ def main() -> int:
     return 1 if fails else 0
 
 
+def stability() -> int:
+    import __spark_entry__ as m
+    from eo_tools_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    first: dict = {}
+    fails: list[str] = []
+    for tag, cores, shuf in (("A", 16, 16), ("B", 3, 7)):
+        spark = get_spark(f"stability-{tag}", cores=cores, shuffle_partitions=shuf)
+        spark.sparkContext.setLogLevel("ERROR")
+        for name, q in m.queries().items():
+            t0 = time.time()
+            pdf = q(spark, sf).toPandas()
+            cols = sorted(pdf.columns)
+            got = pdf[cols].sort_values(cols).reset_index(drop=True)
+            if tag == "A":
+                first[name] = got
+            else:
+                ok = got.equals(first[name])
+                if not ok:
+                    fails.append(name)
+                print(name, "stable:", ok, round(time.time() - t0, 1), flush=True)
+        spark.stop()
+    print(f"STABILITY FAILS: {fails}")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(
+        stability() if "--stability" in sys.argv else main()
+    )
