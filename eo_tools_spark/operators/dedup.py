@@ -384,9 +384,17 @@ def band_key_cols(bands: int, sig_col: str = "sig") -> Column:
     so their bucket assignment is identical by construction."""
     return F.posexplode(
         F.expr(
+            # the guard makes the "signature length must divide evenly
+            # into bands" precondition a hard error — the truncating
+            # CAST otherwise silently drops the trailing hashes and
+            # mis-sizes every band. JVM-side, no extra job, and the
+            # xxhash64 input is untouched so keys (and the streaming
+            # operator's bucket assignment) stay identical.
             f"transform(sequence(0, {bands} - 1), "
-            f"b -> xxhash64(b, slice({sig_col}, b * CAST(size({sig_col})/{bands} AS INT) + 1, "
-            f"CAST(size({sig_col})/{bands} AS INT))))"
+            f"b -> if(size({sig_col}) % {bands} = 0, "
+            f"xxhash64(b, slice({sig_col}, b * CAST(size({sig_col})/{bands} AS INT) + 1, "
+            f"CAST(size({sig_col})/{bands} AS INT))), "
+            f"raise_error('signature length not divisible by bands={bands}')))"
         )
     ).alias("band", "key")
 
@@ -467,6 +475,11 @@ def minhash_signatures(
     "md5" (round-2 Python loop, kept for the bench speedup baseline)."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
+    if num_hashes > len(_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(_A)} pre-derived "
+            "hash families — slicing would silently return fewer hashes"
+        )
     A, B = _A[:num_hashes], _B[:num_hashes]
     if token_hash not in ("fast", "md5"):
         raise ValueError(
@@ -761,10 +774,16 @@ def simhash_signatures(
             flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
             lens = np.array([len(t) for t in tok_lists])
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            uniq, inv = np.unique(flat, return_inverse=True)
             if token_hash == "fast":
-                base = _token_base_hash(uniq)[inv]
+                # hash the flat array directly — hash(unique)[inverse]
+                # is value-identical but pays a sort-based np.unique
+                # over object strings (~5-8× the hash cost, the same
+                # lesson as minhash's SipHash fast path)
+                base = _token_base_hash(flat)
             else:
+                # the md5 baseline hashes per-token in Python — there
+                # dedup via unique IS the win
+                uniq, inv = np.unique(flat, return_inverse=True)
                 # md5_bigint parity: 15 hex chars = top 60 bits of the
                 # digest, i.e. the 64-bit big-endian prefix >> 4
                 base = (_token_base_hash_md5(uniq) >> np.uint64(4))[inv]
@@ -867,6 +886,8 @@ def embedding_neardup(
         nb = 4
         per = num_planes // nb
         for pdf in batches:
+            if len(pdf) == 0:  # vstack rejects an empty sequence
+                continue
             V = np.vstack(pdf[emb_col].to_numpy())
             signs = (V @ P.T) > 0  # (n, planes)
             keys = []

@@ -87,7 +87,15 @@ def range_doppler(xx, yy, zz, positions, velocities, tol=1e-8, maxiter=10000):
     fa, _, _, _ = _doppler(a, x, y, z, P, V)
     fb, _, _, _ = _doppler(b, x, y, z, P, V)
     no_root = np.sign(fa * fb) > 0
-    live = valid & ~no_root
+    # endpoint roots early-exit BEFORE the bisection, exactly like the
+    # reference (core.py:1340-1346): |fa|<tol → (i=0, r=0), else
+    # |fb|<tol → (i=nb, r=0); the reference `continue`s without ever
+    # writing dx/dy/dz, so those stay 0 for endpoint rows — r=0 maps to
+    # a far-negative range index that radar_index_mask discards
+    root_a = valid & ~no_root & (np.abs(fa) < tol)
+    root_b = valid & ~no_root & ~root_a & (np.abs(fb) < tol)
+    endpoint = root_a | root_b
+    live = valid & ~no_root & ~endpoint
 
     c = (a + b) / 2.0
     fc, _, _, _ = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
@@ -107,12 +115,13 @@ def range_doppler(xx, yy, zz, positions, velocities, tol=1e-8, maxiter=10000):
         fc_new, _, _, _ = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
         fc = np.where(act, fc_new, fc)
 
-    # endpoints that are already roots (reference early-exits)
-    fa0, _, _, _ = _doppler(np.zeros(n), x, y, z, P, V)
-    c = np.where(valid & (np.abs(fa0) < tol), 0.0, c)
-
+    c = np.where(root_a, 0.0, c)
+    c = np.where(root_b, float(nb), c)
     _, dx, dy, dz = _doppler(np.clip(c, 0, nb), x, y, z, P, V)
     r = np.sqrt(dx * dx + dy * dy + dz * dz)
+    r = np.where(endpoint, 0.0, r)
+    for d in (dx, dy, dz):
+        d[endpoint] = 0.0
     bad = ~valid | no_root
     i_zd = np.where(bad, np.nan, c)
     r_zd = np.where(bad, np.nan, r)
@@ -235,7 +244,9 @@ def upsample_dem_tiles(dem_tiles: DataFrame, factor: float) -> DataFrame:
                 d["miny"] = maxy - sy1 * dy
                 d["th"], d["tw"] = nh, nw
                 out.append(d)
-            yield pd.DataFrame(out)
+            # explicit columns: a 0-row batch would otherwise yield a
+            # ZERO-column frame that can't match the mapInPandas schema
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return dem_tiles.mapInPandas(up, schema=schema)
 
@@ -586,7 +597,12 @@ def sar2geo_tiles(
         # probe's cost is one narrow LUT pass on top of the real work.
         split_applied = _lut_any_needs_split(lut, naz, nrg, H, max_patch_pixels)
         if split_applied:
-            lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels)
+            # the split frame feeds TWO consumers of the final job (the
+            # keys pass under the join, and the cogroup side) — without
+            # a persist the split kernel AND the upstream LUT build
+            # (zero-Doppler bisection) run twice. Handle rides the
+            # returned frame per the winnow_candidates convention.
+            lut = _split_warped_lut(lut, naz, nrg, H, max_patch_pixels).persist()
 
     key_schema = StructType(
         [
@@ -682,6 +698,8 @@ def sar2geo_tiles(
     )
     if split_applied:
         out = _reassemble_split_tiles(out)
+        # caller may unpersist the split-LUT frame once consumed
+        out._eo_persisted = lut
     return out
 
 

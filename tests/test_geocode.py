@@ -39,6 +39,27 @@ class TestRangeDoppler:
         )
         assert np.isnan(i_zd).all() and np.isnan(r_zd).all()
 
+    def test_endpoint_roots_reference_early_exit(self):
+        """Reference parity at the orbit-span edges (core.py:1340-1346):
+        a zero-Doppler root AT t=0 or t=nb early-exits with i_zd at the
+        endpoint and r_zd = dx = dy = dz = 0 (the reference `continue`s
+        before writing the deltas; r=0 later maps to a far-negative
+        range index that radar_index_mask discards) — NOT the true
+        slant range."""
+        P, V = toy_orbit()
+        # sat x runs -10..10; targets exactly under the first/last node
+        i_zd, r_zd, dx, dy, dz = range_doppler(
+            np.array([-10.0, 10.0, 0.0]),
+            np.array([0.0, 0.0, 0.0]),
+            np.array([0.0, 0.0, 0.0]),
+            P, V,
+        )
+        np.testing.assert_allclose(i_zd, [0.0, 9.0, 4.5], atol=1e-8)
+        assert r_zd[0] == 0.0 and r_zd[1] == 0.0
+        assert dx[0] == dy[0] == dz[0] == 0.0
+        assert dx[1] == dy[1] == dz[1] == 0.0
+        assert r_zd[2] == pytest.approx(10.0, rel=1e-5)  # interior unaffected
+
     def test_large_batch_matches_scalar(self):
         """Vectorized bisection == per-pixel bisection."""
         P, V = toy_orbit()
