@@ -286,11 +286,16 @@ def simulate_terrain_gamma_dense(az, rg, dem_x, dem_y, dem_z, dx, dy, dz, shadow
 
 def shadow_mask(theta_ground: np.ndarray) -> np.ndarray:
     """Per azimuth line, running max of look angle along range marks
-    shadow: True where θ < cummax(θ) so far (strictly less — a pixel
-    equal to the running max is lit). Vectorized cummax replaces the
-    reference's sequential scan (core.py:1597-1604)."""
+    shadow, with the reference scan's exact semantics
+    (core.py:1597-1604): ``max_elev`` starts at 0.0 and a pixel is
+    shadowed unless θ STRICTLY exceeds the running max — so θ equal to
+    the max is shadowed, and a leading θ ≤ 0 is shadowed too.
+    Vectorized cummax replaces the sequential loop (the max only ever
+    updates on lit pixels, but a shadowed pixel satisfies θ ≤ max, so
+    folding it into the cummax is a no-op — identical scan state)."""
     cummax = np.fmax.accumulate(np.nan_to_num(theta_ground, nan=-np.inf), axis=1)
     prev = np.concatenate(
         [np.full((theta_ground.shape[0], 1), -np.inf), cummax[:, :-1]], axis=1
     )
-    return theta_ground < prev
+    prev = np.maximum(prev, 0.0)  # the reference's max_elev = 0.0 init
+    return theta_ground <= prev

@@ -115,7 +115,14 @@ def deramp_phase(
     polynomial-phase structure of the TOPS deramp (core.py:554-634
     math; constants folded by the caller from annotation params).
     Applied as arr *= exp(1j·φ) (process.py:2357-2359); reramp is the
-    conjugate."""
+    conjugate.
+
+    STRUCTURE HELPER, not the reference-parity path: η here is the raw
+    ``az_idx · azimuth_time_interval`` product the caller supplies —
+    the reference's centered η grid (linspace(-T/2, T/2, naz), step
+    T/(naz-1)) and mid-burst anchoring live in ``deramp_constants`` /
+    ``tops_deramp_phase``, which is what production deramping must
+    use."""
     eta = az_idx[:, None] * azimuth_time_interval
     return -np.pi * kt[None, :] * (eta - eta_ref[None, :]) ** 2
 

@@ -87,6 +87,67 @@ def tiles_to_raster(df: DataFrame, tile: int) -> np.ndarray:
 
 # --------------------------------------------------------- halo exchange
 
+_PIECE_SCHEMA = StructType(
+    [
+        StructField("raster_id", StringType()),
+        StructField("gty", IntegerType()),
+        StructField("gtx", IntegerType()),
+        StructField("dy", IntegerType()),
+        StructField("dx", IntegerType()),
+        StructField("data", BinaryType()),
+        StructField("th", IntegerType()),
+        StructField("tw", IntegerType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def _halo_pieces(tiles: DataFrame, halo: int) -> DataFrame:
+    """Map-side margin slicing for the halo exchange (shared by
+    halo_map and halo_map_multi_out): each tile ships its full payload
+    ONCE (to itself) plus only the ≤halo-wide strips its 8 neighbors
+    actually read — ~(1 + 2h/T)² of the payload through the shuffle
+    instead of 9 full copies (the previous JVM explode duplicated the
+    whole tile blob into all nine contribution rows; at tile=256/h=32
+    that is ~7× fewer shuffle bytes on the hottest path). (dy, dx) is
+    the piece's position in the TARGET tile's frame; (th, tw) are the
+    PIECE dims. _decode is a zero-copy frombuffer, so the map-side cost
+    is only the strip copies."""
+
+    def fan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+                for oy in (-1, 0, 1):
+                    gty = int(r.ty) + oy
+                    if gty < 0:
+                        continue
+                    py = (
+                        slice(None) if oy == 0
+                        else (slice(-halo, None) if oy == 1 else slice(0, halo))
+                    )
+                    for ox in (-1, 0, 1):
+                        gtx = int(r.tx) + ox
+                        if gtx < 0:
+                            continue
+                        px = (
+                            slice(None) if ox == 0
+                            else (slice(-halo, None) if ox == 1 else slice(0, halo))
+                        )
+                        piece = blk[py, px]
+                        rows.append(
+                            (r.raster_id, gty, gtx, -oy, -ox,
+                             np.ascontiguousarray(piece).tobytes(),
+                             piece.shape[0], piece.shape[1], r.kind)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PIECE_SCHEMA.fields]
+            )
+
+    return tiles.mapInPandas(fan, schema=_PIECE_SCHEMA)
+
+
 def halo_map(
     tiles: DataFrame,
     halo: int,
@@ -97,22 +158,7 @@ def halo_map(
     tile with an ``halo``-pixel neighborhood assembled from the 8
     neighbors (reflect-padded at global edges)."""
 
-    contrib = tiles.withColumn(
-        "_off",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(-1, 1), dy -> "
-                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
-            )
-        ),
-    ).select(
-        "raster_id",
-        (F.col("ty") + F.col("_off.dy")).alias("gty"),
-        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
-        (-F.col("_off.dy")).alias("dy"),
-        (-F.col("_off.dx")).alias("dx"),
-        "ty", "tx", "data", "th", "tw", "kind",
-    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
+    contrib = _halo_pieces(tiles, halo)
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raster_id, gty, gtx = key
@@ -147,7 +193,8 @@ def halo_map(
 
 def _assemble_padded(pdf: pd.DataFrame, th: int, tw: int, h: int, kind: str) -> np.ndarray:
     """Assemble one channel's (th+2h)×(tw+2h) padded neighborhood from
-    its ≤9 contribution rows (dy, dx, data, th, tw) — reflect-filled at
+    its ≤9 PRE-SLICED contribution pieces (_halo_pieces did the margin
+    slicing map-side; r.th/r.tw are the piece dims) — reflect-filled at
     global edges. Shared by halo_map and halo_map_multi."""
     dt = _DTYPES[kind]
     pad = np.zeros((th + 2 * h, tw + 2 * h), dtype=dt)
@@ -156,26 +203,13 @@ def _assemble_padded(pdf: pd.DataFrame, th: int, tw: int, h: int, kind: str) -> 
     # is a PARTIAL edge tile smaller than the halo, 0 when absent
     valid = {"top": 0, "bottom": 0, "left": 0, "right": 0}
     for r in pdf.itertuples():
-        blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+        piece = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
         dy, dx = int(r.dy), int(r.dx)
-        if dy == 0:
-            ys, piece_y = slice(h, h + th), slice(0, None)
-        elif dy == -1:
-            ys, piece_y = slice(0, h), slice(-h, None)
-        else:
-            ys, piece_y = slice(h + th, None), slice(0, h)
-        if dx == 0:
-            xs, piece_x = slice(h, h + tw), slice(0, None)
-        elif dx == -1:
-            xs, piece_x = slice(0, h), slice(-h, None)
-        else:
-            xs, piece_x = slice(h + tw, None), slice(0, h)
-        piece = blk[piece_y, piece_x]
+        ph, pw = piece.shape
         # top/left pieces anchor at the margin's inner edge (they
         # border the center); bottom/right anchor at its start
-        ph, pw = piece.shape
-        y0 = ys.start if dy >= 0 else h - ph
-        x0 = xs.start if dx >= 0 else h - pw
+        y0 = (h if dy == 0 else h + th) if dy >= 0 else h - ph
+        x0 = (h if dx == 0 else h + tw) if dx >= 0 else h - pw
         pad[y0 : y0 + ph, x0 : x0 + pw] = piece
         if dy == -1 and dx == 0:
             valid["top"] = max(valid["top"], ph)
@@ -233,22 +267,7 @@ def halo_map_multi_out(
     entry. Fuses pipelines that produce multiple stencil outputs from
     the same neighborhood (dual-pol covariance: c11/c22/c12 [+ H/alpha]
     from one vv/vh product exchange) into ONE shuffle."""
-    contrib = tiles.withColumn(
-        "_off",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(-1, 1), dy -> "
-                "transform(sequence(-1, 1), dx -> struct(dy AS dy, dx AS dx))))"
-            )
-        ),
-    ).select(
-        "raster_id",
-        (F.col("ty") + F.col("_off.dy")).alias("gty"),
-        (F.col("tx") + F.col("_off.dx")).alias("gtx"),
-        (-F.col("_off.dy")).alias("dy"),
-        (-F.col("_off.dx")).alias("dx"),
-        "ty", "tx", "data", "th", "tw", "kind",
-    ).where(F.col("gty") >= 0).where(F.col("gtx") >= 0)
+    contrib = _halo_pieces(tiles, halo)
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gty, gtx = key
@@ -311,19 +330,23 @@ def tiles_boxcar(tiles: DataFrame, kaz: int, krg: int) -> DataFrame:
 def tiles_presum(tiles: DataFrame, m: int, n: int) -> DataFrame:
     """Per-tile block mean. Tile dims must be divisible by (m, n) —
     full tiles are by construction; trailing partial tiles get trimmed
-    like the reference's global trim."""
-    def do(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in pdf.itertuples():
-            arr = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
-            out = R.presum(arr, m, n)
-            rows.append(
-                (r.raster_id, int(r.ty), int(r.tx), out.astype(_DTYPES[r.kind]).tobytes(),
-                 out.shape[0], out.shape[1], r.kind)
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+    like the reference's global trim. Purely row-local, so it runs as a
+    map stage (the earlier groupBy-per-tile paid a full shuffle of the
+    pixel payload for groups that always held exactly one row)."""
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
+                out = R.presum(arr, m, n)
+                rows.append(
+                    (r.raster_id, int(r.ty), int(r.tx),
+                     out.astype(_DTYPES[r.kind]).tobytes(),
+                     out.shape[0], out.shape[1], r.kind)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
-    return tiles.groupBy("raster_id", "ty", "tx").applyInPandas(do, schema=TILE_SCHEMA)
+    return tiles.mapInPandas(do, schema=TILE_SCHEMA)
 
 
 def tiles_map(
@@ -416,7 +439,11 @@ def product_join(
                 for rid, fn, kind in channels:
                     arr = fn(x, y)
                     if mlt_az > 1 or mlt_rg > 1:
-                        arr = R.presum(arr, mlt_az, mlt_rg).astype(_DTYPES[kind])
+                        arr = R.presum(arr, mlt_az, mlt_rg)
+                    # cast on BOTH paths: a float64/complex128 channel
+                    # at mlt=1 would otherwise serialize 8-byte values
+                    # under a 4-byte kind and corrupt the next _decode
+                    arr = arr.astype(_DTYPES[kind], copy=False)
                     rows.append(
                         (rid, int(r.ty), int(r.tx), arr.tobytes(),
                          arr.shape[0], arr.shape[1], kind)
@@ -549,17 +576,20 @@ def tiles_mosaic(tiles_multi: DataFrame, priority_col: str = "priority") -> Data
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ty, tx = key
         pdf = pdf.sort_values(priority_col)
-        out = None
-        th = tw = 0
         kind = pdf.iloc[0]["kind"]
+        # UNION extent, like rasterio merge: layers may end mid-tile at
+        # different offsets (per-swath LUT tilings), so a partial
+        # higher-priority block must not truncate the output, and
+        # differing shapes must not crash the boolean fill
+        th = int(pdf["th"].max())
+        tw = int(pdf["tw"].max())
+        nanv = (np.nan + 1j * np.nan) if _DTYPES[kind] == np.complex64 else np.nan
+        out = np.full((th, tw), nanv, dtype=_DTYPES[kind])
         for r in pdf.itertuples():
             blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind)
-            if out is None:
-                out = blk.copy()
-                th, tw = blk.shape
-            else:
-                hole = np.isnan(out)
-                out[hole] = blk[hole]
+            sub = out[: int(r.th), : int(r.tw)]
+            hole = np.isnan(sub)
+            sub[hole] = blk[hole]
         return pd.DataFrame(
             [("mosaic", int(ty), int(tx), out.tobytes(), th, tw, kind)],
             columns=[f.name for f in TILE_SCHEMA.fields],
@@ -585,17 +615,29 @@ def tiles_clip_aoi(
     from eo_tools_spark.geo.geom import points_in_polygon
 
     ring = np.asarray(ring, dtype=np.float64)
+    rx0, ry0 = ring[:, 0].min(), ring[:, 1].min()
+    rx1, ry1 = ring[:, 0].max(), ring[:, 1].max()
 
     def clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
                 blk = _decode(bytes(r.data), int(r.th), int(r.tw), r.kind).copy()
+                # complex nodata is nan+1j*nan like apply_valid_mask /
+                # _fill_missing_tiles, not nan+0j
+                nanv = (np.nan + 1j * np.nan) if np.iscomplexobj(blk) else np.nan
                 cols = origin_x + (int(r.tx) * tile + np.arange(r.tw) + 0.5) * px
                 rws = origin_y - (int(r.ty) * tile + np.arange(r.th) + 0.5) * px
-                lon_g, lat_g = np.meshgrid(cols, rws)
-                inside = points_in_polygon(lon_g.ravel(), lat_g.ravel(), ring).reshape(blk.shape)
-                blk[~inside] = np.nan
+                # bbox fast path: a tile whose pixel-center bbox misses
+                # the AOI bbox is all-outside — skip the per-pixel PIP
+                if cols[-1] < rx0 or cols[0] > rx1 or rws[0] < ry0 or rws[-1] > ry1:
+                    blk[:] = nanv
+                else:
+                    lon_g, lat_g = np.meshgrid(cols, rws)
+                    inside = points_in_polygon(
+                        lon_g.ravel(), lat_g.ravel(), ring
+                    ).reshape(blk.shape)
+                    blk[~inside] = nanv
                 rows.append(
                     (r.raster_id, int(r.ty), int(r.tx), blk.tobytes(), int(r.th), int(r.tw), r.kind)
                 )

@@ -43,6 +43,31 @@ class TestMosaic:
         exp[hole] = b[hole]
         np.testing.assert_allclose(got, exp, equal_nan=True)
 
+    def test_union_extent_heterogeneous_shapes(self, spark):
+        """Layers may end mid-tile at different extents (per-swath LUT
+        tilings): the mosaic tile must cover the UNION extent (rasterio
+        merge semantics) — a partial higher-priority block must neither
+        truncate the output nor crash the fill on shape mismatch."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from eo_tools_spark.operators.tiles import TILE_SCHEMA
+
+        a = np.full((16, 10), 1.0, np.float32)          # partial: 16x10
+        b = np.full((16, 16), 2.0, np.float32)          # full tile
+        rows = [("A", 0, 0, a.tobytes(), 16, 10, "f4"),
+                ("B", 0, 0, b.tobytes(), 16, 16, "f4")]
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields]),
+            schema=TILE_SCHEMA,
+        ).withColumn(
+            "priority", F.when(F.col("raster_id") == "A", 0).otherwise(1)
+        )
+        got = tiles_to_raster(tiles_mosaic(tiles), 16)
+        assert got.shape == (16, 16)
+        assert (got[:, :10] == 1.0).all()      # priority 0 wins where present
+        assert (got[:, 10:] == 2.0).all()      # union extent filled by B
+
     def test_clip_aoi(self, spark):
         arr = np.ones((32, 32), dtype=np.float32)
         tiles = raster_to_tiles(spark, arr, "m", 16)

@@ -202,5 +202,29 @@ class TestShadow:
         np.testing.assert_array_equal(out[0], [False, False, True, False, True])
 
     def test_monotonic_no_shadow(self):
-        theta = np.arange(10.0)[None, :]
+        theta = np.arange(1.0, 11.0)[None, :]
         assert not shadow_mask(theta).any()
+
+    def test_reference_scan_semantics(self):
+        """core.py:1597-1604 parity: max_elev starts at 0.0 and only a
+        STRICT increase is lit — a plateau pixel (equal to the running
+        max) is shadowed, and a leading θ ≤ 0 is shadowed."""
+        theta = np.array([[5.0, 5.0, 6.0, 6.0]])
+        np.testing.assert_array_equal(
+            shadow_mask(theta)[0], [False, True, False, True]
+        )
+        theta = np.array([[0.0, -1.0, 2.0]])
+        np.testing.assert_array_equal(shadow_mask(theta)[0], [True, True, False])
+
+        # per-pixel transcription of the reference loop on a random line
+        rng = np.random.default_rng(5)
+        t = rng.uniform(-1, 4, (3, 40))
+        exp = np.zeros_like(t, dtype=bool)
+        for i in range(t.shape[0]):
+            max_elev = 0.0
+            for j in range(t.shape[1]):
+                if t[i, j] > max_elev:
+                    max_elev = t[i, j]
+                else:
+                    exp[i, j] = True
+        np.testing.assert_array_equal(shadow_mask(t), exp)
