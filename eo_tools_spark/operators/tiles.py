@@ -295,29 +295,36 @@ def halo_map_multi_out(
     return contrib.groupBy("gty", "gtx").applyInPandas(assemble, schema=TILE_SCHEMA)
 
 
+def _win_sums(v: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
+    """Integral-image windowed sums of a padded plane over the center
+    tile's pixels (window offsets match scipy convolve) — the ONE home
+    of the double-cumsum / corner-difference machinery, shared by the
+    boxcar mean and its NaN-erosion mask so their bounds can't drift."""
+    lo_a, hi_a = R._win_bounds(kaz)
+    lo_r, hi_r = R._win_bounds(krg)
+    c = np.cumsum(np.cumsum(v, axis=0, dtype=np.float64), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    ys = np.arange(h, h + th)
+    xs = np.arange(h, h + tw)
+    y0, y1 = ys - lo_a, ys + hi_a + 1
+    x0, x1 = xs - lo_r, xs + hi_r + 1
+    return c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
+
+
 def _box_mean_padded(pad: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
     """Boxcar (NaN zero-fill + restore) of the center tile given its
     padded neighborhood — window offsets match scipy convolve."""
     msk = np.isnan(pad)
     x = np.where(msk, 0, pad)
-    lo_a, hi_a = R._win_bounds(kaz)
-    lo_r, hi_r = R._win_bounds(krg)
-
-    def sums(v):
-        c = np.cumsum(np.cumsum(v, axis=0, dtype=np.float64), axis=1)
-        c = np.pad(c, ((1, 0), (1, 0)))
-        ys = np.arange(h, h + th)
-        xs = np.arange(h, h + tw)
-        y0, y1 = ys - lo_a, ys + hi_a + 1
-        x0, x1 = xs - lo_r, xs + hi_r + 1
-        return c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
-
     k = float(kaz * krg)
     if np.iscomplexobj(pad):
-        out = (sums(x.real) + 1j * sums(x.imag)) / k
+        out = (
+            _win_sums(x.real, th, tw, h, kaz, krg)
+            + 1j * _win_sums(x.imag, th, tw, h, kaz, krg)
+        ) / k
         out[msk[h : h + th, h : h + tw]] = np.nan + 1j * np.nan
     else:
-        out = sums(x) / k
+        out = _win_sums(x, th, tw, h, kaz, krg) / k
         out[msk[h : h + th, h : h + tw]] = np.nan
     return out
 
@@ -537,15 +544,9 @@ def tiles_coherence(
 
 
 def _erode_padded(msk: np.ndarray, th: int, tw: int, h: int, kaz: int, krg: int) -> np.ndarray:
-    lo_a, hi_a = R._win_bounds(kaz)
-    lo_r, hi_r = R._win_bounds(krg)
-    c = np.cumsum(np.cumsum(msk.astype(np.float64), axis=0), axis=1)
-    c = np.pad(c, ((1, 0), (1, 0)))
-    ys = np.arange(h, h + th)
-    xs = np.arange(h, h + tw)
-    y0, y1 = ys - lo_a, ys + hi_a + 1
-    x0, x1 = xs - lo_r, xs + hi_r + 1
-    s = c[np.ix_(y1, x1)] - c[np.ix_(y0, x1)] - c[np.ix_(y1, x0)] + c[np.ix_(y0, x0)]
+    """Binary erosion via the shared windowed-sum: a center pixel
+    survives only if EVERY pixel of its window is valid."""
+    s = _win_sums(msk.astype(np.float64), th, tw, h, kaz, krg)
     return s >= kaz * krg - 0.5
 
 
