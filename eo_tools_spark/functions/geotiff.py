@@ -109,8 +109,12 @@ def write_geotiff(
         entries.append((_GDAL_NODATA, _TYPE_ASCII, [nd]))
     entries.sort(key=lambda e: e[0])
 
-    # layout: header (8) | pixel data | out-of-line tag values | IFD
-    extra_off = 8 + len(data)
+    # layout: header (8) | pixel data (padded to even) | out-of-line
+    # tag values | IFD. TIFF 6.0 requires the IFD and >1-byte values to
+    # begin on a word boundary; an odd-length uint8 raster would
+    # otherwise misalign everything after it.
+    data_pad = b"\x00" * (len(data) % 2)
+    extra_off = 8 + len(data) + len(data_pad)
     extra = bytearray()
     ifd = bytearray()
     ifd += struct.pack("<H", len(entries))
@@ -136,6 +140,7 @@ def write_geotiff(
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_off))
         f.write(data)
+        f.write(data_pad)
         f.write(bytes(extra))
         f.write(bytes(ifd))
 

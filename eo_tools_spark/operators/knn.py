@@ -129,7 +129,13 @@ def knn_join(
     (``max_index_bytes``): an oversized catalog routes to
     ``knn_join_distributed`` — the same exact kNN semantics (identical
     rows, pytest-pinned) through an escalating distributed cell-ring
-    equi-join instead of a driver-built broadcast structure."""
+    equi-join instead of a driver-built broadcast structure.
+
+    NOTE: the distributed fallback returns a frame persisted at
+    MEMORY_AND_DISK (its iterative anti-join chain must not be replayed
+    by the caller's first action). Callers that keep the session alive
+    should ``df._eo_persisted.unpersist()`` when done; otherwise the
+    blocks are LRU-evictable and bounded by the result size."""
     spark = scenes.sparkSession
     measured = int(
         tiles_pdf[[tile_id_col, "cx", "cy"]].memory_usage(deep=True).sum()
@@ -241,7 +247,15 @@ def knn_join_distributed(
         grid_ix("cx", 180.0, 360.0).alias("ix"),
         grid_ix("cy", 90.0, 180.0).alias("iy"),
     )
-    remaining = scenes.select(
+    # grid_ix clamps out-of-range lon/lat into edge cells, which voids
+    # the ring-coverage guarantee for such points — route them straight
+    # to the exact full-scan leg instead of the ring loop.
+    in_range = (
+        (F.col(lon) >= -180.0) & (F.col(lon) <= 180.0)
+        & (F.col(lat) >= -90.0) & (F.col(lat) <= 90.0)
+    )
+    oob = scenes.where(~in_range).select(id_col, lon, lat)
+    remaining = scenes.where(in_range).select(
         id_col, lon, lat,
         grid_ix(lon, 180.0, 360.0).alias("six"),
         grid_ix(lat, 90.0, 180.0).alias("siy"),
@@ -291,9 +305,14 @@ def knn_join_distributed(
                 F.when(F.col("knn_rank") == kk, F.col("dist2"))
             ).alias("kth_d2"),
         )
+        # STRICT bound: a tile just outside the scanned ring can sit at
+        # exactly the guaranteed distance (regular grid spacings make
+        # exact float ties achievable) and would beat an equal-distance
+        # in-ring tile on the (dist2, tile_id) tie-break — equality must
+        # escalate one more ring, never resolve.
         resolved = stats.where(
             (F.col("n_cand") == kk)
-            & (F.col("kth_d2") <= F.lit(guaranteed * guaranteed))
+            & (F.col("kth_d2") < F.lit(guaranteed * guaranteed))
         ).select(id_col)
         part = (
             ranked.join(resolved, id_col)
@@ -311,6 +330,15 @@ def knn_join_distributed(
         if n_left == 0:
             break
         r *= 2
+    if oob.limit(1).count() > 0:
+        oob_part = (
+            oob.crossJoin(tiles_c.select(tile_id_col, "cx", "cy"))
+            .select(id_col, lon, lat, tile_id_col, dist2)
+            .withColumn("knn_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("knn_rank") <= kk)
+            .select(id_col, tile_id_col, "knn_rank", "dist2")
+        )
+        out = out.unionByName(oob_part)
     # materialize the result ONCE, then release every intermediate:
     # unpersisting `remaining` while the full-pass leg of `out` is still
     # lazy would force the caller's first action to recompute the whole

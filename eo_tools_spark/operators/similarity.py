@@ -127,7 +127,13 @@ def _train_from_df(
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(sample_rows)
     )
-    sample = np.vstack([r[1] for r in sample_df.collect()])
+    rows = sample_df.collect()
+    if not rows:
+        raise ValueError(
+            "cannot train IVF centroids over an empty corpus "
+            "(emb_df has no rows)"
+        )
+    sample = np.vstack([r[1] for r in rows])
     return train_centroids(sample, ncells)
 
 

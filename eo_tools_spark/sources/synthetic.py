@@ -207,8 +207,8 @@ def make_audio(i: int, seed: int = 42):
 
 
 def media_table(spark: SparkSession, n_video: int, n_audio: int, seed: int = 42) -> DataFrame:
-    """Distributed deterministic media table: even ids → AVI rows,
-    then WAV rows — identical bytes at any parallelism."""
+    """Distributed deterministic media table: ids < n_video → AVI rows,
+    the rest → WAV rows — identical bytes at any parallelism."""
     rng_df = spark.range(0, n_video + n_audio)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -289,6 +289,19 @@ class TestIvfPersistedIndex:
         res = build_ivf_index(df, path, ncells=ncells)
         return df, V, path, res
 
+    def test_empty_corpus_raises_before_commit(self, spark, tmp_path):
+        """Round-5 advice: an empty corpus must fail with an explicit
+        ValueError before training/committing, not an opaque TypeError
+        from head()[0] / np.vstack."""
+        from eo_tools_spark.operators.similarity import build_ivf_index
+
+        df, _ = embeddings_df(spark)
+        empty = df.where(F.col("vec_id") < 0)
+        path = str(tmp_path / "ivf_empty")
+        with pytest.raises(ValueError, match="empty corpus"):
+            build_ivf_index(empty, path, ncells=4)
+        assert not os.path.exists(os.path.join(path, "_ivf_centroids.json"))
+
     def test_pruned_equals_inflight_ivf_all_nprobe(self, spark, tmp_path):
         """Identical centroids + identical assignment => the persisted
         path must return exactly ivf_topk's rows at every nprobe, so the

@@ -34,6 +34,26 @@ class TestGeoTiffRoundtrip:
         assert origin == (11.25, 47.5) and px == (0.125, 0.125)
         assert epsg == 4326 and nodata is None
 
+    def test_odd_length_uint8_word_alignment(self, tmp_path):
+        """Round-5 advice: an odd h·w uint8 raster must still place the
+        IFD and out-of-line values on word boundaries (TIFF 6.0) — the
+        pixel data is padded to even length."""
+        a = np.arange(15, dtype=np.uint8).reshape(3, 5)  # 15 bytes, odd
+        p = str(tmp_path / "odd.tif")
+        write_geotiff(p, a, origin=(0.0, 1.0), pixel_size=(0.1, 0.1))
+        b = open(p, "rb").read()
+        (ifd_off,) = struct.unpack_from("<I", b, 4)
+        assert ifd_off % 2 == 0
+        (n,) = struct.unpack_from("<H", b, ifd_off)
+        for i in range(n):
+            code, typ, count = struct.unpack_from("<HHI", b, ifd_off + 2 + i * 12)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}[typ] * count
+            if size > 4:
+                (off,) = struct.unpack_from("<I", b, ifd_off + 2 + i * 12 + 8)
+                assert off % 2 == 0, f"tag {code} value offset {off} is odd"
+        arr, origin, px, epsg, nodata = read_geotiff(p)
+        np.testing.assert_array_equal(arr, a)
+
     def test_nodata_and_projected_crs(self, tmp_path):
         a = np.zeros((4, 5), dtype=np.float32)
         p = str(tmp_path / "utm.tif")

@@ -125,6 +125,40 @@ class TestKNN:
         pd.testing.assert_frame_equal(a, b)
 
 
+    def test_distributed_out_of_range_coords_exact(self, spark):
+        """Round-5 advice: grid_ix clamps out-of-range lon/lat into edge
+        cells, voiding the ring-coverage guarantee — such points must
+        route to the exact full-scan leg. Mixed in-range + out-of-range
+        scenes, verified against the numpy brute force."""
+        from eo_tools_spark.operators.knn import knn_join_distributed
+
+        tiles = make_tiles(6, 6)
+        pdf = pd.DataFrame(
+            {
+                "scene_id": [0, 1, 2, 3, 4],
+                "lon": [-9.5, 200.0, -400.0, 3.2, 181.0],
+                "lat": [30.5, 95.0, 33.0, -120.0, 31.0],
+            }
+        )
+        out = (
+            knn_join_distributed(
+                spark.createDataFrame(pdf), spark.createDataFrame(tiles), k=2
+            )
+            .toPandas()
+            .sort_values(["scene_id", "knn_rank"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 10
+        cx, cy = tiles["cx"].to_numpy(), tiles["cy"].to_numpy()
+        for i, row in pdf.iterrows():
+            d2 = (cx - row.lon) ** 2 + (cy - row.lat) ** 2
+            order = np.lexsort((tiles["dem_tile_id"].to_numpy(), d2))[:2]
+            got = out[out.scene_id == row.scene_id]["dem_tile_id"].to_numpy()
+            np.testing.assert_array_equal(
+                got, tiles["dem_tile_id"].to_numpy()[order]
+            )
+
+
 class TestBBoxJoin:
     def test_vs_duckdb(self, spark):
         rng = np.random.default_rng(11)
