@@ -66,7 +66,12 @@ def run_queries() -> dict:
     from eo_tools_spark.session import get_spark, read_binary_parquet
     from eo_tools_spark.sources import derived
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # no console progress bars: their \r lines have corrupted the round
+    # driver's stdout tail-capture of the result JSON (BENCH_r05.json)
+    spark = get_spark(
+        "bench", cores=CPUS, shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = _sf_from_dir(SF_DIR)
@@ -157,6 +162,136 @@ def run_queries() -> dict:
         }
         return result
 
+    # ---- shared corpus generators (used by q11/q14 in the default
+    # suite AND by the sf1 full-scale q14) ----
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    _ld_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    _vocab = np.array([f"tok{v:06d}" for v in range(100000)])
+
+    def _ld_gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(int(i))
+                words = _vocab[rng.integers(0, len(_vocab), 400)]
+                rows.append((int(i), " ".join(words)))  # ~3.5 kB/doc
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def ann_section() -> dict:
+        # q15 — similarity search over a PERSISTED IVF index (the
+        # round-5 scale path): exact brute-force GEMM top-k vs the
+        # pruned-scan ANN over a fixed-size deterministic embedding
+        # corpus (like q11's longdocs, size independent of sf). The
+        # corpus parquet and the index build are cached on disk across
+        # runs (snapshot-layer idempotent commit), so the timed legs
+        # measure QUERY cost only. 4M vectors: at 1M x 64d BOTH legs
+        # floor at ~1 s of fixed job overhead (listing + scheduling +
+        # Arrow round-trips) and the speedup reads ~1x regardless of
+        # pruning — the corpus must be big enough that scan+GEMM
+        # dominates before the pruned/brute ratio means anything.
+        n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "4000000"))
+        emb_path = f"/tmp/eo_bench_emb_n{n_vecs}"
+        ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64pk"  # pk = packed format
+        from pyspark.sql.types import ArrayType, FloatType
+
+        _emb_schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+
+        # clustered corpus (256 gaussian centers, sigma 0.35): isotropic
+        # random vectors have NO neighborhood structure, which makes any
+        # IVF read ~uniform recall = probed-mass fraction — real
+        # embedding corpora cluster, which is the regime IVF exists for
+        def _ann_center(c):
+            return np.random.default_rng(7_000_000 + int(c)).normal(size=64)
+
+        def _emb_gen(batches):
+            # the 256 fixed centers once per task, not once per ROW —
+            # per-row default_rng construction + redraw added minutes of
+            # pure redundant RNG work to the one-time 4M-row corpus build
+            centers = np.stack([_ann_center(c) for c in range(256)])
+            for pdf in batches:
+                rows = [
+                    (int(i),
+                     (centers[int(i) % 256]
+                      + 0.35 * np.random.default_rng(2_000_000 + int(i))
+                      .normal(size=64)).astype(np.float32).tolist())
+                    for i in pdf["id"]
+                ]
+                yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+        if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+            (
+                spark.range(n_vecs).mapInPandas(_emb_gen, schema=_emb_schema)
+                .write.mode("overwrite").parquet(emb_path)
+            )
+            open(os.path.join(emb_path, "_SUCCESS"), "a").close()
+        emb = spark.read.parquet(emb_path)
+
+        from eo_tools_spark.operators.similarity import (
+            brute_topk,
+            build_ivf_index,
+            ivf_topk_pruned,
+        )
+
+        build_ivf_index(emb, ivf_path, ncells=64, sample_rows=4096)  # untimed
+
+        # held-out FOCUSED query batch: 16 queries near 4 corpus
+        # clusters — the realistic "match this new shard against the
+        # corpus" shape (a batch of unrelated queries probes every cell
+        # and nothing prunes; per-batch locality is what the cell
+        # layout monetizes)
+        q_rows = [
+            (int(i),
+             (_ann_center(i % 4)
+              + 0.35 * np.random.default_rng(9_000_000 + int(i))
+              .normal(size=64)).astype(np.float32).tolist())
+            for i in range(16)
+        ]
+        ann_queries = pd.DataFrame(q_rows, columns=["query_id", "embedding"])
+
+        timed("q15_ann_brute", lambda: brute_topk(emb, ann_queries, k=10).count())
+        timed(
+            "q15_ann_ivf_pruned",
+            lambda: ivf_topk_pruned(
+                spark, ivf_path, ann_queries, k=10, nprobe=4
+            ).count(),
+        )
+        # recall@10 of the pruned path vs exact (untimed, 640 rows)
+        exact = brute_topk(emb, ann_queries, k=10).toPandas()
+        approx = ivf_topk_pruned(spark, ivf_path, ann_queries, k=10, nprobe=4).toPandas()
+        hits = 0
+        for qid, grp in exact.groupby("query_id"):
+            got = set(approx[approx.query_id == qid]["vec_id"])
+            hits += len(set(grp["vec_id"]) & got)
+        from eo_tools_spark.operators.similarity import load_ivf_centroids, _normalize
+
+        C_ann = load_ivf_centroids(ivf_path)
+        Q_ann = _normalize(np.vstack(ann_queries["embedding"].to_numpy()).astype(np.float64))
+        probe_union = {
+            int(c)
+            for row in np.argsort(-(Q_ann @ C_ann.T), axis=1)[:, :4]
+            for c in row
+        }
+        return {
+            "n_vectors": n_vecs,
+            "ncells": 64,
+            "nprobe": 4,
+            "scan_fraction": round(len(probe_union) / 64, 3),
+            "recall_at_10": round(hits / max(len(exact), 1), 4),
+            "ann_speedup_vs_brute": round(
+                timings["q15_ann_brute"] / max(timings["q15_ann_ivf_pruned"], 1e-9), 3
+            ),
+        }
+
     # q1 — FLAGSHIP (BASELINE metric): spatial join + tile assignment
     # over the image+caption table. Column pruning keeps `bytes` out of
     # the scan; broadcast cover join means no shuffle of the image side.
@@ -226,23 +361,135 @@ def run_queries() -> dict:
         spark.stop()
         return result
 
-    # sf1 headline mode (round-4 verdict task 6): q1/q7 above already
-    # ran at the caller-chosen n_images (600k = sf1); add the third
-    # headline — phash near-dup over the FULL table (its banding join
-    # scales with image count, unlike the fixed demo slice) — and
-    # return. Proves the committed sf0.1 rates aren't fixed-overhead
+    # sf1 headline mode (round-4 verdict task 6 + round-5 task 1):
+    # q1/q7 above already ran at the caller-chosen n_images (600k =
+    # sf1); add the heavy LLM-pipeline operators over the FULL table —
+    # q9 phash near-dup, q8 minhash+LSH dedup, q13 near-dup clustering
+    # (CC), q14 winnowing — whose sf0.1 numbers are ~50% fixed
+    # overhead, plus the q15 ANN legs (4M-vector corpus, already larger
+    # than sf1). Proves the committed sf0.1 rates aren't fixed-overhead
     # artifacts: run via `python bench.py --sf1`.
     if os.environ.get("SPARK_GRAFT_SF1") == "1":
+        from pyspark import StorageLevel
+
+        from eo_tools_spark.operators.cluster import connected_components
         from eo_tools_spark.operators.image_pipeline import phash_neardup
 
         def q9_full():
             return phash_neardup(images, max_hamming=2).count()
 
         n_phash_pairs = timed("q9_phash_neardup_full", q9_full, repeats=2)
-        result = base_result("sf1 headline (q1/q7/q9 over full table)")
-        result["n_phash_pairs"] = n_phash_pairs
-        result["phash_images_per_sec"] = round(
-            n_images / timings["q9_phash_neardup_full"], 1
+
+        # q8 at full scale: minhash signatures + banded LSH + exact
+        # jaccard verify over ALL captions (the sf0.1 suite bounds q8
+        # to a fixed 60k slice for scaling-table hygiene)
+        def q8_full():
+            from eo_tools_spark.operators.dedup import (
+                lsh_pairs,
+                minhash_signatures,
+                verify_jaccard,
+            )
+
+            docs = images.select(
+                F.col("image_id").alias("doc_id"),
+                F.col("caption").alias("text"),
+            )
+            sig = minhash_signatures(docs, num_hashes=64, shingle=2).persist()
+            try:
+                pairs = lsh_pairs(sig, bands=16)
+                return verify_jaccard(pairs, docs, threshold=0.8).count()
+            finally:
+                sig.unpersist()
+
+        n_minhash_pairs = timed("q8_minhash_lsh_dedup_full", q8_full, repeats=2)
+
+        # q13 at full scale: connected components over the full table's
+        # phash near-dup graph. The pair input is built once UNTIMED
+        # (q9_full measures exactly that stage) and persisted DISK_ONLY
+        # per the BENCH/CC2M.md memory protocol: an O(E) heap pin plus
+        # the CC rounds' two live checkpoints is what OOMed the
+        # 372M-edge probe at the default heap.
+        pairs13 = phash_neardup(images, max_hamming=2).persist(
+            StorageLevel.DISK_ONLY
+        )
+        pairs13.count()
+        cc_full: dict = {}
+
+        def q13_full():
+            comp = connected_components(pairs13, algorithm="star")
+            if not cc_full:  # populate once — see the sf0.1 q13 note
+                cc_full.update(
+                    distributed_rounds=comp._eo_cc_rounds,
+                    local_finish=comp._eo_cc_local_finish,
+                )
+            return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]
+
+        # max_repeats=2: a single rep is minutes at this scale; two reps
+        # give a real band without letting the adaptive tail triple it
+        cc_full["n_clusters"] = timed(
+            "q13_neardup_clusters_full", q13_full, repeats=2, max_repeats=2
+        )
+        pairs13.unpersist()
+
+        # q14 at full scale: winnowing fingerprints + capped posting
+        # join over an n_images-doc (~3.5 kB each) corpus augmented
+        # with prefix-trimmed copies of every 8th doc — same shape as
+        # the sf0.1 q14, 25x the rows. One-time corpus build cached in
+        # /tmp (generation is NOT the measured stage).
+        win_path = f"/tmp/eo_bench_windocs_n{n_images}"
+        if not os.path.exists(os.path.join(win_path, "_SUCCESS")):
+            spark.range(n_images).mapInPandas(
+                _ld_gen, schema=_ld_schema
+            ).createOrReplaceTempView("_sf1_windocs")
+            spark.sql(
+                "SELECT doc_id, text FROM _sf1_windocs UNION ALL "
+                "SELECT doc_id + 10000000, "
+                "regexp_replace(text, '^([^ ]+ ){3}', '') "
+                "FROM _sf1_windocs WHERE doc_id % 8 = 0"
+            ).write.mode("overwrite").parquet(win_path)
+            open(os.path.join(win_path, "_SUCCESS"), "a").close()
+        windocs_full = spark.read.parquet(win_path)
+        n_windocs = windocs_full.count()
+
+        def q14_full():
+            from eo_tools_spark.operators.dedup import winnow_candidates
+
+            cand = winnow_candidates(
+                windocs_full, k=4, w=5, min_shared=1, max_bucket=4096
+            )
+            try:
+                return cand.count()
+            finally:
+                if cand._eo_persisted is not None:
+                    cand._eo_persisted.unpersist()
+
+        n_winnow_pairs = timed("q14_winnow_fingerprints_full", q14_full, repeats=2)
+
+        ann_report = ann_section()
+
+        result = base_result(
+            "sf1 full-scale (q1/q7/q8/q9/q13/q14 over the 600k table + "
+            "q15 ANN at 4M vectors)"
+        )
+        result.update(
+            n_phash_pairs=n_phash_pairs,
+            phash_images_per_sec=round(
+                n_images / timings["q9_phash_neardup_full"], 1
+            ),
+            n_minhash_pairs=n_minhash_pairs,
+            minhash_docs_per_sec=round(
+                n_images / timings["q8_minhash_lsh_dedup_full"], 1
+            ),
+            neardup_clustering=cc_full,
+            cc_pairs_per_sec=round(
+                n_phash_pairs / timings["q13_neardup_clusters_full"], 1
+            ),
+            n_windocs=n_windocs,
+            n_winnow_pairs=n_winnow_pairs,
+            winnow_docs_per_sec=round(
+                n_windocs / timings["q14_winnow_fingerprints_full"], 1
+            ),
+            ann=ann_report,
         )
         spark.stop()
         return result
@@ -445,24 +692,6 @@ def run_queries() -> dict:
     # (Isolated-stage microbench: fast 4.2 ms vs md5 29 ms per 27k
     # uniques — the end-to-end delta is smaller because the affine
     # minhash scatter dominates once the token hash is vectorized.)
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-    _ld_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("text", StringType())]
-    )
-    _vocab = np.array([f"tok{v:06d}" for v in range(100000)])
-
-    def _ld_gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                rng = np.random.default_rng(int(i))
-                words = _vocab[rng.integers(0, len(_vocab), 400)]
-                rows.append((int(i), " ".join(words)))  # ~3.5 kB/doc
-            yield pd.DataFrame(rows, columns=["doc_id", "text"])
-
     longdocs = spark.range(24000).mapInPandas(_ld_gen, schema=_ld_schema).persist()
     longdocs.count()  # materialize (generation is NOT the measured stage)
 
@@ -515,113 +744,7 @@ def run_queries() -> dict:
     longdocs.unpersist()
     windocs.unpersist()
 
-    # q15 — similarity search over a PERSISTED IVF index (the round-5
-    # scale path): exact brute-force GEMM top-k vs the pruned-scan ANN
-    # over a fixed-size deterministic embedding corpus (like q11's
-    # longdocs, size independent of sf). The corpus parquet and the
-    # index build are cached on disk across runs (snapshot-layer
-    # idempotent commit), so the timed legs measure QUERY cost only.
-    # 4M vectors: at 1M x 64d BOTH legs floor at ~1 s of fixed job
-    # overhead (listing + scheduling + Arrow round-trips) and the
-    # speedup reads ~1x regardless of pruning — the corpus must be big
-    # enough that scan+GEMM dominates before the pruned/brute ratio
-    # means anything
-    n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "4000000"))
-    emb_path = f"/tmp/eo_bench_emb_n{n_vecs}"
-    ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64pk"  # pk = packed-vector format
-    from pyspark.sql.types import ArrayType, FloatType
-
-    _emb_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("embedding", ArrayType(FloatType())),
-        ]
-    )
-
-    # clustered corpus (256 gaussian centers, sigma 0.35): isotropic
-    # random vectors have NO neighborhood structure, which makes any
-    # IVF read ~uniform recall = probed-mass fraction — real embedding
-    # corpora cluster, which is the regime IVF exists for
-    def _ann_center(c):
-        return np.random.default_rng(7_000_000 + int(c)).normal(size=64)
-
-    def _emb_gen(batches):
-        # the 256 fixed centers once per task, not once per ROW — the
-        # per-row default_rng construction + redraw added minutes of
-        # pure redundant RNG work to the one-time 4M-row corpus build
-        centers = np.stack([_ann_center(c) for c in range(256)])
-        for pdf in batches:
-            rows = [
-                (int(i),
-                 (centers[int(i) % 256]
-                  + 0.35 * np.random.default_rng(2_000_000 + int(i))
-                  .normal(size=64)).astype(np.float32).tolist())
-                for i in pdf["id"]
-            ]
-            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
-
-    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
-        (
-            spark.range(n_vecs).mapInPandas(_emb_gen, schema=_emb_schema)
-            .write.mode("overwrite").parquet(emb_path)
-        )
-        open(os.path.join(emb_path, "_SUCCESS"), "a").close()
-    emb = spark.read.parquet(emb_path)
-
-    from eo_tools_spark.operators.similarity import (
-        brute_topk,
-        build_ivf_index,
-        ivf_topk_pruned,
-    )
-
-    build_ivf_index(emb, ivf_path, ncells=64, sample_rows=4096)  # untimed
-
-    # held-out FOCUSED query batch: 16 queries near 4 corpus clusters —
-    # the realistic "match this new shard against the corpus" shape
-    # (a batch of unrelated queries probes every cell and nothing
-    # prunes; per-batch locality is what the cell layout monetizes)
-    q_rows = [
-        (int(i),
-         (_ann_center(i % 4)
-          + 0.35 * np.random.default_rng(9_000_000 + int(i))
-          .normal(size=64)).astype(np.float32).tolist())
-        for i in range(16)
-    ]
-    ann_queries = pd.DataFrame(q_rows, columns=["query_id", "embedding"])
-
-    timed("q15_ann_brute", lambda: brute_topk(emb, ann_queries, k=10).count())
-    timed(
-        "q15_ann_ivf_pruned",
-        lambda: ivf_topk_pruned(
-            spark, ivf_path, ann_queries, k=10, nprobe=4
-        ).count(),
-    )
-    # recall@10 of the pruned path vs exact (untimed, 640 rows)
-    exact = brute_topk(emb, ann_queries, k=10).toPandas()
-    approx = ivf_topk_pruned(spark, ivf_path, ann_queries, k=10, nprobe=4).toPandas()
-    hits = 0
-    for qid, grp in exact.groupby("query_id"):
-        got = set(approx[approx.query_id == qid]["vec_id"])
-        hits += len(set(grp["vec_id"]) & got)
-    from eo_tools_spark.operators.similarity import load_ivf_centroids, _normalize
-
-    C_ann = load_ivf_centroids(ivf_path)
-    Q_ann = _normalize(np.vstack(ann_queries["embedding"].to_numpy()).astype(np.float64))
-    probe_union = {
-        int(c)
-        for row in np.argsort(-(Q_ann @ C_ann.T), axis=1)[:, :4]
-        for c in row
-    }
-    ann_report = {
-        "n_vectors": n_vecs,
-        "ncells": 64,
-        "nprobe": 4,
-        "scan_fraction": round(len(probe_union) / 64, 3),
-        "recall_at_10": round(hits / max(len(exact), 1), 4),
-        "ann_speedup_vs_brute": round(
-            timings["q15_ann_brute"] / max(timings["q15_ann_ivf_pruned"], 1e-9), 3
-        ),
-    }
+    ann_report = ann_section()
 
     # q12 — data-density-driven adaptive cell splitting over the image
     # table's hotspot (50% of rows inside [10,11]x[40,41]): ONE counting
@@ -915,18 +1038,25 @@ def compare_to(old_path: str, new: dict) -> dict:
 
 
 def run_sf1() -> None:
-    """One committed sf1 level (600k images — 10× the sf0.1 table) for
-    the three headline image queries, in a fresh JVM. Writes
-    BENCH_sf1.json including rate ratios vs a prior sf0.1 artifact:
-    ratios within ~2× prove the sf0.1 numbers measure throughput, not
-    fixed overhead (several sf0.1 queries are ~50% setup)."""
+    """One committed sf1 level (600k images/docs — 10× the sf0.1
+    table) for the headline image queries AND the heavy LLM-pipeline
+    operators (minhash dedup, CC clustering, winnowing, persisted-IVF
+    ANN), in a fresh JVM. Writes BENCH_sf1.json including rate ratios
+    vs a prior sf0.1 artifact (ratios within ~2× prove the sf0.1
+    numbers measure throughput, not fixed overhead — several sf0.1
+    queries are ~50% setup) and a band-overlap comparison against the
+    previously committed BENCH_sf1.json."""
     n = os.environ.get("SPARK_GRAFT_SF1_IMAGES", "600000")
     env = dict(
-        os.environ, SPARK_GRAFT_BENCH_IMAGES=n, SPARK_GRAFT_SF1="1"
+        os.environ, SPARK_GRAFT_BENCH_IMAGES=n, SPARK_GRAFT_SF1="1",
+        # the full-scale CC stage pins an O(E) pair frame (DISK_ONLY)
+        # plus two O(E) checkpoints — 184M edges at 600k images needs
+        # more than the 24g session default (see BENCH/CC2M.md)
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
     )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=7200,
+        env=env, capture_output=True, text=True, timeout=14400,
     )
     if out.returncode != 0 or not out.stdout.strip():
         sys.stderr.write(out.stderr[-4000:])
@@ -946,6 +1076,14 @@ def run_sf1() -> None:
                 r[f"{key}_ratio_vs_sf01"] = round(r[key] / base[key], 3)
         r["ratio_baseline"] = baseline_path
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sf1.json")
+    # band-overlap gate vs the PRIOR committed sf1 artifact (round-5
+    # verdict task 1: "--compare gains an sf1 baseline") — computed
+    # before overwriting it
+    if os.path.exists(path):
+        try:
+            r["compare_vs_prior_sf1"] = compare_to(path, r)
+        except Exception as e:  # a malformed prior artifact must not
+            r["compare_vs_prior_sf1"] = {"error": str(e)}  # lose this run
     with open(path, "w") as f:
         json.dump(r, f, indent=1)
     print(json.dumps({
@@ -954,7 +1092,12 @@ def run_sf1() -> None:
         "images_per_sec": r["images_per_sec"],
         "pipeline_images_per_sec": r["pipeline_images_per_sec"],
         "phash_images_per_sec": r.get("phash_images_per_sec"),
+        "minhash_docs_per_sec": r.get("minhash_docs_per_sec"),
+        "cc_pairs_per_sec": r.get("cc_pairs_per_sec"),
+        "winnow_docs_per_sec": r.get("winnow_docs_per_sec"),
+        "ann_speedup_vs_brute": (r.get("ann") or {}).get("ann_speedup_vs_brute"),
         "pipeline_ratio_vs_sf01": r.get("pipeline_images_per_sec_ratio_vs_sf01"),
+        "compare_verdict": (r.get("compare_vs_prior_sf1") or {}).get("verdict"),
     }))
 
 
@@ -968,4 +1111,13 @@ if __name__ == "__main__":
         if "--compare" in sys.argv:
             old_path = sys.argv[sys.argv.index("--compare") + 1]
             result["compare"] = compare_to(old_path, result)
+        # Sidecar copy: the round driver captures a bounded stdout TAIL,
+        # and Spark stage-progress lines have pushed the head of this
+        # JSON out of it before (BENCH_r05.json committed with
+        # "parsed": null). The file write makes the artifact durable
+        # regardless of stdout noise.
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
+            json.dump(result, f, indent=1)
         print(json.dumps(result))

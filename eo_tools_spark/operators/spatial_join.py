@@ -173,6 +173,13 @@ def adaptive_cover(
     partitions each AOI (a parent is removed when its children replace
     it), so a point matches at most one cover cell per AOI.
 
+    ``max_iters`` must OUT-RESOLVE the hotspot to bound it: splitting
+    stops helping at the hotspot's own spatial size (a 0.05-degree
+    point mass under res-12 leaf cells floors at one cell's worth of
+    rows no matter the cap — measured in scripts/skew_probe.py /
+    BENCH/SKEW.md). Size base_res + max_iters so the leaf cell is
+    smaller than the densest feature you must split.
+
     Returns ``(cover_df, res_by_id)`` compatible with
     ``aoi_point_join(cover=...)``. Cost: ONE counting scan of the scene
     side per distinct base resolution (usually one total) — scenes are

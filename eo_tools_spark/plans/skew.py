@@ -30,12 +30,30 @@ def parent_cell_salt(lon: str, lat: str, parent_res: int, salt_bits: int = 4) ->
     """Deterministic salt: the low ``salt_bits`` of BOTH the child ix
     and iy at parent_res + salt_bits — splits each parent cell into up
     to 4^salt_bits shards. (Taking the packed id's low bits would use
-    iy only: 2^salt_bits shards and longitude-blind — review finding.)"""
+    iy only: 2^salt_bits shards and longitude-blind — review finding.)
+
+    LIMIT (measured by scripts/skew_probe.py): the spread comes from
+    the data's spatial extent WITHIN the parent cell, so a hotspot
+    finer than the child-cell size defeats it — a 0.05-degree point
+    mass inside a res-8 parent lands in <= 4 res-12 children and the
+    "salt" takes 4 values, not 4^salt_bits. When the skewed key's rows
+    need no spatial locality in the shards (any SUM-decomposable agg,
+    any per-shard processing merged downstream), use ``row_salt`` —
+    it spreads a point mass uniformly."""
     child = cell_col(lon, lat, parent_res + salt_bits)
     m = (1 << salt_bits) - 1
     ix_bits = F.shiftright(child, 29) % (m + 1)
     iy_bits = child % (m + 1)
     return (ix_bits * (m + 1) + iy_bits).cast("int")
+
+
+def row_salt(id_col: str, salt_bits: int = 8) -> Column:
+    """Deterministic NON-spatial salt: xxhash64 of a stable row id,
+    masked to ``salt_bits``. Splits ANY hot key — including a true
+    point mass, which defeats every spatial salt — into up to
+    2^salt_bits shards. Deterministic per row (resumable runs
+    reproduce the layout; no rand()), uniform by hash mixing."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << salt_bits)).cast("int")
 
 
 def salted_agg(

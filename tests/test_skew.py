@@ -51,6 +51,58 @@ def test_salted_agg_equals_plain(spark):
     assert plain == salted
 
 
+def test_row_salt_spreads_point_mass(spark):
+    """A true point mass (every row at the SAME coordinate) defeats any
+    spatial salt; row_salt must still spread it into 2^bits shards,
+    deterministically."""
+    from eo_tools_spark.plans.skew import row_salt
+
+    df = spark.range(10000).select(
+        F.col("id"), F.lit(10.01).alias("lon"), F.lit(40.01).alias("lat")
+    )
+    s = df.select(row_salt("id", salt_bits=6).alias("s"))
+    vals = [r.s for r in s.groupBy("s").count().collect()]
+    assert len(vals) == 64  # all 2^6 shards hit at n=10000
+    counts = [r["count"] for r in df.select(row_salt("id", 6).alias("s")).groupBy("s").count().collect()]
+    assert max(counts) <= 3 * min(counts)  # roughly uniform
+    a = [r[0] for r in df.select(row_salt("id", 6)).collect()]
+    b = [r[0] for r in df.select(row_salt("id", 6)).collect()]
+    assert a == b  # deterministic
+    assert min(a) >= 0  # pmod, not %: no negative shards
+
+
+def test_salted_agg_with_row_salt_equals_plain(spark):
+    from eo_tools_spark.plans.skew import row_salt
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(n),
+                "k": rng.integers(0, 4, n),
+                "v": rng.integers(0, 100, n),
+            }
+        )
+    )
+    plain = {
+        r.k: (r.n, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_agg(
+            df,
+            ["k"],
+            row_salt("id", 5),
+            {"n": F.count(F.lit(1)), "sum_v": F.sum("v")},
+        ).collect()
+    }
+    assert plain == salted
+
+
 def test_salt_is_deterministic(spark):
     df = spark.range(100).select(
         (F.col("id") / 10.0).alias("lon"), (F.col("id") / 20.0).alias("lat")
