@@ -142,9 +142,13 @@ MEDIA_SCHEMA = StructType(
 
 
 def make_video(i: int, seed: int = 42):
-    """One deterministic uncompressed-AVI row — pure in (i, seed):
-    a drifting gradient + per-frame noise, 4-9 frames, odd/even dims
-    to exercise DIB row padding."""
+    """One deterministic AVI row — pure in (i, seed): a drifting
+    gradient + per-frame noise, 4-9 frames, odd/even dims to exercise
+    DIB row padding. Odd ``i`` rows are MJPG streams (round-5 verdict
+    task 3): the returned ground-truth frames are the codec's exact
+    reconstruction (lossless identity for DIB, the deterministic qjpg
+    quantization for MJPG), so decode == truth holds for both."""
+    from eo_tools_spark.functions.imaging import qjpg_decode, qjpg_encode
     from eo_tools_spark.functions.media import encode_avi
 
     rng = np.random.default_rng(
@@ -162,16 +166,22 @@ def make_video(i: int, seed: int = 42):
             np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
         )
     f = np.stack(frames)
+    codec = "MJPG" if i % 2 else "DIB"
+    truth = (
+        f
+        if codec == "DIB"
+        else np.stack([qjpg_decode(qjpg_encode(fr), w, h, 3) for fr in f])
+    )
     return (
         f"vid-{i:08d}",
         "avi",
-        encode_avi(f, fps=10),
+        encode_avi(f, fps=10, codec=codec),
         n,
         h,
         w,
         10,
         f"clip {i} of {n} frames",
-        f,
+        truth,
     )
 
 

@@ -50,6 +50,7 @@ def _chunks(b, off, end):
 def independent_avi(b: bytes) -> np.ndarray:
     assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
     w = h = None
+    compression = None
     frames = []
     for cid, off, size in _chunks(b, 12, len(b)):
         if cid != b"LIST":
@@ -65,8 +66,19 @@ def independent_avi(b: bytes) -> np.ndarray:
                         if c3 == b"strf":
                             bitcount = int.from_bytes(b[o3 + 14:o3 + 16], "little")
                             compression = int.from_bytes(b[o3 + 16:o3 + 20], "little")
-                            assert bitcount == 24 and compression == 0
+                            assert bitcount == 24
+                            assert compression in (0, int.from_bytes(b"MJPG", "little"))
         elif kind == b"movi":
+            if compression == int.from_bytes(b"MJPG", "little"):
+                # independent MJPG/qjpg reconstruction straight from the
+                # documented 6-bit mid-tread law (q*4 + 2), top-down RGB
+                for c2, o2, s2 in _chunks(b, off + 4, off + size):
+                    if c2 == b"00dc":
+                        q = np.frombuffer(b[o2:o2 + s2], dtype=np.uint8)
+                        assert s2 == w * h * 3
+                        img = (q.astype(np.uint16) * 4 + 2).astype(np.uint8)
+                        frames.append(img.reshape(h, w, 3).copy())
+                continue
             stride = (w * 3 + 3) // 4 * 4
             for c2, o2, s2 in _chunks(b, off + 4, off + size):
                 if c2 == b"00db":

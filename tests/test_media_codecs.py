@@ -83,6 +83,90 @@ class TestAvi:
         with pytest.raises(ValueError, match="compression"):
             decode_avi(bytes(b))
 
+
+class TestMjpgAvi:
+    """MJPEG-in-AVI (round-5 verdict task 3): real container layout,
+    per-frame payload codec dispatched on payload magic."""
+
+    def test_mjpg_roundtrip_is_qjpg_quantization(self):
+        from eo_tools_spark.functions.imaging import qjpg_decode, qjpg_encode
+
+        rng = np.random.default_rng(9)
+        for (n, h, w) in [(2, 7, 5), (3, 16, 17), (1, 1, 1)]:
+            f = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+            b = encode_avi(f, fps=25, codec="MJPG")
+            g = decode_avi(b)
+            truth = np.stack([qjpg_decode(qjpg_encode(fr), w, h, 3) for fr in f])
+            assert np.array_equal(g, truth), (n, h, w)
+            # lossy but bounded (6-bit mid-tread: max error 2)
+            assert int(np.abs(g.astype(np.int16) - f.astype(np.int16)).max()) <= 2
+
+    def test_mjpg_container_markers(self):
+        """Pin the container layout: MJPG fccHandler + biCompression,
+        '00dc' chunks (not '00db'), variable-size payloads."""
+        f = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+        b = encode_avi(f, codec="MJPG")
+        i = b.index(b"strh") + 8
+        assert b[i:i + 4] == b"vids" and b[i + 4:i + 8] == b"MJPG"
+        j = b.index(b"strf") + 8 + 16
+        assert b[j:j + 4] == b"MJPG"  # biCompression fourcc
+        assert b.count(b"00dc") == 2 and b"00db" not in b
+
+    def test_mjpg_frames_are_top_down_rgb(self):
+        """Real MJPEG stores frames top-down (JPEG order), unlike the
+        bottom-up BGR DIB path — pin via the qjpg payload bytes."""
+        f = np.zeros((1, 2, 1, 3), dtype=np.uint8)
+        f[0, 0, 0] = (200, 100, 40)   # top row RGB
+        b = encode_avi(f, codec="MJPG")
+        i = b.index(b"00dc") + 8
+        # first stored pixel is the TOP row, RGB order, 6-bit planes
+        assert b[i:i + 3] == bytes([200 >> 2, 100 >> 2, 40 >> 2])
+
+    def test_mjpg_png_payload_decodes_with_real_png_codec(self):
+        from eo_tools_spark.functions.imaging import png_encode
+        from eo_tools_spark.functions.media import _chunk, _list
+
+        rng = np.random.default_rng(3)
+        h, w = 5, 6
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(2)]
+        # build the container by hand with PNG payloads
+        ref = bytearray(encode_avi(np.stack(frames), codec="MJPG"))
+        hdr_start = ref.index(b"LIST")
+        movi_start = ref.index(b"movi") - 8
+        movi = _list(b"movi", b"".join(_chunk(b"00dc", png_encode(fr)) for fr in frames))
+        body = bytes(ref[8:movi_start]) + movi
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        g = decode_avi(b)
+        assert np.array_equal(g, np.stack(frames))  # PNG is lossless
+
+    def test_mjpg_real_jpeg_payload_raises_honest_seam(self):
+        from eo_tools_spark.functions.media import _chunk, _list
+
+        f = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+        ref = bytearray(encode_avi(f, codec="MJPG"))
+        movi_start = ref.index(b"movi") - 8
+        movi = _list(b"movi", _chunk(b"00dc", b"\xff\xd8\xff\xe0fakejpeg"))
+        body = bytes(ref[8:movi_start]) + movi
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError, match="JPEG"):
+            decode_avi(b)
+
+    def test_unrecognized_mjpg_payload_raises(self):
+        from eo_tools_spark.functions.media import _chunk, _list
+
+        f = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+        ref = bytearray(encode_avi(f, codec="MJPG"))
+        movi_start = ref.index(b"movi") - 8
+        movi = _list(b"movi", _chunk(b"00dc", b"\x00\x01\x02"))  # wrong size
+        body = bytes(ref[8:movi_start]) + movi
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="unrecognized MJPG"):
+            decode_avi(b)
+
+    def test_unknown_codec_param_raises(self):
+        with pytest.raises(ValueError, match="codec"):
+            encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), codec="H264")
+
     def test_garbage_raises(self):
         with pytest.raises(ValueError):
             decode_avi(b"RIFFxxxxWAVE")
