@@ -349,6 +349,7 @@ def _register_dual_queries() -> None:
         "minhash_lsh_pairs": (TQ.minhash_lsh_pairs(), ["documents"]),
         "ngram_jaccard_pairs": (TQ.ngram_jaccard_pairs(), ["documents"]),
         "langid": (TQ.langid(), ["documents"]),
+        "langid_mixed": (TQ.langid_mixed(), ["documents"]),
         "quality_score": (TQ.quality_score(), ["documents"]),
         "token_stats": (TQ.token_stats(), ["documents"]),
         "winnow_pairs": (TQ.winnow_pairs(), ["documents"]),

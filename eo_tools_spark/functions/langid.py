@@ -341,6 +341,127 @@ def langid_select(
     )
 
 
+#: default window for per-segment voting: ~20 words carries enough
+#: trigram signal for a confident per-segment pick (the labeled-fixture
+#: sentences are 8-20 words and classify at >=95%)
+SEG_WORDS = 20
+
+
+def langid_segments_select(
+    source: str,
+    text_col: str,
+    id_cols: str,
+    dialect: str,
+    seg_words: int = SEG_WORDS,
+) -> str:
+    """Per-SEGMENT language ID + code-switch detection (round-5 verdict
+    task 8): split each doc into ``seg_words``-word windows, classify
+    every window with the same C&T profile scoring as
+    ``langid_select``, then vote. Output columns:
+
+    - ``lang_pred``: majority language among CONFIDENT segments
+      (votes, then summed score, then name — deterministic); 'und'
+      when no segment is confident;
+    - ``n_segs``: total segments;
+    - ``n_langs``: distinct confident segment languages;
+    - ``mixed``: n_langs >= 2 — the routing flag for code-switched
+      docs (doc-level langid reports the dominant language with
+      conf < margin threshold for such text; this tells the pipeline
+      WHY and lets it route).
+
+    Same dual-dialect contract as ``langid_select`` (the DuckDB form is
+    the driver oracle). Scale shape: pure engine-side set/aggregate
+    expressions; segments explode ~n_words/seg_words rows per doc, the
+    profile maps stay one-row broadcast literals."""
+    S = int(seg_words)
+    id_list = [c.strip() for c in id_cols.split(",")]
+    using = ", ".join(id_list)
+    score_arr = _arr_cols(
+        [lang_score("tg", lang, dialect) for lang in LANGS], dialect
+    )
+    langs_arr = _arr(LANGS, dialect)
+    # nseg = floor(words / S) (min 1): a sub-S-word TAIL folds into the
+    # last full segment instead of voting on its own — a 3-word tail
+    # carries too little trigram signal and misfires (measured: a pure-
+    # English doc's "about their summer" tail voted 'da' and tripped
+    # the mixed flag)
+    if dialect == "spark":
+        squeeze = f"trim(regexp_replace({_norm(text_col)}, ' +', ' '))"
+        ws_expr = f"split({squeeze}, ' ')"
+        nseg_expr = f"greatest(CAST(floor(size(ws) / {S}.0) AS INT), 1)"
+        gen = f"explode(sequence(0, nseg - 1)) AS i"
+        seg_len = f"CASE WHEN i = nseg - 1 THEN 1000000000 ELSE {S} END"
+        seg_txt = (
+            f"concat(' ', array_join(slice(ws, i * {S} + 1, {seg_len}), ' '), ' ')"
+        )
+        sorted_arr = "sort_array(sarr, false)"
+        el1, el2 = "element_at(ss, 1)", "element_at(ss, 2)"
+        idx = "CAST(array_position(sarr, best) AS INT)"
+        pick = f"element_at({langs_arr}, idx)"
+        nlen = "length(nn)"
+    else:
+        squeeze = f"trim(regexp_replace({_norm(text_col)}, ' +', ' ', 'g'))"
+        ws_expr = f"string_split({squeeze}, ' ')"
+        nseg_expr = f"greatest(CAST(floor(len(ws) * 1.0 / {S}) AS INT), 1)"
+        gen = "unnest(range(0, nseg)) AS i"
+        seg_end = f"CASE WHEN i = nseg - 1 THEN 1000000000 ELSE i * {S} + {S} END"
+        seg_txt = (
+            f"concat(' ', array_to_string("
+            f"list_slice(ws, i * {S} + 1, {seg_end}), ' '), ' ')"
+        )
+        sorted_arr = "list_sort(sarr, 'DESC')"
+        el1, el2 = "ss[1]", "ss[2]"
+        idx = "CAST(list_position(sarr, best) AS INT)"
+        pick = f"({langs_arr})[idx]"
+        nlen = "len(nn)"
+    und = (
+        f"nlen < {MIN_LEN} OR best < {MIN_BEST} OR "
+        f"(best - second) * {MIN_MARGIN_DEN} < best * {MIN_MARGIN_NUM}"
+    )
+    seg_scored = (
+        f"SELECT {id_cols}, i, "
+        f"CASE WHEN {und} THEN 'und' ELSE {pick} END AS seg_lang, best "
+        "FROM ("
+        f"SELECT {id_cols}, i, nlen, best, second, {idx} AS idx FROM ("
+        f"SELECT {id_cols}, i, nlen, sarr, {el1} AS best, {el2} AS second FROM ("
+        f"SELECT {id_cols}, i, nlen, sarr, {sorted_arr} AS ss FROM ("
+        f"SELECT {id_cols}, i, nlen, {score_arr} AS sarr FROM ("
+        f"SELECT {id_cols}, i, CAST({nlen} AS BIGINT) AS nlen, "
+        f"{doc_grams('nn', dialect)} AS tg FROM ("
+        f"SELECT {id_cols}, i, {seg_txt} AS nn FROM ("
+        f"SELECT {id_cols}, ws, nseg, {gen} FROM ("
+        f"SELECT {id_cols}, ws, {nseg_expr} AS nseg FROM ("
+        f"SELECT {id_cols}, {ws_expr} AS ws FROM {source}"
+        ") t_w0) t_ws) t_i) t_seg) t_tg "
+        f"CROSS JOIN (SELECT {profile_maps(dialect)}) t_profs"
+        ") t_sc) t_arr) t_bs) t_out"
+    )
+    return (
+        f"WITH segs AS ({seg_scored}), "
+        "per_lang AS ("
+        f"SELECT {id_cols}, seg_lang, COUNT(*) AS votes, SUM(best) AS lscore "
+        f"FROM segs WHERE seg_lang <> 'und' GROUP BY {id_cols}, seg_lang), "
+        "ranked AS ("
+        "SELECT *, ROW_NUMBER() OVER ("
+        f"PARTITION BY {id_cols} "
+        "ORDER BY votes DESC, lscore DESC, seg_lang ASC) AS rn FROM per_lang), "
+        "tot AS ("
+        f"SELECT {id_cols}, CAST(COUNT(*) AS INT) AS n_segs "
+        f"FROM segs GROUP BY {id_cols}), "
+        "nl AS ("
+        f"SELECT {id_cols}, CAST(COUNT(*) AS INT) AS n_langs "
+        f"FROM per_lang GROUP BY {id_cols}) "
+        f"SELECT {using}, "
+        "coalesce(lang_pred, 'und') AS lang_pred, n_segs, "
+        "coalesce(n_langs, 0) AS n_langs, "
+        "CAST(coalesce(n_langs, 0) >= 2 AS BOOLEAN) AS mixed "
+        "FROM tot "
+        f"LEFT JOIN (SELECT {id_cols}, seg_lang AS lang_pred "
+        f"FROM ranked WHERE rn = 1) r USING ({using}) "
+        f"LEFT JOIN nl USING ({using})"
+    )
+
+
 def profile_maps(dialect: str) -> str:
     return ", ".join(
         f"{profile_map(lang, dialect)} AS m_{lang}" for lang in LANGS

@@ -25,9 +25,34 @@ import numpy as np
 C0 = 299792458.0
 
 
+#: per-call output budget for the LOCAL coregister kernel: a full S1
+#: burst LUT (~1500 × 25000 ≈ 37M px) exceeds this on purpose — the
+#: local kernel keeps a per-quad Python loop and exists as the per-tile
+#: oracle / small-burst path; anything bigger belongs on the
+#: distributed ``coreg_project`` (28× batched quad kernel, halo
+#: explode, 2 bounded shuffles).
+MAX_LOCAL_COREG_PIXELS = 16_000_000
+
+
 def coregister(azp, rgp, azs, rgs, naz: int, nrg: int):
     """Returns (az_s2p, rg_s2p) of shape (naz, nrg), NaN where no DEM
-    triangle covers the pixel."""
+    triangle covers the pixel.
+
+    LOCAL kernel — per-tile oracle and small-burst path ONLY: the quad
+    loop is per-quad Python, fine inside a tile-sized UDF but ~28×
+    slower than the batched kernel for a full burst. For anything
+    beyond one small burst use ``coreg_project`` (the distributed
+    path: JVM-side halo explode, batched quad kernel, map-side-partial
+    max_by reduce — same row-major later-quads-win semantics,
+    pytest-pinned block-size invariance). Raises when the output grid
+    exceeds ``MAX_LOCAL_COREG_PIXELS`` to stop accidental full-scene
+    use (round-5 verdict task 7)."""
+    if naz * nrg > MAX_LOCAL_COREG_PIXELS:
+        raise ValueError(
+            f"coregister: {naz}x{nrg} output exceeds the local-kernel "
+            f"budget ({MAX_LOCAL_COREG_PIXELS} px) — use the distributed "
+            "coreg_project for full bursts/scenes"
+        )
     az_out = np.full((naz, nrg), np.nan)
     rg_out = np.full((naz, nrg), np.nan)
     nl, nc = azp.shape

@@ -144,6 +144,20 @@ def langid() -> tuple[str, str]:
     return build("spark"), build("duck")
 
 
+def langid_mixed() -> tuple[str, str]:
+    """Per-SEGMENT language-ID + code-switch flag over documents
+    (functions/langid.langid_segments_select, round-5 verdict task 8):
+    20-word windows voted per doc → majority lang_pred, n_segs,
+    n_langs, mixed. Same integer scoring as ``langid`` → exact
+    cross-engine parity."""
+    from eo_tools_spark.functions.langid import langid_segments_select
+
+    def build(d: str) -> str:
+        return langid_segments_select("documents", "text", "doc_id", d)
+
+    return build("spark"), build("duck")
+
+
 def quality_score() -> tuple[str, str]:
     def build(d: str) -> str:
         cols = ", ".join(

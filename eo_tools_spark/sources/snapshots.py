@@ -426,7 +426,17 @@ class SnapshotTable:
             f"{self.path}/data/{self._dir_name(self._load_cached(os.path.basename(p)))}"
             for _, p in files
         ]
-        return self.spark.read.parquet(*paths).drop("_pid")
+        # basePath anchors partition discovery at data/: without it,
+        # TWO committed batches that are themselves Hive-partitioned
+        # (e.g. the IVF index's cell=N dirs after an incremental
+        # append) make Spark infer conflicting directory structures.
+        # The synthetic `batch` partition column this introduces is an
+        # internal detail — dropped like _pid.
+        return (
+            self.spark.read.option("basePath", f"{self.path}/data")
+            .parquet(*paths)
+            .drop("_pid", "batch")
+        )
 
     def lineage(self) -> DataFrame:
         paths = [

@@ -166,8 +166,17 @@ def stream_images_to_snapshots(
     aois: dict,
     checkpoint_dir: str,
     available_now: bool = True,
+    post_commit_hook=None,
 ):
-    """Start the stream; returns the StreamingQuery."""
+    """Start the stream; returns the StreamingQuery.
+
+    ``post_commit_hook(epoch_id)`` is a failure-injection seam invoked
+    AFTER the snapshot commit and BEFORE Spark records the epoch in the
+    streaming checkpoint — raising from it simulates the torn-epoch
+    crash window (sink committed, checkpoint not). On restart Spark
+    replays the epoch with the SAME id and the snapshot layer's
+    idempotent batch-id skip keeps the output exactly-once
+    (pytest-pinned in test_streaming)."""
     from eo_tools_spark.functions.spatial import tile_id_col
     from eo_tools_spark.operators.spatial_join import aoi_point_join, build_aoi_cover
 
@@ -187,6 +196,8 @@ def stream_images_to_snapshots(
             joined.select("image_id", "aoi_id", "dem_tile_id", "lon", "lat"),
             f"epoch={epoch_id:08d}",
         )
+        if post_commit_hook is not None:
+            post_commit_hook(epoch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -28,6 +28,22 @@ class TestCoregister:
         np.testing.assert_allclose(az_out[cov], ai.astype(float), atol=1e-9)
         np.testing.assert_allclose(rg_out[cov], ri.astype(float), atol=1e-9)
 
+    def test_local_kernel_budget_guard(self):
+        """Round-5 verdict task 7: the LOCAL per-quad-loop kernel must
+        refuse full-burst/scene grids and steer callers to the
+        distributed coreg_project."""
+        import pytest
+
+        from eo_tools_spark.operators.coreg import MAX_LOCAL_COREG_PIXELS
+
+        g = np.mgrid[0:4, 0:4]
+        azp, rgp = g[0].astype(float), g[1].astype(float)
+        naz = MAX_LOCAL_COREG_PIXELS // 1000 + 1
+        with pytest.raises(ValueError, match="coreg_project"):
+            coregister(azp, rgp, azp, rgp, naz, 1000)
+        # a full S1 burst LUT (~1500 x 25000) is over budget by design
+        assert 1500 * 25000 > MAX_LOCAL_COREG_PIXELS
+
     def test_constant_offset(self):
         """Secondary shifted by (+2, +3) → projected coords = primary
         + (2, 3) wherever covered (linear function reproduced exactly

@@ -88,6 +88,67 @@ class TestLangid:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def _mixed_eval_pdf(self):
+        """Labeled code-switch corpus: for every language a pure
+        3-sentence doc (is_mixed=False) and for every adjacent language
+        pair a 2+2-sentence doc (is_mixed=True)."""
+        langs = list(SENTENCES)
+        rows, i = [], 0
+        for lang in langs:
+            rows.append((i, " ".join(SENTENCES[lang][:3]), False))
+            i += 1
+        for a, b in zip(langs, langs[1:] + langs[:1]):
+            rows.append(
+                (i, " ".join(SENTENCES[a][:2] + SENTENCES[b][2:4]), True)
+            )
+            i += 1
+        return pd.DataFrame(rows, columns=["doc_id", "text", "is_mixed"])
+
+    def test_segment_mixed_flag_precision(self):
+        """Round-5 verdict task 8: the per-segment voting path must
+        flag code-switched docs with precision >= 0.9 on the labeled
+        fixture (measured 1.0; recall misses are the unsegmented CJK
+        scripts, where space-windowing has no words to window —
+        documented limitation)."""
+        pdf = self._mixed_eval_pdf()
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        out = con.sql(
+            L.langid_segments_select("docs", "text", "doc_id", "duck", seg_words=12)
+        ).df()
+        m = pdf.merge(out, on="doc_id")
+        tp = int(((m.is_mixed) & (m.mixed)).sum())
+        fp = int(((~m.is_mixed) & (m.mixed)).sum())
+        fn = int(((m.is_mixed) & (~m.mixed)).sum())
+        assert tp / max(tp + fp, 1) >= 0.9, m[(~m.is_mixed) & (m.mixed)]
+        assert tp / max(tp + fn, 1) >= 0.8  # CJK misses allowed
+        # pure docs keep a confident majority prediction
+        pure = m[~m.is_mixed]
+        assert (pure.n_langs <= 1).mean() >= 0.9
+
+    def test_segment_spark_duckdb_exact_parity(self, spark):
+        """langid_mixed driver-query gate in miniature: spark dialect
+        == duck dialect row-for-row (integer scoring → exact)."""
+        pdf = self._mixed_eval_pdf()
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        duck = con.sql(
+            L.langid_segments_select("docs", "text", "doc_id", "duck")
+        ).df()
+        spark.createDataFrame(pdf).createOrReplaceTempView("segdocs")
+        sp = spark.sql(
+            L.langid_segments_select("segdocs", "text", "doc_id", "spark")
+        ).toPandas()
+        cols = ["doc_id", "lang_pred", "n_segs", "n_langs", "mixed"]
+        a = sp[cols].sort_values("doc_id").reset_index(drop=True)
+        b = (
+            duck[cols]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype(a.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(a, b)
+
     def test_profiles_deterministic(self):
         assert L.build_profiles() == L.PROFILES
 

@@ -131,6 +131,56 @@ def test_stream_equals_batch(spark, tmp_path):
     assert {(r.image_id, r.aoi_id) for r in table.read().collect()} == exp
 
 
+def test_stream_torn_epoch_exactly_once(spark, tmp_path):
+    """Round-5 verdict task 6: crash in the window AFTER the snapshot
+    commit but BEFORE the streaming checkpoint records the epoch (the
+    classic torn-epoch double-write hazard). On restart Spark replays
+    the epoch with the same id; the snapshot layer's idempotent
+    batch-id skip must yield exactly-once rows == the batch oracle."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    images_table(spark, 300, partitions=3).write.parquet(src)
+    table = SnapshotTable(spark, str(tmp_path / "snap"))
+
+    crashed = []
+
+    def bomb(epoch_id):
+        crashed.append(epoch_id)
+        raise RuntimeError("torn epoch: killed before checkpoint commit")
+
+    q = stream_images_to_snapshots(
+        spark, src, IMAGE_SCHEMA, table,
+        aoi_rings(), str(tmp_path / "ckpt"), available_now=True,
+        post_commit_hook=bomb,
+    )
+    with pytest.raises(StreamingQueryException, match="torn epoch"):
+        q.awaitTermination(300)
+    assert set(crashed) == {0}
+    # the sink already holds epoch 0 (commit happened before the crash)
+    assert table.committed_batches() == ["epoch=00000000"]
+
+    # restart with the SAME checkpoint, no bomb: Spark replays epoch 0,
+    # the snapshot layer skips the already-committed batch id
+    q2 = stream_images_to_snapshots(
+        spark, src, IMAGE_SCHEMA, table,
+        aoi_rings(), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(300)
+
+    from eo_tools_spark.operators.spatial_join import aoi_point_join
+
+    exp = {(r.image_id, r.aoi_id) for r in aoi_point_join(
+        spark.read.parquet(src), aoi_rings()
+    ).collect()}
+    rows = table.read().select("image_id", "aoi_id").collect()
+    assert len(rows) == len(exp) > 0  # no duplicates (multiset equality)
+    assert {(r.image_id, r.aoi_id) for r in rows} == exp
+    # the replay committed under the SAME batch id — no shadow batch
+    assert table.committed_batches() == ["epoch=00000000"]
+
+
 def test_stream_exact_dedup(spark, tmp_path, sf_dir):
     """Streaming dedup emits each distinct text once across
     micro-batches; survivors are a superset-exact match of the batch
