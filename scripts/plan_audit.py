@@ -432,6 +432,138 @@ def main() -> int:
     )
     checks.append(c)
 
+    # ---- q15b APPENDED index: pruning must survive the multi-batch
+    # snapshot read (round-6: append_to_ivf_index + the basePath fix)
+    from eo_tools_spark.operators.similarity import append_to_ivf_index
+
+    idx_path = tempfile.mkdtemp(prefix="plan_audit_ivf_app_")
+    try:
+        half_a = emb.where(F.col("vec_id") % 2 == 0)
+        half_b = emb.where(F.col("vec_id") % 2 == 1)
+        build_ivf_index(half_a, idx_path, ncells=16)
+        append_to_ivf_index(half_b, idx_path, "audit-append")
+        qpdf = (
+            emb.where(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .toPandas()
+        )
+        q15b = ivf_topk_pruned(spark, idx_path, qpdf, k=10, nprobe=3)
+        c = Check(
+            "q15b pruned ANN over an INCREMENTALLY APPENDED index",
+            q15b,
+            "after append_to_ivf_index the snapshot read spans TWO "
+            "batch directories (basePath-anchored); the probed-cell "
+            "partition filter must still prune at the file level — "
+            "losing pruning on append would silently regress the 100 TB "
+            "path back to a full scan.",
+        )
+        C_ = load_ivf_centroids(idx_path)
+        Qm = _normalize(
+            np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        )
+        probe_union = sorted(
+            {int(x) for row in np.argsort(-(Qm @ C_.T), axis=1)[:, :3] for x in row}
+        )
+        m = re.search(
+            r"PartitionFilters: \[.*cell#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+))",
+            c.plan,
+        )
+        filter_cells = (
+            sorted(int(x) for x in (m.group(1) or m.group(2)).replace(" ", "").split(","))
+            if m
+            else None
+        )
+        c.expect("appended-index scan still carries a cell PartitionFilter", m is not None)
+        c.expect(
+            "partition filter is EXACTLY the probe-cell set",
+            filter_cells == probe_union,
+            f"filter cells = {filter_cells}, probes = {probe_union}",
+        )
+        # file-level proof via the EXECUTED scan's numFiles metric
+        # (inputFiles() reports the relation's full file list and
+        # ignores partition filters — it cannot prove pruning)
+        import glob
+
+        from eo_tools_spark.operators.similarity import ivf_probed_scan
+
+        scan = ivf_probed_scan(spark, idx_path, set(probe_union))
+        scan.collect()
+        ep = scan._jdf.queryExecution().executedPlan()
+
+        def find_scan(node):
+            if node.nodeName().startswith("Scan"):
+                return node
+            for i in range(node.children().size()):
+                r = find_scan(node.children().apply(i))
+                if r is not None:
+                    return r
+            return None
+
+        metrics = {}
+        it = find_scan(ep).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+
+        def files_under(cells):
+            return [
+                f
+                for cell in cells
+                for f in glob.glob(f"{idx_path}/data/batch=*/cell={cell}/*.parquet")
+            ]
+
+        n_probed = len(files_under(probe_union))
+        n_all = len(files_under(range(16)))
+        c.expect(
+            "executed scan opened ONLY the probed cells' files (numFiles metric)",
+            metrics.get("numFiles") == n_probed and n_probed < n_all,
+            f"numFiles = {metrics.get('numFiles')}, probed-cell files = "
+            f"{n_probed}, whole index = {n_all}",
+        )
+        c.expect(
+            "both the build and the appended batch contribute files",
+            len({re.search(r"batch=([^/]+)", f).group(1) for f in files_under(probe_union)}) == 2,
+        )
+        # the appended rows are reachable through the pruned scan
+        got_rows = ivf_topk_pruned(spark, idx_path, qpdf, k=10, nprobe=16).count()
+        c.expect("full-probe query sees build+append rows", got_rows == 4 * 10)
+        checks.append(c)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+    # ---- q18 langid_mixed: per-segment voting stays pure Catalyst
+    from eo_tools_spark.operators.text_queries import langid_mixed
+
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    q18 = spark.sql(langid_mixed()[0])
+    c = Check(
+        "q18 langid_mixed per-segment voting",
+        q18,
+        "segment explode, trigram scoring against 26 profile-map "
+        "literals, window vote, and the mixed flag are ALL engine-side "
+        "expressions — zero Python; the profile maps are plan "
+        "constants, so nothing broadcasts per row and the only "
+        "exchanges are the per-doc aggregations/joins.",
+    )
+    c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+    c.expect("no Arrow stage either (pure Catalyst)", not c.has(r"MapInPandas"))
+    c.expect("segment explode is JVM-side", c.has(r"Generate") )
+    c.expect(
+        "documents scan prunes to (doc_id, text)",
+        c.has(r"ReadSchema: struct<doc_id:[a-z]+,text:string>"),
+    )
+    # codegen markers are `*(n)` on the executed plan (see q1 note)
+    q18.collect()
+    executed18 = q18._jdf.queryExecution().executedPlan().toString()
+    c.expect(
+        "whole-stage codegen spans the scoring stage (executed plan)",
+        re.search(r"\*\(\d+\) (Project|HashAggregate|Generate)", executed18)
+        is not None,
+    )
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
