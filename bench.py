@@ -1115,9 +1115,12 @@ if __name__ == "__main__":
         # and Spark stage-progress lines have pushed the head of this
         # JSON out of it before (BENCH_r05.json committed with
         # "parsed": null). The file write makes the artifact durable
-        # regardless of stdout noise.
-        here = os.path.dirname(os.path.abspath(__file__))
-        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
-        with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
-            json.dump(result, f, indent=1)
+        # regardless of stdout noise. Scaling children (flagship-only
+        # subprocesses of --scaling) must NOT clobber the full-suite
+        # sidecar — their results live in BENCH/BASELINE.md.
+        if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") != "1":
+            here = os.path.dirname(os.path.abspath(__file__))
+            os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+            with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
+                json.dump(result, f, indent=1)
         print(json.dumps(result))

@@ -411,9 +411,22 @@ def append_to_ivf_index(
     t = SnapshotTable(spark, path)
     if _IVF_BATCH not in t.committed_batches():
         raise ValueError(f"no committed IVF index at {path}")
+    from pyspark.sql.types import ArrayType
+
+    if not isinstance(emb_df.schema[emb_col].dataType, ArrayType):
+        raise ValueError(
+            f"append batch column {emb_col!r} must be array<float/double> "
+            f"(got {emb_df.schema[emb_col].dataType.simpleString()}) — "
+            "pass the raw vectors, not an already-packed frame"
+        )
     sample = _deterministic_sample(emb_df, sample_rows, id_col, emb_col)
     if sample is None:
         raise ValueError("cannot append an empty batch to an IVF index")
+    if sample.shape[1] != C.shape[1]:
+        raise ValueError(
+            f"append batch dimension {sample.shape[1]} != index "
+            f"dimension {C.shape[1]}"
+        )
     new_mean = float(
         np.max(_normalize(sample.astype(np.float64)) @ C.T, axis=1).mean()
     )

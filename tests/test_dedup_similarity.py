@@ -521,6 +521,20 @@ class TestIvfAppend:
         # missing index refuses
         with pytest.raises(FileNotFoundError):
             append_to_ivf_index(B, str(tmp_path / "nope"), "batch-d")
+        # dimension mismatch refuses loudly (not a deep numpy error)
+        bad = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [1, 2], "embedding": [[0.1] * 16, [0.2] * 16]}
+            )
+        )
+        with pytest.raises(ValueError, match="dimension"):
+            append_to_ivf_index(bad, path, "batch-e")
+        # packed/non-array batch refuses loudly
+        packed = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [b"\x00" * 128]})
+        )
+        with pytest.raises(ValueError, match="array"):
+            append_to_ivf_index(packed, path, "batch-f")
 
     def test_drift_recommends_rebuild_on_shifted_distribution(self, spark, tmp_path):
         """Clustered corpus around 4 axis directions → base anchor
