@@ -26,6 +26,12 @@ Layout notes that the tests pin:
   NotImplementedError seam), PNG decodes with the package's real PNG
   decoder, and the repo's clearly-marked qjpg stand-in covers the
   no-codec-libs container (see _decode_mjpg_frame).
+- MP4/ISO BMFF (round-6 codec breadth): big-endian box tree, sample
+  locations reconstructed from stsc (sample→chunk runs) + stco/co64
+  (chunk offsets) + stsz (sizes); 'jpeg'/'mjpa' visual sample entries
+  decode via the same payload dispatch as MJPG; AVC/HEVC/VP9/AV1
+  bitstreams raise NotImplementedError (mp4_meta still parses them —
+  the metadata/slicing path needs no codec).
 """
 
 from __future__ import annotations
@@ -243,6 +249,308 @@ def decode_avi(b: bytes) -> np.ndarray:
                         frames.append(dib[::-1, :, ::-1])  # top-down RGB
     if w is None or not frames:
         raise ValueError("missing hdrl/movi")
+    return np.stack(frames)
+
+
+# ------------------------------------------------------------------ MP4
+#
+# ISO base media file format (ISO/IEC 14496-12 — the public "MP4" box
+# layout every phone/camera emits). Frames live as opaque samples in
+# 'mdat'; the sample table in moov/trak/mdia/minf/stbl locates them:
+# stsc maps samples→chunks, stco/co64 holds chunk file offsets, stsz
+# per-sample byte sizes, stts timing. The decoder reconstructs the
+# (offset, size) list from those four tables — the part a 100 TB engine
+# must get right to slice video without a codec — and then dispatches
+# per-sample payloads exactly like MJPG-in-AVI ('jpeg'/'mjpa' visual
+# sample entries are per-frame JPEG-family payloads; AVC/HEVC/VP9/AV1
+# bitstreams honestly raise until a codec library is available).
+
+#: visual sample entry fourccs whose samples are self-contained
+#: JPEG-family frames (decodable via _decode_mjpg_frame)
+_MP4_JPEG_FOURCC = (b"jpeg", b"mjpa")
+#: recognized-but-undecodable bitstream codecs (need a real decoder)
+_MP4_BITSTREAM_FOURCC = (b"avc1", b"avc3", b"hvc1", b"hev1", b"mp4v",
+                         b"vp09", b"av01")
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+#: identity transform matrix (16.16 / 2.30 fixed point per the spec)
+_MP4_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4(
+    frames: np.ndarray,
+    fps: int = 10,
+    samples_per_chunk: int = 2,
+    codec: str = "jpeg",
+) -> bytes:
+    """Minimal spec-valid ISO BMFF file: ``frames`` uint8 (n, h, w, 3)
+    RGB as per-sample JPEG-family payloads (this repo's qjpg stand-in —
+    see encode_avi's MJPG notes; the CONTAINER layout is the real
+    thing). Layout: ftyp + mdat + moov (sample table referencing
+    absolute mdat offsets, samples grouped ``samples_per_chunk`` per
+    chunk so stsc carries real run-length entries, not the degenerate
+    one-chunk case)."""
+    from eo_tools_spark.functions.imaging import qjpg_encode
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) RGB uint8")
+    if codec != "jpeg":
+        raise ValueError(f"unsupported MP4 codec {codec!r} (jpeg only)")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
+    n, h, w, _ = f.shape
+    payloads = [qjpg_encode(f[i]) for i in range(n)]
+    sizes = [len(p) for p in payloads]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat = _box(b"mdat", b"".join(payloads))
+
+    # chunk layout: absolute offsets into the file (mdat body starts
+    # right after ftyp + the 8-byte mdat header)
+    mdat_body = len(ftyp) + 8
+    chunk_offsets, chunk_sizes = [], []
+    for s0 in range(0, n, samples_per_chunk):
+        chunk_offsets.append(mdat_body + sum(sizes[:s0]))
+        chunk_sizes.append(min(samples_per_chunk, n - s0))
+    # stsc run-length entries: (first_chunk, samples_per_chunk, desc_id)
+    stsc_entries = []
+    for ci, spc in enumerate(chunk_sizes, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((ci, spc, 1))
+
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)      # reserved, dref index
+        + b"\x00" * 16                            # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)  # 72dpi, 1 fpS
+        + b"\x00" * 32                            # compressorname
+        + struct.pack(">Hh", 24, -1)              # depth, pre_defined
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    stco = _fullbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _fullbox(b"url ", 0, 1, b"")            # flag 1: self-contained
+    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    # media timescale = fps, sample delta = 1 → duration = n exactly
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fullbox(
+        b"tkhd", 0, 3,  # enabled + in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)
+        + struct.pack(">IH", 0x10000, 0x100)      # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + _MP4_MATRIX
+        + b"\x00" * 24                            # pre_defined[6]
+        + struct.pack(">I", 2),                   # next track id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(b: bytes, off: int, end: int):
+    """Yield (fourcc, body_start, body_end) over a box sequence.
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", b[off:off + 4])
+        btype = b[off + 4:off + 8]
+        body = off + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", b[off + 8:off + 16])
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off:
+            raise ValueError(f"corrupt box {btype!r}: size {size}")
+        yield btype, body, off + size
+        off += size
+
+
+def _child(b: bytes, off: int, end: int, btype: bytes):
+    for t, s, e in _walk_boxes(b, off, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """Box-tree walk → the video track's codec fourcc, dimensions,
+    timing, and the reconstructed per-sample (offset, size) list."""
+    if len(b) < 12 or _child(b, 0, len(b), b"ftyp") is None:
+        raise ValueError("not an ISO BMFF (MP4) stream")
+    moov = _child(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for t, s, e in _walk_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _child(b, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _child(b, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak missing mdhd")
+        version = b[mdhd[0]]
+        if version == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", b[mdhd[0] + 20:mdhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", b[mdhd[0] + 12:mdhd[0] + 20]
+            )
+        minf = _child(b, *mdia, b"minf")
+        stbl = _child(b, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("video trak missing minf/stbl")
+        stsd = _child(b, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("sample table missing stsd")
+        # first sample entry: its own box header carries the codec
+        entry_off = stsd[0] + 8
+        fourcc = b[entry_off + 4:entry_off + 8]
+        w, h = struct.unpack(">HH", b[entry_off + 32:entry_off + 36])
+
+        stsz = _child(b, *stbl, b"stsz")
+        stsc = _child(b, *stbl, b"stsc")
+        stco = _child(b, *stbl, b"stco")
+        co64 = _child(b, *stbl, b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("sample table missing stsz/stsc/stco")
+        uniform, n_samples = struct.unpack(">II", b[stsz[0] + 4:stsz[0] + 12])
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(
+                struct.unpack(f">{n_samples}I",
+                              b[stsz[0] + 12:stsz[0] + 12 + 4 * n_samples])
+            )
+        (n_ent,) = struct.unpack(">I", b[stsc[0] + 4:stsc[0] + 8])
+        stsc_entries = [
+            struct.unpack(">III", b[stsc[0] + 8 + 12 * i:stsc[0] + 20 + 12 * i])
+            for i in range(n_ent)
+        ]
+        if stco is not None:
+            (n_ch,) = struct.unpack(">I", b[stco[0] + 4:stco[0] + 8])
+            offs = struct.unpack(
+                f">{n_ch}I", b[stco[0] + 8:stco[0] + 8 + 4 * n_ch]
+            )
+        else:
+            (n_ch,) = struct.unpack(">I", b[co64[0] + 4:co64[0] + 8])
+            offs = struct.unpack(
+                f">{n_ch}Q", b[co64[0] + 8:co64[0] + 8 + 8 * n_ch]
+            )
+
+        # expand stsc runs: entry i applies from its first_chunk until
+        # the next entry's first_chunk (1-based, per the spec)
+        samples = []
+        si = 0
+        for ci in range(1, n_ch + 1):
+            spc = 0
+            for first, per, _desc in stsc_entries:
+                if first <= ci:
+                    spc = per
+                else:
+                    break
+            within = 0
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                samples.append((offs[ci - 1] + within, sizes[si]))
+                within += sizes[si]
+                si += 1
+        if si != n_samples:
+            raise ValueError(
+                f"sample table inconsistent: located {si} of {n_samples}"
+            )
+        return {
+            "codec": fourcc.decode("latin1"),
+            "width": int(w),
+            "height": int(h),
+            "n_samples": int(n_samples),
+            "timescale": int(timescale),
+            "duration": int(duration),
+            "samples": samples,
+        }
+    raise ValueError("MP4 has no video track")
+
+
+def mp4_meta(b: bytes) -> dict:
+    """Container metadata WITHOUT decoding — works for any recognized
+    codec including bitstream ones (avc1/hvc1/...) whose frames this
+    repo cannot decode. At scale this is the cheap path: slice the
+    sample table, never touch pixel data."""
+    m = _parse_mp4(b)
+    return {k: m[k] for k in
+            ("codec", "width", "height", "n_samples", "timescale", "duration")}
+
+
+def decode_mp4(b: bytes) -> np.ndarray:
+    """→ uint8 (n, h, w, 3) RGB frames from an ISO BMFF file whose
+    video track carries JPEG-family samples ('jpeg'/'mjpa' — per-frame
+    self-contained payloads, same dispatch as MJPG-in-AVI). Bitstream
+    codecs (AVC/HEVC/VP9/AV1) raise NotImplementedError with the parsed
+    metadata — the container walk is real; the codec seam is honest."""
+    m = _parse_mp4(b)
+    fourcc = m["codec"].encode("latin1")
+    if fourcc in _MP4_BITSTREAM_FOURCC:
+        raise NotImplementedError(
+            f"MP4 codec {m['codec']!r} needs a bitstream decoder "
+            f"(no codec libs in this container); parsed metadata: "
+            f"{m['width']}x{m['height']}, {m['n_samples']} samples"
+        )
+    if fourcc not in _MP4_JPEG_FOURCC:
+        raise ValueError(f"unrecognized MP4 video codec {m['codec']!r}")
+    w, h = m["width"], m["height"]
+    frames = [
+        _decode_mjpg_frame(b[o:o + s], w, h) for o, s in m["samples"]
+    ]
+    if not frames:
+        raise ValueError("MP4 video track has zero samples")
     return np.stack(frames)
 
 

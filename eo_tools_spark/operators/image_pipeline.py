@@ -196,12 +196,13 @@ def phash_neardup(
 
 AUDIO_VIDEO_NOTE = (
     "decode implemented for RIFF containers (uncompressed AVI '00db' "
-    "DIB video, PCM16 WAV audio — functions/media.py, pure numpy); "
+    "DIB + MJPG video, PCM16 WAV audio) and ISO BMFF/MP4 with "
+    "JPEG-family samples (functions/media.py, pure numpy); "
     "other formats raise until a codec is available."
 )
 
 #: formats frame_sample can decode (fmt column values)
-DECODABLE_VIDEO = ("avi",)
+DECODABLE_VIDEO = ("avi", "mp4")
 DECODABLE_AUDIO = ("wav",)
 
 
@@ -219,8 +220,9 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     from pyspark.sql.types import BinaryType
 
-    from eo_tools_spark.functions.media import decode_avi
+    from eo_tools_spark.functions.media import decode_avi, decode_mp4
 
+    decoders = {"avi": decode_avi, "mp4": decode_mp4}
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -237,11 +239,11 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                if r.fmt not in DECODABLE_VIDEO:
+                if r.fmt not in decoders:
                     raise NotImplementedError(
                         f"video fmt {r.fmt!r}: {AUDIO_VIDEO_NOTE}"
                     )
-                frames = decode_avi(bytes(r.bytes))
+                frames = decoders[r.fmt](bytes(r.bytes))
                 for fi in range(0, frames.shape[0], every_n):
                     f = frames[fi]
                     out.append(

@@ -25,7 +25,11 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from eo_tools_spark.functions.media import decode_avi, decode_wav  # noqa: E402
+from eo_tools_spark.functions.media import (  # noqa: E402
+    decode_avi,
+    decode_mp4,
+    decode_wav,
+)
 from eo_tools_spark.sources.synthetic import make_audio, make_video  # noqa: E402
 
 N_VIDEO = 40
@@ -102,15 +106,119 @@ def independent_wav(b: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+# --------------------- independent ISO BMFF parser (no shared code)
+
+def _boxes(b, lo, hi):
+    """(fourcc, payload_lo, payload_hi) over one box level — written
+    straight from ISO/IEC 14496-12 §4.2, sharing nothing with
+    functions/media.py."""
+    out = []
+    p = lo
+    while p + 8 <= hi:
+        sz = int.from_bytes(b[p:p + 4], "big")
+        four = b[p + 4:p + 8].decode("latin1")
+        body = p + 8
+        if sz == 1:
+            sz = int.from_bytes(b[p + 8:p + 16], "big")
+            body = p + 16
+        elif sz == 0:
+            sz = hi - p
+        out.append((four, body, p + sz))
+        p += sz
+    return out
+
+
+def _descend(b, lo, hi, path):
+    for name in path:
+        hit = [x for x in _boxes(b, lo, hi) if x[0] == name]
+        assert hit, f"missing {name}"
+        _, lo, hi = hit[0]
+    return lo, hi
+
+
+def independent_mp4(b: bytes) -> np.ndarray:
+    assert any(f == "ftyp" for f, _, _ in _boxes(b, 0, len(b)))
+    moov = _descend(b, 0, len(b), ["moov"])
+    vide = None
+    for f, lo, hi in _boxes(b, *moov):
+        if f != "trak":
+            continue
+        mdia = _descend(b, lo, hi, ["mdia"])
+        h_lo, _ = _descend(b, *mdia, ["hdlr"])
+        if b[h_lo + 8:h_lo + 12] == b"vide":
+            vide = mdia
+    assert vide is not None, "no video track"
+    stbl = _descend(b, *vide, ["minf", "stbl"])
+
+    def table(name):
+        lo, hi = _descend(b, *stbl, [name])
+        return lo, hi
+
+    sd_lo, _ = table("stsd")
+    entry = sd_lo + 8          # first sample entry's box header
+    assert b[entry + 4:entry + 8] == b"jpeg", b[entry + 4:entry + 8]
+    w = int.from_bytes(b[entry + 32:entry + 34], "big")
+    h = int.from_bytes(b[entry + 34:entry + 36], "big")
+
+    sz_lo, _ = table("stsz")
+    fixed = int.from_bytes(b[sz_lo + 4:sz_lo + 8], "big")
+    n = int.from_bytes(b[sz_lo + 8:sz_lo + 12], "big")
+    sizes = (
+        [fixed] * n
+        if fixed
+        else [
+            int.from_bytes(b[sz_lo + 12 + 4 * k:sz_lo + 16 + 4 * k], "big")
+            for k in range(n)
+        ]
+    )
+    sc_lo, _ = table("stsc")
+    n_sc = int.from_bytes(b[sc_lo + 4:sc_lo + 8], "big")
+    runs = [
+        (
+            int.from_bytes(b[sc_lo + 8 + 12 * k:sc_lo + 12 + 12 * k], "big"),
+            int.from_bytes(b[sc_lo + 12 + 12 * k:sc_lo + 16 + 12 * k], "big"),
+        )
+        for k in range(n_sc)
+    ]
+    co_lo, _ = table("stco")
+    n_ch = int.from_bytes(b[co_lo + 4:co_lo + 8], "big")
+    chunk_off = [
+        int.from_bytes(b[co_lo + 8 + 4 * k:co_lo + 12 + 4 * k], "big")
+        for k in range(n_ch)
+    ]
+    # per-chunk sample count: the stsc run covering that chunk number
+    frames = []
+    sample = 0
+    for ci in range(1, n_ch + 1):
+        per = [per for first, per in runs if first <= ci][-1]
+        at = chunk_off[ci - 1]
+        for _ in range(per):
+            if sample >= n:
+                break
+            payload = b[at:at + sizes[sample]]
+            assert len(payload) == w * h * 3
+            q = np.frombuffer(payload, dtype=np.uint8)
+            img = (q.astype(np.uint16) * 4 + 2).astype(np.uint8)
+            frames.append(img.reshape(h, w, 3).copy())
+            at += sizes[sample]
+            sample += 1
+    assert sample == n, (sample, n)
+    return np.stack(frames)
+
+
 # ----------------------------------------------------------- fixtures
 
 def build_frame_sample() -> pd.DataFrame:
     out = []
     for i in range(N_VIDEO):
         r = make_video(i, SEED)
-        media_id, payload, src = r[0], r[2], r[-1]
-        pkg = decode_avi(payload)
-        ind = independent_avi(payload)
+        media_id, fmt, payload, src = r[0], r[1], r[2], r[-1]
+        if fmt == "mp4":
+            pkg = decode_mp4(payload)
+            ind = independent_mp4(payload)
+        else:
+            pkg = decode_avi(payload)
+            ind = independent_avi(payload)
         assert np.array_equal(pkg, src), f"package decode != source for {media_id}"
         assert np.array_equal(ind, src), f"independent decode != source for {media_id}"
         for fi in range(0, src.shape[0], EVERY_N):

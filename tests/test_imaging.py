@@ -225,10 +225,19 @@ class TestImageTable:
 
         media = spark.createDataFrame(
             pd.DataFrame(
-                {"media_id": ["v1"], "fmt": ["mp4"], "bytes": [b"\0" * 64]}
+                {"media_id": ["v1"], "fmt": ["mkv"], "bytes": [b"\0" * 64]}
             )
         )
-        with pytest.raises(Exception, match="mp4"):
+        with pytest.raises(Exception, match="mkv"):
             frame_sample(media).collect()
-        with pytest.raises(Exception, match="mp4"):
+        with pytest.raises(Exception, match="mkv"):
             audio_stats(media).collect()
+        # mp4 is now decodable — garbage bytes must raise the parser's
+        # loud ValueError, not silently pass
+        bad_mp4 = spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": ["v2"], "fmt": ["mp4"], "bytes": [b"\0" * 64]}
+            )
+        )
+        with pytest.raises(Exception, match="ISO BMFF"):
+            frame_sample(bad_mp4).collect()

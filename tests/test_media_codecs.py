@@ -170,3 +170,127 @@ class TestMjpgAvi:
     def test_garbage_raises(self):
         with pytest.raises(ValueError):
             decode_avi(b"RIFFxxxxWAVE")
+
+class TestMp4:
+    """ISO BMFF / MP4 (round-6 codec breadth): box tree + full sample
+    table reconstruction (stsc runs, stco/co64, per-sample stsz), with
+    JPEG-family sample decode and honest bitstream-codec seams."""
+
+    def test_roundtrip_is_qjpg_quantization(self):
+        from eo_tools_spark.functions.imaging import qjpg_decode, qjpg_encode
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4
+
+        rng = np.random.default_rng(11)
+        for (n, h, w, spc) in [(1, 5, 7, 1), (4, 12, 15, 2), (7, 16, 18, 3),
+                               (5, 9, 11, 99)]:
+            f = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+            g = decode_mp4(encode_mp4(f, fps=10, samples_per_chunk=spc))
+            truth = np.stack([qjpg_decode(qjpg_encode(fr), w, h, 3) for fr in f])
+            assert np.array_equal(g, truth), (n, h, w, spc)
+
+    def test_stsc_run_length_entries(self):
+        """Sample→chunk runs compress correctly: 7 samples, 3/chunk →
+        chunks of 3,3,1 → exactly two stsc entries (1,3) and (3,1)."""
+        from eo_tools_spark.functions.media import encode_mp4
+
+        f = np.zeros((7, 4, 4, 3), dtype=np.uint8)
+        b = encode_mp4(f, samples_per_chunk=3)
+        i = b.index(b"stsc") + 4
+        n_ent = int.from_bytes(b[i + 4:i + 8], "big")
+        assert n_ent == 2
+        e1 = struct.unpack(">III", b[i + 8:i + 20])
+        e2 = struct.unpack(">III", b[i + 20:i + 32])
+        assert e1 == (1, 3, 1) and e2 == (3, 1, 1)
+
+    def test_meta_without_decode(self):
+        from eo_tools_spark.functions.media import encode_mp4, mp4_meta
+
+        f = np.zeros((6, 8, 10, 3), dtype=np.uint8)
+        m = mp4_meta(encode_mp4(f, fps=25))
+        assert m == {"codec": "jpeg", "width": 10, "height": 8,
+                     "n_samples": 6, "timescale": 25, "duration": 6}
+
+    def test_co64_offsets_supported(self):
+        """Rewrite stco → co64 (64-bit chunk offsets, the >4 GiB file
+        form) and require an identical decode."""
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4
+
+        f = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+        b = bytearray(encode_mp4(f, samples_per_chunk=1))
+        i = b.index(b"stco") - 4
+        (size,) = struct.unpack(">I", b[i:i + 4])
+        body = bytes(b[i + 8:i + size])          # version/flags + table
+        n_ch = int.from_bytes(body[4:8], "big")
+        offs = struct.unpack(f">{n_ch}I", body[8:8 + 4 * n_ch])
+        co64 = (struct.pack(">I", 16 + 8 * n_ch) + b"co64" + body[:4]
+                + struct.pack(">I", n_ch) + struct.pack(f">{n_ch}Q", *offs))
+        # co64 is 4*n_ch bytes LARGER than stco — splice and grow every
+        # enclosing box (moov/trak/mdia/minf/stbl) by the delta. mdat
+        # offsets are unaffected (moov sits after mdat in this layout).
+        delta = len(co64) - size
+        out = bytes(b[:i]) + co64 + bytes(b[i + size:])
+        grown = bytearray(out)
+        for four in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            j = grown.index(four) - 4
+            (s,) = struct.unpack(">I", grown[j:j + 4])
+            grown[j:j + 4] = struct.pack(">I", s + delta)
+        g = decode_mp4(bytes(grown))
+        h = decode_mp4(bytes(b))
+        assert np.array_equal(g, h)
+
+    def test_bitstream_codec_raises_with_metadata(self):
+        """avc1 (H.264) sample entries parse but decode honestly
+        raises — the message carries the parsed geometry."""
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4, mp4_meta
+
+        f = np.zeros((3, 6, 4, 3), dtype=np.uint8)
+        b = bytearray(encode_mp4(f))
+        i = b.index(b"stsd") + 4
+        j = bytes(b).index(b"jpeg", i)
+        b[j:j + 4] = b"avc1"
+        m = mp4_meta(bytes(b))
+        assert m["codec"] == "avc1" and (m["width"], m["height"]) == (4, 6)
+        with pytest.raises(NotImplementedError, match="avc1.*4x6, 3 samples"):
+            decode_mp4(bytes(b))
+
+    def test_unrecognized_codec_raises(self):
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4
+
+        f = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+        b = bytearray(encode_mp4(f))
+        j = bytes(b).index(b"jpeg", b.index(b"stsd"))
+        b[j:j + 4] = b"zzzz"
+        with pytest.raises(ValueError, match="zzzz"):
+            decode_mp4(bytes(b))
+
+    def test_garbage_and_missing_boxes_raise(self):
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4
+
+        with pytest.raises(ValueError, match="ISO BMFF"):
+            decode_mp4(b"\x00" * 64)
+        # ftyp present but no moov
+        b = encode_mp4(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+        i = b.index(b"mdat") - 4
+        with pytest.raises(ValueError, match="moov"):
+            decode_mp4(b[:i])
+
+    def test_sample_payloads_are_top_down_rgb(self):
+        """Pin the byte layout: first mdat payload byte is the top-left
+        pixel's R plane under the 6-bit qjpg law."""
+        from eo_tools_spark.functions.media import encode_mp4
+
+        f = np.zeros((1, 2, 1, 3), dtype=np.uint8)
+        f[0, 0, 0] = (200, 100, 40)
+        b = encode_mp4(f)
+        i = b.index(b"mdat") + 4
+        assert b[i:i + 3] == bytes([200 >> 2, 100 >> 2, 40 >> 2])
+
+    def test_encoder_contracts(self):
+        from eo_tools_spark.functions.media import encode_mp4
+
+        with pytest.raises(ValueError, match="codec"):
+            encode_mp4(np.zeros((1, 2, 2, 3), dtype=np.uint8), codec="avc1")
+        with pytest.raises(ValueError, match="samples_per_chunk"):
+            encode_mp4(np.zeros((1, 2, 2, 3), dtype=np.uint8), samples_per_chunk=0)
+        with pytest.raises(ValueError, match="frames"):
+            encode_mp4(np.zeros((2, 2, 3), dtype=np.uint8))
