@@ -670,6 +670,59 @@ def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
     )
 
 
+# ------------------------------------------- benchmark decontamination
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination THROUGH THE OPERATOR
+    (operators/dedup.decontaminate): documents are split into a
+    synthetic eval set (doc_id % 11 == 3, the 'benchmark') and the
+    training corpus (the rest); every corpus doc sharing ≥ 2 winnowing
+    fingerprints with any benchmark doc is flagged. token_hash='sql'
+    puts the whole chain — dual-dialect md5 k-gram hashes, window-min
+    winnowing, the broadcast cross-table fingerprint join — under a
+    from-scratch DuckDB recomputation."""
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+    from eo_tools_spark.operators.dedup import decontaminate
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    docs = spark.sql(DOCS_AUG_SQL)
+    bench = docs.where("doc_id % 11 = 3").selectExpr(
+        "doc_id AS bench_id", "text"
+    )
+    corpus = docs.where("doc_id % 11 <> 3")
+    return decontaminate(
+        corpus, bench, k=4, w=5, min_shared=2, token_hash="sql"
+    )
+
+
+def _decontaminate_oracle(k: int = 4, w: int = 5, min_shared: int = 2) -> str:
+    """DuckDB recomputation of the full decontamination chain (same
+    dual-dialect winnowing law as the winnow_pairs oracle, but across
+    the corpus/benchmark split instead of a self-join)."""
+    from eo_tools_spark.functions import text as T
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+
+    h = T.kgram_hashes("text", k, "duck")
+    fps = T.winnow_mins("h", w, "duck")
+    return (
+        f"WITH docs AS ({DOCS_AUG_SQL}), "
+        "bench AS (SELECT doc_id AS bench_id, text FROM docs WHERE doc_id % 11 = 3), "
+        "corp AS (SELECT doc_id, text FROM docs WHERE doc_id % 11 <> 3), "
+        f"bh AS (SELECT bench_id, {h} AS h FROM bench), "
+        f"bw AS (SELECT bench_id, {fps} AS fps FROM bh), "
+        "bf AS (SELECT bench_id, unnest(fps) AS fp FROM bw), "
+        f"ch AS (SELECT doc_id, {h} AS h FROM corp), "
+        f"cw AS (SELECT doc_id, {fps} AS fps FROM ch), "
+        "cf AS (SELECT doc_id, unnest(fps) AS fp FROM cw) "
+        "SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM cf c JOIN bf b ON c.fp = b.fp "
+        "GROUP BY c.doc_id, b.bench_id "
+        f"HAVING COUNT(*) >= {min_shared}"
+    )
+
+
 # --------------------------------------- adaptive-cover flagship variant
 
 def q_pip_aoi_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_topk_ivf"] = q_ann_topk_ivf
     out["ann_topk_ivf_pruned"] = q_ann_topk_ivf_pruned
     out["simhash_pairs"] = q_simhash_pairs
+    out["decontaminate"] = q_decontaminate
     out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
     out["frame_sample"] = q_frame_sample
     out["audio_stats"] = q_audio_stats
@@ -1061,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_ivf"] = _ann_topk_ivf_oracle()
     out["ann_topk_ivf_pruned"] = _ann_topk_ivf_oracle()
     out["simhash_pairs"] = _simhash_pairs_oracle()
+    out["decontaminate"] = _decontaminate_oracle()
     # identical truth through a structurally different (split) cover
     out["pip_aoi_join_adaptive"] = aoi_pip_oracle_sql()
 

@@ -663,22 +663,7 @@ def winnow_candidates(
     Same EAGER-BUILD contract as lsh_pairs when ``max_bucket`` is set;
     ``None`` builds a fully lazy, uncapped plan.
     """
-    if token_hash not in ("fast", "sql"):
-        raise ValueError(
-            f"unknown token_hash {token_hash!r} (expected 'fast' or 'sql')"
-        )
-    if token_hash == "fast":
-        f = winnow_fingerprints_fast(df, k=k, w=w, text_col=text_col, id_col=id_col)
-    else:
-        from ..functions import text as _T
-
-        h = _T.kgram_hashes(text_col, k, "spark")
-        fps = _T.winnow_mins("h", w, "spark")
-        f = (
-            df.select(F.col(id_col), F.expr(h).alias("h"))
-            .select(id_col, F.explode(F.expr(fps)).alias("fp"))
-        )
-    f = filter_null_keys(f, ["fp"])
+    f = _winnow_fp_frame(df, k, w, text_col, id_col, token_hash)
     persisted = None
     if max_bucket is not None:
         # the cap's eager counting pass materializes the fingerprint
@@ -711,6 +696,103 @@ def winnow_candidates(
     out._eo_drop_report = drop_report(capped)
     out._eo_persisted = persisted
     return out
+
+
+def _winnow_fp_frame(
+    df: DataFrame,
+    k: int,
+    w: int,
+    text_col: str,
+    id_col: str,
+    token_hash: str,
+) -> DataFrame:
+    """(id, fp) distinct winnowing fingerprints via the chosen hash
+    family — 'fast' (Arrow SipHash kernel, production) or 'sql' (the
+    dual-dialect Catalyst md5 path, DuckDB-reproducible for oracles)."""
+    if token_hash not in ("fast", "sql"):
+        raise ValueError(
+            f"unknown token_hash {token_hash!r} (expected 'fast' or 'sql')"
+        )
+    if token_hash == "fast":
+        f = winnow_fingerprints_fast(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    else:
+        from ..functions import text as _T
+
+        h = _T.kgram_hashes(text_col, k, "spark")
+        fps = _T.winnow_mins("h", w, "spark")
+        f = (
+            df.select(F.col(id_col), F.expr(h).alias("h"))
+            .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+        )
+    return filter_null_keys(f, ["fp"])
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str = "bench_id",
+    token_hash: str = "fast",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥
+    ``min_shared`` winnowing fingerprints with any benchmark/eval
+    document → ``(id_col, bench_id_col, n_shared)``.
+
+    The standard training-data hygiene step (engine addition — the
+    reference has no text ops): before training, drop every corpus doc
+    that textually overlaps the eval sets, or the benchmark numbers
+    measure memorization. Winnowing (Schleimer et al., SIGMOD 2003)
+    gives the guarantee the thresholding needs: any corpus doc sharing
+    a verbatim run of ≥ w+k-1 tokens with a benchmark doc is CAUGHT
+    (shares ≥ 1 fingerprint), at ~2/(w+1) fingerprint retention.
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are 10³-10⁶ docs vs a 100 TB corpus), so its fingerprint
+    frame is BROADCAST — the corpus fingerprint stream is consumed
+    map-side by the join and never shuffles; the only exchange is the
+    groupBy over MATCHED rows (bounded by true contamination, not
+    corpus size). Set ``broadcast_bench=False`` only if the benchmark
+    side is itself huge (falls back to a shuffle equi-join on fp).
+
+    ``token_hash``: 'fast' (Arrow SipHash, production) or 'sql' (the
+    dual-dialect md5 family, reproducible in DuckDB — the driver
+    query's oracle gate runs the whole chain under it).
+    """
+    if bench_text_col is None:
+        bench_text_col = text_col
+    if id_col == bench_id_col:
+        raise ValueError(
+            f"id_col and bench_id_col must differ (both {id_col!r})"
+        )
+    cf = _winnow_fp_frame(corpus, k, w, text_col, id_col, token_hash)
+    bf = _winnow_fp_frame(benchmark, k, w, bench_text_col, bench_id_col, token_hash)
+    if broadcast_bench:
+        bf = F.broadcast(bf)
+    return (
+        cf.join(bf, "fp")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_keep(
+    corpus: DataFrame,
+    contaminated: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The clean corpus: anti-join away every contaminated doc id.
+    The id frame is tiny (true contamination) — AQE broadcasts it, so
+    the corpus never shuffles."""
+    return corpus.join(
+        contaminated.select(id_col).distinct(), id_col, "left_anti"
+    )
 
 
 def verify_jaccard(

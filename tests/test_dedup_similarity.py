@@ -838,3 +838,114 @@ class TestWinnowing:
         assert pair_sets["fast"] == pair_sets["sql"]
         assert (0, 2) in pair_sets["fast"] and (3, 4) in pair_sets["fast"]
         assert (0, 1) not in pair_sets["fast"]
+
+class TestDecontaminate:
+    """Cross-table benchmark decontamination (dedup.decontaminate):
+    winnowing-guaranteed catch of verbatim >= w+k-1 token overlaps,
+    broadcast bench side, clean-corpus anti-join."""
+
+    @staticmethod
+    def _tables(spark, seed=17):
+        """Benchmark of 5 docs; corpus of 30 clean docs (disjoint
+        vocabulary) + 6 contaminated docs embedding a verbatim 10-token
+        span from a bench doc (k=4, w=5 → spans >= 8 are guaranteed)."""
+        rng = np.random.default_rng(seed)
+        bvoc = np.array([f"bench{i:03d}" for i in range(80)])
+        cvoc = np.array([f"corp{i:03d}" for i in range(400)])
+        bench_rows = [
+            (100 + j, " ".join(rng.choice(bvoc, size=25, replace=False)))
+            for j in range(5)
+        ]
+        corpus_rows = [
+            (i, " ".join(rng.choice(cvoc, size=30)))
+            for i in range(30)
+        ]
+        planted = []
+        for j in range(6):
+            src = bench_rows[j % 5][1].split(" ")
+            span = " ".join(src[3:13])  # verbatim 10-token span
+            filler = " ".join(rng.choice(cvoc, size=10))
+            corpus_rows.append((500 + j, filler + " " + span))
+            planted.append((500 + j, 100 + (j % 5)))
+        bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+        corpus_df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        return corpus_df, bench, planted
+
+    def test_guarantee_catches_planted_contamination(self, spark):
+        from eo_tools_spark.operators.dedup import decontaminate
+
+        corpus_df, bench, planted = self._tables(spark)
+        out = decontaminate(
+            corpus_df, bench, k=4, w=5, min_shared=1, token_hash="fast"
+        ).toPandas()
+        got = {(d, b) for d, b in zip(out.doc_id, out.bench_id)}
+        for pair in planted:
+            assert pair in got, pair
+        # clean docs (disjoint vocabulary) never flag
+        assert all(d >= 500 for d, _ in got), got
+
+    def test_sql_path_matches_duckdb_recomputation(self, spark):
+        import duckdb
+
+        from eo_tools_spark.functions import text as T
+        from eo_tools_spark.operators.dedup import decontaminate
+
+        corpus_df, bench, _ = self._tables(spark)
+        out = decontaminate(
+            corpus_df, bench, k=4, w=5, min_shared=1, token_hash="sql"
+        ).toPandas()
+        con = duckdb.connect()
+        con.register("corp", corpus_df.toPandas())
+        con.register("bench", bench.toPandas())
+        h = T.kgram_hashes("text", 4, "duck")
+        fps = T.winnow_mins("h", 5, "duck")
+        du = con.sql(
+            f"WITH bh AS (SELECT bench_id, {h} AS h FROM bench), "
+            f"bw AS (SELECT bench_id, {fps} AS fps FROM bh), "
+            "bf AS (SELECT bench_id, unnest(fps) AS fp FROM bw), "
+            f"ch AS (SELECT doc_id, {h} AS h FROM corp), "
+            f"cw AS (SELECT doc_id, {fps} AS fps FROM ch), "
+            "cf AS (SELECT doc_id, unnest(fps) AS fp FROM cw) "
+            "SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM cf c JOIN bf b ON c.fp = b.fp GROUP BY 1, 2 "
+            "HAVING COUNT(*) >= 1"
+        ).df()
+        key = ["doc_id", "bench_id", "n_shared"]
+        got = out[key].sort_values(key).reset_index(drop=True)
+        exp = du[key].sort_values(key).reset_index(drop=True).astype(
+            got.dtypes.to_dict()
+        )
+        assert got.equals(exp) and len(got) > 0
+
+    def test_keep_list_removes_exactly_the_flagged_docs(self, spark):
+        from eo_tools_spark.operators.dedup import (
+            decontaminate,
+            decontaminate_keep,
+        )
+
+        corpus_df, bench, planted = self._tables(spark)
+        flagged = decontaminate(
+            corpus_df, bench, k=4, w=5, min_shared=1, token_hash="fast"
+        )
+        clean = decontaminate_keep(corpus_df, flagged).toPandas()
+        kept = set(clean.doc_id)
+        assert kept == {i for i in range(30)}  # all clean docs survive
+        assert not kept & {d for d, _ in planted}
+
+    def test_bench_side_is_broadcast(self, spark):
+        from eo_tools_spark.operators.dedup import decontaminate
+
+        corpus_df, bench, _ = self._tables(spark)
+        out = decontaminate(corpus_df, bench, token_hash="fast")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    def test_id_collision_raises(self, spark):
+        from eo_tools_spark.operators.dedup import decontaminate
+
+        corpus_df, bench, _ = self._tables(spark)
+        with pytest.raises(ValueError, match="must differ"):
+            decontaminate(
+                corpus_df, bench.withColumnRenamed("bench_id", "doc_id"),
+                bench_id_col="doc_id",
+            )
