@@ -351,6 +351,7 @@ def _register_dual_queries() -> None:
         "langid": (TQ.langid(), ["documents"]),
         "langid_mixed": (TQ.langid_mixed(), ["documents"]),
         "quality_score": (TQ.quality_score(), ["documents"]),
+        "repetition_stats": (TQ.repetition_stats(), ["documents"]),
         "token_stats": (TQ.token_stats(), ["documents"]),
         "winnow_pairs": (TQ.winnow_pairs(), ["documents"]),
         "ann_topk": (TQ.ann_topk(), ["embeddings"]),

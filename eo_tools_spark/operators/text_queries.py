@@ -205,6 +205,74 @@ def token_stats() -> tuple[str, str]:
     return build("spark"), build("duck")
 
 
+def repetition_stats(n: int = 5) -> tuple[str, str]:
+    """Gopher/MassiveText-style repetition quality filters (Rae et al.
+    2021, appendix A1.1 — the public quality-filter recipe): per doc,
+    the duplicate-token fraction (1 − distinct/total), the duplicate
+    word-n-gram fraction, and the token fraction covered by the single
+    most frequent bigram. Training pipelines drop docs above
+    thresholds on these — the signal that catches boilerplate and
+    degenerate repetition that exact/near dedup misses (repetition is
+    WITHIN a doc, not across docs).
+
+    Scale shape: the two dup ratios are pure per-row Catalyst array
+    scalars (whole-stage codegen, zero exchange); the top-bigram pass
+    is explode → partial-agg count — the groupBy keys on (doc_id,
+    gram) so map-side combine collapses each doc's histogram before
+    the (bounded) shuffle."""
+
+    def build(d: str) -> str:
+        # plant within-doc repetition deterministically (doc_id % 13 ==
+        # 2 → the doc self-concatenated): random synthetic docs never
+        # repeat an n-gram, so without this the dup_ngram_ratio column
+        # would be 0 everywhere and the oracle couldn't tell a broken
+        # implementation from a working one
+        selfcat = (
+            "concat(text, ' ', text)" if d == "spark" else "text || ' ' || text"
+        )
+        split = "split(text, ' ')" if d == "spark" else "string_split(text, ' ')"
+        if d == "spark":
+            sz, dist, un = "size", "array_distinct", "explode(bg)"
+            g5 = (
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+            bg = (
+                "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        else:
+            sz, dist, un = "len", "list_distinct", "unnest(bg)"
+            g5 = (
+                f"list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+                f"i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' '))"
+            )
+            bg = (
+                "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+                "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])"
+            )
+        return (
+            f"WITH {_docs_aug(d)}, "
+            f"rdocs AS (SELECT doc_id, CASE WHEN doc_id % 13 = 2 "
+            f"THEN {selfcat} ELSE text END AS text FROM docs), "
+            f"t AS (SELECT doc_id, {split} AS toks FROM rdocs), "
+            f"g AS (SELECT doc_id, toks, {g5} AS g5, {bg} AS bg FROM t), "
+            f"s AS (SELECT doc_id, {sz}(toks) AS ntok, "
+            f"1.0 - CAST({sz}({dist}(toks)) AS DOUBLE) / CAST({sz}(toks) AS DOUBLE) AS dup_token_ratio, "
+            f"1.0 - CAST({sz}({dist}(g5)) AS DOUBLE) / CAST({sz}(g5) AS DOUBLE) AS dup_ngram_ratio, "
+            f"bg FROM g), "
+            f"x AS (SELECT doc_id, {un} AS gram FROM s), "
+            f"c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM x GROUP BY doc_id, gram), "
+            f"top AS (SELECT doc_id, MAX(cnt) AS mc FROM c GROUP BY doc_id) "
+            f"SELECT s.doc_id, CAST(s.ntok AS BIGINT) AS n_tokens, "
+            f"s.dup_token_ratio, s.dup_ngram_ratio, "
+            f"CAST(2 * top.mc AS DOUBLE) / CAST(s.ntok AS DOUBLE) AS top_bigram_ratio "
+            f"FROM s JOIN top ON s.doc_id = top.doc_id"
+        )
+
+    return build("spark"), build("duck")
+
+
 def winnow_pairs(k: int = 4, w: int = 5, min_shared: int = 2) -> tuple[str, str]:
     """Winnowing rolling-hash document fingerprints (Schleimer et al.,
     SIGMOD 2003) → near-dup candidate pairs by shared fingerprints.

@@ -949,3 +949,60 @@ class TestDecontaminate:
                 corpus_df, bench.withColumnRenamed("bench_id", "doc_id"),
                 bench_id_col="doc_id",
             )
+
+class TestRepetitionStats:
+    """Gopher-style repetition metrics (text_queries.repetition_stats):
+    semantics pinned on hand-computable docs (the driver gate checks
+    only Spark == DuckDB parity, not the math)."""
+
+    def test_hand_computed_values(self, spark):
+        import pandas as pd
+
+        from eo_tools_spark.operators.text_queries import repetition_stats
+
+        rows = [
+            # doc 1: "a b a b a b" — 6 tokens, 2 distinct;
+            # 5-grams (n=5): "a b a b a", "b a b a b" → 2 distinct of 2;
+            # bigrams: ab,ba,ab,ba,ab → top "a b" count 3
+            (1, "a b a b a b"),
+            # doc 4: all distinct, no repetition anywhere
+            (4, "p q r s t u v w"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("documents")
+        sql, _ = repetition_stats(n=5)
+        out = spark.sql(sql).toPandas().set_index("doc_id")
+        # DOCS_AUG adds +200000 copies for doc_id % 7 == 0 only (none
+        # here) and +100000 trimmed for % 5 == 0 (none); % 13 == 2
+        # self-concat applies to neither id.
+        r1 = out.loc[1]
+        assert r1.n_tokens == 6
+        assert r1.dup_token_ratio == pytest.approx(1 - 2 / 6)
+        assert r1.dup_ngram_ratio == pytest.approx(0.0)
+        assert r1.top_bigram_ratio == pytest.approx(2 * 3 / 6)
+        r4 = out.loc[4]
+        assert r4.dup_token_ratio == 0.0 and r4.dup_ngram_ratio == 0.0
+        # 8 tokens all distinct → every bigram count 1 → 2/8
+        assert r4.top_bigram_ratio == pytest.approx(0.25)
+
+    def test_planted_self_concat_doubles_repetition(self, spark):
+        from eo_tools_spark.operators.text_queries import repetition_stats
+
+        # doc_id 2 (% 13 == 2) is self-concatenated INSIDE the query:
+        # 10 distinct tokens → 20 tokens, dup_token_ratio 0.5, and the
+        # 5-gram stream of the doubled doc repeats (16 windows, 12
+        # distinct: the 6 straddling + 10 original, minus overlap) —
+        # just assert the planted doc shows dup_ngram_ratio > 0 while
+        # an untouched all-distinct doc shows 0.
+        rows = [
+            (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("documents")
+        sql, _ = repetition_stats(n=5)
+        out = spark.sql(sql).toPandas().set_index("doc_id")
+        assert out.loc[2].n_tokens == 20
+        assert out.loc[2].dup_token_ratio == pytest.approx(0.5)
+        assert out.loc[2].dup_ngram_ratio > 0
+        assert out.loc[3].dup_ngram_ratio == 0.0
