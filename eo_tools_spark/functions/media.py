@@ -186,7 +186,10 @@ def _decode_mjpg_frame(p: bytes, w: int, h: int) -> np.ndarray:
                 "parsing is real; swap this seam for a JPEG decoder in "
                 "deployment"
             )
-        arr = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))
+        try:
+            arr = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))
+        except Exception as e:  # PIL's zoo of decode errors → one contract
+            raise ValueError(f"undecodable JPEG frame payload: {e}") from e
         if arr.shape != (h, w, 3):
             raise ValueError(f"JPEG frame {arr.shape} != header ({h},{w},3)")
         return arr
@@ -416,7 +419,16 @@ def _child(b: bytes, off: int, end: int, btype: bytes):
 
 def _parse_mp4(b: bytes) -> dict:
     """Box-tree walk → the video track's codec fourcc, dimensions,
-    timing, and the reconstructed per-sample (offset, size) list."""
+    timing, and the reconstructed per-sample (offset, size) list.
+    Truncated/corrupt input raises ValueError (never a bare
+    struct.error from a fixed-offset unpack)."""
+    try:
+        return _parse_mp4_inner(b)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt MP4 stream: {e}") from e
+
+
+def _parse_mp4_inner(b: bytes) -> dict:
     if len(b) < 12 or _child(b, 0, len(b), b"ftyp") is None:
         raise ValueError("not an ISO BMFF (MP4) stream")
     moov = _child(b, 0, len(b), b"moov")

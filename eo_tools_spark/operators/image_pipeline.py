@@ -220,9 +220,13 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     from pyspark.sql.types import BinaryType
 
-    from eo_tools_spark.functions.media import decode_avi, decode_mp4
+    from eo_tools_spark.functions import media as _media
 
-    decoders = {"avi": decode_avi, "mp4": decode_mp4}
+    # single source of truth: the public DECODABLE_VIDEO contract names
+    # the formats; the decoder functions follow the decode_<fmt> naming
+    decoders = {
+        fmt: getattr(_media, f"decode_{fmt}") for fmt in DECODABLE_VIDEO
+    }
     schema = StructType(
         [
             StructField("media_id", StringType()),

@@ -330,15 +330,20 @@ def knn_join_distributed(
         if n_left == 0:
             break
         r *= 2
-    if oob.limit(1).count() > 0:
-        oob_part = (
-            oob.crossJoin(tiles_c.select(tile_id_col, "cx", "cy"))
-            .select(id_col, lon, lat, tile_id_col, dist2)
-            .withColumn("knn_rank", F.row_number().over(w).cast("int"))
-            .where(F.col("knn_rank") <= kk)
-            .select(id_col, tile_id_col, "knn_rank", "dist2")
-        )
-        out = out.unionByName(oob_part)
+    # the out-of-range leg is unioned UNCONDITIONALLY: probing
+    # emptiness first (oob.limit(1).count()) would cost a standalone
+    # job scanning the scenes source in the common all-in-range case,
+    # while an empty filtered leg inside the union costs one pipelined
+    # pruned scan during the single materializing count below
+    # (round-6 review finding)
+    oob_part = (
+        oob.crossJoin(tiles_c.select(tile_id_col, "cx", "cy"))
+        .select(id_col, lon, lat, tile_id_col, dist2)
+        .withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("knn_rank") <= kk)
+        .select(id_col, tile_id_col, "knn_rank", "dist2")
+    )
+    out = oob_part if out is None else out.unionByName(oob_part)
     # materialize the result ONCE, then release every intermediate:
     # unpersisting `remaining` while the full-pass leg of `out` is still
     # lazy would force the caller's first action to recompute the whole

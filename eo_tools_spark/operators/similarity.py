@@ -111,25 +111,17 @@ def train_centroids(sample: np.ndarray, ncells: int, iters: int = 10, seed: int 
 
 def _deterministic_sample(
     emb_df: DataFrame, sample_rows: int, id_col: str, emb_col: str,
-    desc: bool = False,
 ) -> np.ndarray | None:
     """The sample_rows smallest xxhash64(id) values — a seeded
     pseudo-random sample identical across sessions, partitionings, and
     resumed runs (an unordered limit() would let scan order pick it).
     One TakeOrdered job (per-partition top-k + driver merge,
     ≤ sample_rows rows per partition shipped), no count() pre-pass.
-    ``desc=True`` takes the LARGEST hashes instead — a second sample
-    disjoint from the ascending one whenever the corpus holds more
-    than 2×sample_rows rows (used as the held-out drift anchor).
     None on an empty frame."""
     h = F.xxhash64(F.col(id_col))
-    order = (
-        [h.desc(), F.col(id_col).desc()] if desc
-        else [h.asc(), F.col(id_col).asc()]
-    )
     rows = (
         emb_df.select(id_col, emb_col)
-        .orderBy(*order)
+        .orderBy(h.asc(), F.col(id_col).asc())
         .limit(sample_rows)
         .collect()
     )
@@ -144,8 +136,7 @@ def _train_from_df(
     sample_rows: int,
     id_col: str,
     emb_col: str,
-    return_sample: bool = False,
-):
+) -> np.ndarray:
     """Deterministic centroid training over ``_deterministic_sample``."""
     sample = _deterministic_sample(emb_df, sample_rows, id_col, emb_col)
     if sample is None:
@@ -153,8 +144,35 @@ def _train_from_df(
             "cannot train IVF centroids over an empty corpus "
             "(emb_df has no rows)"
         )
-    C = train_centroids(sample, ncells)
-    return (C, sample) if return_sample else C
+    return train_centroids(sample, ncells)
+
+
+def _train_and_anchor(
+    emb_df: DataFrame,
+    ncells: int,
+    sample_rows: int,
+    id_col: str,
+    emb_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Centroids + a HELD-OUT anchor sample in ONE corpus scan: take
+    the 2×sample_rows smallest xxhash64(id) rows, train on the first
+    half, anchor on the second (always disjoint; the first half is the
+    exact same rows _train_from_df would pick). A second TakeOrdered
+    pass for the anchor would double the full-corpus scan cost per
+    index build (round-6 review finding)."""
+    both = _deterministic_sample(emb_df, 2 * sample_rows, id_col, emb_col)
+    if both is None:
+        raise ValueError(
+            "cannot train IVF centroids over an empty corpus "
+            "(emb_df has no rows)"
+        )
+    train, anchor = both[:sample_rows], both[sample_rows:]
+    if len(anchor) == 0:
+        # corpus smaller than sample_rows: nothing held out — anchor on
+        # the training rows (the drift metric is then optimistic, which
+        # only ever recommends rebuilds EARLIER, never misses one)
+        anchor = train
+    return train_centroids(train, ncells), anchor
 
 
 def ivf_topk(
@@ -275,7 +293,9 @@ def build_ivf_index(
             meta = json.load(f)
         return {"skipped": True, "ncells": meta["ncells"], "path": path}
 
-    C = _train_from_df(emb_df, ncells, sample_rows, id_col, emb_col)
+    # one corpus scan yields both the training sample and the held-out
+    # drift anchor (disjoint hash-order halves)
+    C, holdout = _train_and_anchor(emb_df, ncells, sample_rows, id_col, emb_col)
 
     # Pack dtype follows the SOURCE element type (float→<f4,
     # double→<f8) so packing is always lossless.
@@ -292,14 +312,11 @@ def build_ivf_index(
     # otherwise stamp packed metadata onto array files and brick reads.
     meta = {"ncells": int(ncells), "centroids": C.tolist()}
     # build-time distribution anchor for append_to_ivf_index's drift
-    # metric: mean max-cosine of a HELD-OUT sample (hash-DESC — disjoint
-    # from the hash-ASC training sample beyond 2×sample_rows rows) to
-    # the trained centroids. The TRAINING sample would overstate the
-    # anchor — k-means fits it, so even a same-distribution batch
-    # scores lower and false-flags drift (caught by TestIvfAppend).
-    holdout = _deterministic_sample(
-        emb_df, sample_rows, id_col, emb_col, desc=True
-    )
+    # metric: mean max-cosine of the HELD-OUT half of the hash-ordered
+    # sample to the trained centroids. The TRAINING half would
+    # overstate the anchor — k-means fits it, so even a
+    # same-distribution batch scores lower and false-flags drift
+    # (caught by TestIvfAppend).
     meta["train_mean_top_cos"] = float(
         np.max(_normalize(holdout.astype(np.float64)) @ C.T, axis=1).mean()
     )

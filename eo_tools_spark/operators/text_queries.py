@@ -231,6 +231,11 @@ def repetition_stats(n: int = 5) -> tuple[str, str]:
             "concat(text, ' ', text)" if d == "spark" else "text || ' ' || text"
         )
         split = "split(text, ' ')" if d == "spark" else "string_split(text, ' ')"
+        # single-token docs have NO bigram: guard with an empty array
+        # (greatest(...,1) flooring would fabricate a NULL pseudo-gram
+        # via out-of-range element_at, scoring top_bigram_ratio = 2.0 —
+        # and both dialects would agree on the wrong answer, so the
+        # oracle gate can't see it)
         if d == "spark":
             sz, dist, un = "size", "array_distinct", "explode(bg)"
             g5 = (
@@ -238,8 +243,9 @@ def repetition_stats(n: int = 5) -> tuple[str, str]:
                 f"i -> concat_ws(' ', slice(toks, i, {n})))"
             )
             bg = (
-                "transform(sequence(1, greatest(size(toks) - 1, 1)), "
-                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
             )
         else:
             sz, dist, un = "len", "list_distinct", "unnest(bg)"
@@ -248,8 +254,9 @@ def repetition_stats(n: int = 5) -> tuple[str, str]:
                 f"i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' '))"
             )
             bg = (
-                "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
-                "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])"
+                "CASE WHEN len(toks) < 2 THEN [] "
+                "ELSE list_transform(range(1, len(toks)), "
+                "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) END"
             )
         return (
             f"WITH {_docs_aug(d)}, "
@@ -266,8 +273,11 @@ def repetition_stats(n: int = 5) -> tuple[str, str]:
             f"top AS (SELECT doc_id, MAX(cnt) AS mc FROM c GROUP BY doc_id) "
             f"SELECT s.doc_id, CAST(s.ntok AS BIGINT) AS n_tokens, "
             f"s.dup_token_ratio, s.dup_ngram_ratio, "
-            f"CAST(2 * top.mc AS DOUBLE) / CAST(s.ntok AS DOUBLE) AS top_bigram_ratio "
-            f"FROM s JOIN top ON s.doc_id = top.doc_id"
+            # LEFT JOIN + COALESCE: a bigram-less (single-token) doc
+            # has no `top` row and scores 0, not a dropped row
+            f"COALESCE(CAST(2 * top.mc AS DOUBLE) / CAST(s.ntok AS DOUBLE), 0.0) "
+            f"AS top_bigram_ratio "
+            f"FROM s LEFT JOIN top ON s.doc_id = top.doc_id"
         )
 
     return build("spark"), build("duck")

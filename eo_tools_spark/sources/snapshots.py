@@ -301,6 +301,19 @@ class SnapshotTable:
             or re.fullmatch(r"v\d{%d}" % self._SEQ_DIGITS, batch_id)
         ):
             raise ValueError(f"invalid batch_id {batch_id!r} (reserved/unsafe)")
+        # `batch` is a reserved name: the on-disk layout is
+        # data/batch=<id>-<token>/, so read()'s basePath-anchored
+        # partition discovery infers a synthetic `batch` column and
+        # drops it — a DATA column of that name would collide (Spark
+        # duplicate-column error at read, or a silent drop). Same for
+        # the `_pid` lineage column. Refuse loudly at write time.
+        reserved = {"batch", "_pid"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"column name(s) {sorted(reserved)} are reserved by the "
+                "snapshot layout (data/batch=<id>/ partition dirs, _pid "
+                "lineage) — rename before append_batch"
+            )
         if batch_id in self.committed_batches():
             return {"batch_id": batch_id, "skipped": True}
         token, metrics_rows, wall_ms = self._stage(df, batch_id, partition_by)

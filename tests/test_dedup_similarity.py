@@ -1006,3 +1006,24 @@ class TestRepetitionStats:
         assert out.loc[2].dup_token_ratio == pytest.approx(0.5)
         assert out.loc[2].dup_ngram_ratio > 0
         assert out.loc[3].dup_ngram_ratio == 0.0
+
+    def test_single_token_doc_scores_zero_not_two(self, spark):
+        """Regression (round-6 review): a one-token doc has NO bigram —
+        the greatest(...,1) floor used to fabricate a NULL pseudo-gram
+        and score top_bigram_ratio = 2.0 in BOTH dialects (so the
+        oracle gate couldn't see it)."""
+        import duckdb
+        import pandas as pd
+
+        from eo_tools_spark.operators.text_queries import repetition_stats
+
+        pdf = pd.DataFrame({"doc_id": [1, 9], "text": ["solo", "x"]})
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        ssql, dsql = repetition_stats(5)
+        out = spark.sql(ssql).toPandas().set_index("doc_id")
+        assert (out.top_bigram_ratio == 0.0).all()
+        assert (out.n_tokens == 1).all()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        du = con.sql(dsql).df().set_index("doc_id")
+        assert (du.top_bigram_ratio == 0.0).all()

@@ -148,7 +148,15 @@ class TestMjpgAvi:
         movi = _list(b"movi", _chunk(b"00dc", b"\xff\xd8\xff\xe0fakejpeg"))
         body = bytes(ref[8:movi_start]) + movi
         b = b"RIFF" + struct.pack("<I", len(body)) + body
-        with pytest.raises(NotImplementedError, match="JPEG"):
+        # no PIL (this container): NotImplementedError seam. With PIL
+        # installed the seam opens, and a malformed bitstream must come
+        # back as the decoder's own ValueError, not a raw PIL error.
+        try:
+            import PIL  # noqa: F401
+            expected: type = ValueError
+        except ImportError:
+            expected = NotImplementedError
+        with pytest.raises(expected, match="JPEG"):
             decode_avi(b)
 
     def test_unrecognized_mjpg_payload_raises(self):
@@ -273,6 +281,24 @@ class TestMp4:
         i = b.index(b"mdat") - 4
         with pytest.raises(ValueError, match="moov"):
             decode_mp4(b[:i])
+
+    def test_truncated_streams_raise_valueerror_not_struct_error(self):
+        """Every fixed-offset unpack inside the parser must surface as
+        the documented ValueError — including truncation inside a
+        largesize header and mid-sample-table cuts."""
+        from eo_tools_spark.functions.media import decode_mp4, encode_mp4, mp4_meta
+
+        # truncated inside a 64-bit largesize header
+        with pytest.raises(ValueError):
+            decode_mp4(b"\x00\x00\x00\x01ftypAB")
+        # every prefix of a valid file raises ValueError (never
+        # struct.error) or — once moov is complete — decodes
+        full = encode_mp4(np.zeros((3, 4, 4, 3), dtype=np.uint8))
+        for cut in range(0, len(full), 7):
+            try:
+                mp4_meta(full[:cut])
+            except ValueError:
+                pass
 
     def test_sample_payloads_are_top_down_rgb(self):
         """Pin the byte layout: first mdat payload byte is the top-left

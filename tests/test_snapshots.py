@@ -390,6 +390,20 @@ class TestIcebergSeam:
         # non-reserved lookalikes are fine
         assert not t.append_batch(df, "v42").get("skipped")
 
+    def test_reserved_column_names_rejected(self, spark, tmp_path):
+        """Regression (round-6 review): a DATA column named `batch`
+        collides with read()'s basePath-inferred partition column from
+        the data/batch=<id>/ layout (duplicate-column error or silent
+        drop) — refuse loudly at write time; `_pid` likewise."""
+        t = SnapshotTable(spark, str(tmp_path / "rescol"))
+        df = make_batches(spark, 1)[0][1]
+        for col in ("batch", "_pid"):
+            bad = df.withColumn(col, df[df.columns[0]])
+            with pytest.raises(ValueError, match="reserved"):
+                t.append_batch(bad, "b-ok")
+        # the clean frame still writes
+        assert not t.append_batch(df, "b-ok").get("skipped")
+
     def test_unreadable_snapshot_fails_safe(self, spark, tmp_path):
         """A committed-but-unreadable snapshot must RAISE, not be
         silently skipped: skipping would let vacuum delete committed
