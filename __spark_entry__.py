@@ -671,6 +671,39 @@ def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
     )
 
 
+# ------------------------------------------- deterministic split assign
+
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment THROUGH THE OPERATOR
+    (operators/sampling.split_assign, method='hash' — the zero-shuffle
+    100 TB path): bucket = dual-dialect md5(salt ‖ id) mod 1e6 against
+    cumulative fraction thresholds, so DuckDB reproduces the EXACT
+    per-row assignment, not just the fractions."""
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+    from eo_tools_spark.operators.sampling import split_assign
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    docs = spark.sql(DOCS_AUG_SQL)
+    return split_assign(docs, _SPLIT_FRACS).select("doc_id", "split")
+
+
+def _stratified_split_oracle() -> str:
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL, md5_bigint
+
+    hx = md5_bigint("concat('split_', CAST(doc_id AS VARCHAR))", "duck")
+    return (
+        f"WITH docs AS ({DOCS_AUG_SQL}), "
+        f"b AS (SELECT doc_id, ({hx}) % 1000000 AS bk FROM docs) "
+        "SELECT doc_id, CASE WHEN bk < 900000 THEN 'train' "
+        "WHEN bk < 950000 THEN 'val' ELSE 'test' END AS split FROM b"
+    )
+
+
 # ------------------------------------------- benchmark decontamination
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_topk_ivf_pruned"] = q_ann_topk_ivf_pruned
     out["simhash_pairs"] = q_simhash_pairs
     out["decontaminate"] = q_decontaminate
+    out["stratified_split"] = q_stratified_split
     out["pip_aoi_join_adaptive"] = q_pip_aoi_join_adaptive
     out["frame_sample"] = q_frame_sample
     out["audio_stats"] = q_audio_stats
@@ -1117,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_ivf_pruned"] = _ann_topk_ivf_oracle()
     out["simhash_pairs"] = _simhash_pairs_oracle()
     out["decontaminate"] = _decontaminate_oracle()
+    out["stratified_split"] = _stratified_split_oracle()
     # identical truth through a structurally different (split) cover
     out["pip_aoi_join_adaptive"] = aoi_pip_oracle_sql()
 

@@ -1,0 +1,79 @@
+"""Deterministic dataset splitting (operators/sampling.split_assign)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eo_tools_spark.operators.sampling import _validate_fractions, split_assign
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def docs(spark, n=2000, start=0):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(start, start + n),
+                      "stratum": np.arange(start, start + n) % 4}),
+    )
+
+
+class TestHashSplit:
+    def test_deterministic_and_total(self, spark):
+        d = docs(spark)
+        a = split_assign(d, FRACS).toPandas().set_index("doc_id").split
+        b = split_assign(d, FRACS).toPandas().set_index("doc_id").split
+        assert a.equals(b)
+        assert set(a.unique()) <= set(FRACS)
+        # fractions hold within binomial noise at n=2000
+        fr = a.value_counts(normalize=True)
+        assert abs(fr["train"] - 0.8) < 0.03
+        assert abs(fr["val"] - 0.1) < 0.02 and abs(fr["test"] - 0.1) < 0.02
+
+    def test_assignment_stable_under_corpus_growth(self, spark):
+        """The property that makes hash splits right for incremental
+        ingestion: adding rows never reassigns existing ids."""
+        small = split_assign(docs(spark, 500), FRACS).toPandas()
+        big = split_assign(docs(spark, 2000), FRACS).toPandas()
+        merged = small.merge(big, on="doc_id", suffixes=("_s", "_b"))
+        assert (merged.split_s == merged.split_b).all()
+
+    def test_salt_changes_assignment(self, spark):
+        a = split_assign(docs(spark), FRACS, salt="s1").toPandas().split
+        b = split_assign(docs(spark), FRACS, salt="s2").toPandas().split
+        assert not a.equals(b)
+
+    def test_zero_shuffle_plan(self, spark):
+        out = split_assign(docs(spark), FRACS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestExactSplit:
+    def test_exact_per_stratum_counts(self, spark):
+        out = split_assign(
+            docs(spark, 400), FRACS, strata_col="stratum", method="exact"
+        ).toPandas()
+        for s, g in out.groupby("stratum"):
+            counts = g.split.value_counts()
+            # 100 rows per stratum → exactly 80/10/10
+            assert counts["train"] == 80 and counts["val"] == 10
+            assert counts["test"] == 10
+
+    def test_exact_requires_strata(self, spark):
+        with pytest.raises(ValueError, match="strata_col"):
+            split_assign(docs(spark), FRACS, method="exact")
+
+
+class TestValidation:
+    def test_fraction_contracts(self):
+        with pytest.raises(ValueError, match="sum to 1"):
+            _validate_fractions({"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="at least one"):
+            _validate_fractions({})
+        with pytest.raises(ValueError, match="non-negative"):
+            _validate_fractions({"a": 1.5, "b": -0.5})
+        bounds = _validate_fractions({"train": 0.9, "val": 0.05, "test": 0.05})
+        assert bounds == [("train", 900000), ("val", 950000), ("test", 1000000)]
+
+    def test_unknown_method_raises(self, spark):
+        with pytest.raises(ValueError, match="method"):
+            split_assign(docs(spark), FRACS, method="bogus")
