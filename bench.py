@@ -465,11 +465,32 @@ def run_queries() -> dict:
 
         n_winnow_pairs = timed("q14_winnow_fingerprints_full", q14_full, repeats=2)
 
+        # q18 at full scale: decontaminate the full winnow corpus
+        # against a bench table of every 101st doc (2 tokens trimmed —
+        # verbatim overlap guaranteed). Bench side ~n/101 docs,
+        # broadcast; corpus fingerprints never shuffle.
+        def q18_full():
+            from eo_tools_spark.operators.dedup import decontaminate
+
+            bench = (
+                windocs_full.where("doc_id % 101 = 0 AND doc_id < 10000000")
+                .selectExpr(
+                    "doc_id AS bench_id",
+                    "regexp_replace(text, '^([^ ]+ ){2}', '') AS text",
+                )
+            )
+            return decontaminate(
+                windocs_full, bench, k=4, w=5, min_shared=1,
+                token_hash="fast",
+            ).count()
+
+        n_contaminated = timed("q18_decontaminate_full", q18_full, repeats=2)
+
         ann_report = ann_section()
 
         result = base_result(
-            "sf1 full-scale (q1/q7/q8/q9/q13/q14 over the 600k table + "
-            "q15 ANN at 4M vectors)"
+            "sf1 full-scale (q1/q7/q8/q9/q13/q14/q18 over the 600k table "
+            "+ q15 ANN at 4M vectors)"
         )
         result.update(
             n_phash_pairs=n_phash_pairs,
@@ -488,6 +509,10 @@ def run_queries() -> dict:
             n_winnow_pairs=n_winnow_pairs,
             winnow_docs_per_sec=round(
                 n_windocs / timings["q14_winnow_fingerprints_full"], 1
+            ),
+            n_contaminated=n_contaminated,
+            decon_docs_per_sec=round(
+                n_windocs / timings["q18_decontaminate_full"], 1
             ),
             ann=ann_report,
         )
@@ -741,6 +766,25 @@ def run_queries() -> dict:
                 cand._eo_persisted.unpersist()
 
     winnow_pairs_found = timed("q14_winnow_fingerprints", q14)
+
+    # q18 — benchmark decontamination over the same winnow corpus: the
+    # "benchmark" is every 101st doc with its first two tokens trimmed
+    # (verbatim >= w+k-1 token overlap guaranteed → every such doc's
+    # source must flag). Bench side is tiny (n/101 docs) and broadcast;
+    # the corpus fingerprint stream never shuffles.
+    def q18():
+        from eo_tools_spark.operators.dedup import decontaminate
+
+        bench = spark.sql(
+            "SELECT doc_id AS bench_id, "
+            "regexp_replace(text, '^([^ ]+ ){2}', '') AS text "
+            "FROM _winnow_docs WHERE doc_id % 101 = 0"
+        )
+        return decontaminate(
+            windocs, bench, k=4, w=5, min_shared=1, token_hash="fast"
+        ).count()
+
+    n_contaminated = timed("q18_decontaminate", q18)
     longdocs.unpersist()
     windocs.unpersist()
 
@@ -870,6 +914,7 @@ def run_queries() -> dict:
         ann=ann_report,
         neardup_clustering=cc_report,
         winnow_pairs_found=winnow_pairs_found,
+        n_contaminated=n_contaminated,
         coreg_pixels=n_coreg_px,
         snapshot=snapshot_summary,
         partition_lineage=lineage_summary,
@@ -1095,6 +1140,7 @@ def run_sf1() -> None:
         "minhash_docs_per_sec": r.get("minhash_docs_per_sec"),
         "cc_pairs_per_sec": r.get("cc_pairs_per_sec"),
         "winnow_docs_per_sec": r.get("winnow_docs_per_sec"),
+        "decon_docs_per_sec": r.get("decon_docs_per_sec"),
         "ann_speedup_vs_brute": (r.get("ann") or {}).get("ann_speedup_vs_brute"),
         "pipeline_ratio_vs_sf01": r.get("pipeline_images_per_sec_ratio_vs_sf01"),
         "compare_verdict": (r.get("compare_vs_prior_sf1") or {}).get("verdict"),
