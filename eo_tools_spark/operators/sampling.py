@@ -76,40 +76,60 @@ def split_assign(
     stratum is a single window task — see module docstring for when
     that is acceptable.
     """
+    import re
+
     from eo_tools_spark.functions.text import md5_bigint
 
     bounds = _validate_fractions(fractions)
     if method not in ("hash", "exact"):
         raise ValueError(f"unknown method {method!r} (hash | exact)")
-
-    if method == "hash":
-        hx = md5_bigint(
-            f"concat('{salt}_', CAST({id_col} AS STRING))", "spark"
+    # salt is interpolated into a SQL string literal — restrict it to
+    # identifier-ish characters instead of trying to escape quotes
+    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", salt):
+        raise ValueError(
+            f"salt {salt!r} must match [A-Za-z0-9_.-]+ (it is embedded "
+            "in a SQL literal)"
         )
-        bucket = F.pmod(F.expr(hx), F.lit(_BUCKETS))
-        # fold WHENs in ascending threshold order; the last split is
-        # the otherwise-arm (absorbs bucket rounding)
+    # NULL ids would hash to NULL and silently fall through every WHEN
+    # into the otherwise-arm (the LAST split — typically the eval
+    # holdout) — refuse loudly at execution instead
+    hx = md5_bigint(
+        f"CASE WHEN {id_col} IS NULL THEN "
+        f"raise_error('split_assign: NULL {id_col}') "
+        f"ELSE concat('{salt}_', CAST({id_col} AS STRING)) END",
+        "spark",
+    )
+
+    def fold_case(key, threshold):
+        """Ascending-threshold WHEN chain; the last split is the
+        otherwise-arm (absorbs rounding)."""
         expr = None
         for name, ub in bounds[:-1]:
-            cond = bucket < ub
+            cond = threshold(key, ub)
             expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        expr = (
-            F.lit(bounds[-1][0]) if expr is None else expr.otherwise(bounds[-1][0])
+        return (
+            F.lit(bounds[-1][0]) if expr is None
+            else expr.otherwise(bounds[-1][0])
         )
-        return df.withColumn(split_col, expr)
+
+    if method == "hash":
+        bucket = F.pmod(F.expr(hx), F.lit(_BUCKETS))
+        return df.withColumn(
+            split_col, fold_case(bucket, lambda b, ub: b < ub)
+        )
 
     if strata_col is None:
         raise ValueError("method='exact' requires strata_col")
     from pyspark.sql import Window
 
-    hx = md5_bigint(f"concat('{salt}_', CAST({id_col} AS STRING))", "spark")
     w = Window.partitionBy(strata_col).orderBy(F.expr(hx), F.col(id_col))
     wn = Window.partitionBy(strata_col)
     rn = F.row_number().over(w)
     n = F.count(F.lit(1)).over(wn)
-    expr = None
-    for name, ub in bounds[:-1]:
-        cond = rn <= (F.lit(ub) / _BUCKETS) * n
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = F.lit(bounds[-1][0]) if expr is None else expr.otherwise(bounds[-1][0])
-    return df.withColumn(split_col, expr)
+    # integer arithmetic: rn*1e6 <= ub*n — the float form (ub/1e6)*n
+    # loses exactness at boundaries (e.g. 580000/1e6*50 = 28.999…,
+    # assigning 28 of the promised 29 rows)
+    return df.withColumn(
+        split_col,
+        fold_case(rn, lambda r, ub: r * _BUCKETS <= F.lit(ub) * n),
+    )

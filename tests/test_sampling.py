@@ -37,9 +37,24 @@ class TestHashSplit:
         assert (merged.split_s == merged.split_b).all()
 
     def test_salt_changes_assignment(self, spark):
-        a = split_assign(docs(spark), FRACS, salt="s1").toPandas().split
-        b = split_assign(docs(spark), FRACS, salt="s2").toPandas().split
+        a = split_assign(docs(spark), FRACS, salt="s1").toPandas() \
+            .set_index("doc_id").split.sort_index()
+        b = split_assign(docs(spark), FRACS, salt="s2").toPandas() \
+            .set_index("doc_id").split.sort_index()
         assert not a.equals(b)
+
+    def test_quoted_salt_rejected(self, spark):
+        with pytest.raises(ValueError, match="salt"):
+            split_assign(docs(spark), FRACS, salt="run's-v2")
+
+    def test_null_id_raises_not_silently_buckets(self, spark):
+        """NULL ids would hash to NULL and fall through every WHEN into
+        the LAST split (the eval holdout) — must raise instead."""
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": pd.array([1, None], dtype="Int64")})
+        )
+        with pytest.raises(Exception, match="NULL doc_id"):
+            split_assign(d, FRACS).collect()
 
     def test_zero_shuffle_plan(self, spark):
         out = split_assign(docs(spark), FRACS)
@@ -57,6 +72,20 @@ class TestExactSplit:
             # 100 rows per stratum → exactly 80/10/10
             assert counts["train"] == 80 and counts["val"] == 10
             assert counts["test"] == 10
+
+    def test_exact_counts_survive_float_boundaries(self, spark):
+        """Regression (round-6 review): (ub/1e6)*n float arithmetic
+        loses exactness — 0.58 of 50 evaluated to 28.999…, assigning
+        28 rows instead of 29. Integer form must give ceil-exact
+        counts at every such boundary."""
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.arange(50), "stratum": 0})
+        )
+        out = split_assign(
+            d, {"a": 0.58, "b": 0.42}, strata_col="stratum", method="exact"
+        ).toPandas()
+        counts = out.split.value_counts()
+        assert counts["a"] == 29 and counts["b"] == 21
 
     def test_exact_requires_strata(self, spark):
         with pytest.raises(ValueError, match="strata_col"):
