@@ -564,6 +564,83 @@ def main() -> int:
     )
     checks.append(c)
 
+    # ---- q19 decontaminate: bench fingerprints broadcast, corpus
+    # stream never shuffles before the match
+    from eo_tools_spark.functions.text import DOCS_AUG_SQL
+    from eo_tools_spark.operators.dedup import decontaminate
+
+    docs_df = spark.sql(DOCS_AUG_SQL)
+    bench_df = docs_df.where("doc_id % 11 = 3").selectExpr(
+        "doc_id AS bench_id", "text"
+    )
+    q19 = decontaminate(
+        docs_df.where("doc_id % 11 <> 3"), bench_df, token_hash="fast"
+    )
+    c = Check(
+        "q19 decontaminate (corpus × benchmark winnowing join)",
+        q19,
+        "the benchmark fingerprint frame must BROADCAST (eval sets are "
+        "tiny vs a 100 TB corpus) so the corpus fingerprint stream is "
+        "consumed map-side; the only hash exchange is the groupBy over "
+        "MATCHED rows.",
+    )
+    c.expect("bench side broadcast", c.has(r"BroadcastExchange"))
+    c.expect(
+        "exactly one hash exchange (matched-row groupBy)",
+        c.count(r"Arguments: hashpartitioning") == 1,
+        f"hash exchanges = {c.count(r'Arguments: hashpartitioning')}",
+    )
+    c.expect(
+        "corpus text never rides a shuffle (fp+id only)",
+        not re.search(r"hashpartitioning\([^)]*text", c.plan),
+    )
+    checks.append(c)
+
+    # ---- q20 stratified_split: hash method is a pure projection
+    from eo_tools_spark.operators.sampling import split_assign
+
+    q20 = split_assign(
+        docs_df, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    c = Check(
+        "q20 stratified_split (hash method)",
+        q20,
+        "deterministic split assignment must be a zero-exchange per-row "
+        "projection — the property that lets it run inline in any scan "
+        "at 100 TB and keep assignments stable under corpus growth.",
+    )
+    c.expect("zero exchanges of any kind", not c.has(r"Exchange"))
+    c.expect("no Python anywhere", not c.has(r"BatchEvalPython|MapInPandas"))
+    q20.collect()
+    executed20 = q20._jdf.queryExecution().executedPlan().toString()
+    c.expect(
+        "whole-stage codegen spans the projection (executed plan)",
+        re.search(r"\*\(\d+\) Project", executed20) is not None,
+    )
+    checks.append(c)
+
+    # ---- q21 repetition_stats: scalar dup ratios stay in the scan
+    # stage; only the top-bigram count exchanges, with map-side combine
+    from eo_tools_spark.operators.text_queries import repetition_stats
+
+    q21 = spark.sql(repetition_stats()[0])
+    c = Check(
+        "q21 repetition_stats (Gopher filters)",
+        q21,
+        "dup-token and dup-n-gram ratios are per-row Catalyst array "
+        "scalars; the top-bigram histogram is explode → partial "
+        "HashAggregate before its exchange (map-side combine bounds "
+        "the shuffle by distinct (doc, gram), not token count).",
+    )
+    c.expect("no Python anywhere", not c.has(r"BatchEvalPython|MapInPandas"))
+    c.expect(
+        "partial aggregation before the gram exchange (map-side combine)",
+        c.count(r"HashAggregate") >= 2,
+        f"HashAggregate nodes = {c.count(r'HashAggregate')}",
+    )
+    c.expect("bigram explode is JVM-side Generate", c.has(r"Generate"))
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
