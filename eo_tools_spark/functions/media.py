@@ -32,6 +32,10 @@ Layout notes that the tests pin:
   decode via the same payload dispatch as MJPG; AVC/HEVC/VP9/AV1
   bitstreams raise NotImplementedError (mp4_meta still parses them —
   the metadata/slicing path needs no codec).
+- MP4 audio tracks: raw PCM16 ('sowt' little-endian / 'twos'
+  big-endian) decode through the same sample-table walk (uniform
+  stsz, 2-byte frames grouped per chunk); AAC/ALAC/Opus/AC-3 raise
+  with parsed channel/rate metadata.
 """
 
 from __future__ import annotations
@@ -417,18 +421,19 @@ def _child(b: bytes, off: int, end: int, btype: bytes):
     return None
 
 
-def _parse_mp4(b: bytes) -> dict:
-    """Box-tree walk → the video track's codec fourcc, dimensions,
-    timing, and the reconstructed per-sample (offset, size) list.
-    Truncated/corrupt input raises ValueError (never a bare
+def _parse_mp4(b: bytes, handler: bytes = b"vide") -> dict:
+    """Box-tree walk → the requested track's codec fourcc, sample-entry
+    fields (width/height for ``vide``; channels/bits/rate for
+    ``soun``), timing, and the reconstructed per-sample (offset, size)
+    list. Truncated/corrupt input raises ValueError (never a bare
     struct.error from a fixed-offset unpack)."""
     try:
-        return _parse_mp4_inner(b)
+        return _parse_mp4_inner(b, handler)
     except struct.error as e:
         raise ValueError(f"truncated or corrupt MP4 stream: {e}") from e
 
 
-def _parse_mp4_inner(b: bytes) -> dict:
+def _parse_mp4_inner(b: bytes, handler: bytes = b"vide") -> dict:
     if len(b) < 12 or _child(b, 0, len(b), b"ftyp") is None:
         raise ValueError("not an ISO BMFF (MP4) stream")
     moov = _child(b, 0, len(b), b"moov")
@@ -441,11 +446,11 @@ def _parse_mp4_inner(b: bytes) -> dict:
         if mdia is None:
             continue
         hdlr = _child(b, *mdia, b"hdlr")
-        if hdlr is None or b[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+        if hdlr is None or b[hdlr[0] + 8:hdlr[0] + 12] != handler:
             continue
         mdhd = _child(b, *mdia, b"mdhd")
         if mdhd is None:
-            raise ValueError("video trak missing mdhd")
+            raise ValueError("trak missing mdhd")
         version = b[mdhd[0]]
         if version == 1:
             timescale, duration = struct.unpack(
@@ -458,14 +463,29 @@ def _parse_mp4_inner(b: bytes) -> dict:
         minf = _child(b, *mdia, b"minf")
         stbl = _child(b, *minf, b"stbl") if minf else None
         if stbl is None:
-            raise ValueError("video trak missing minf/stbl")
+            raise ValueError("trak missing minf/stbl")
         stsd = _child(b, *stbl, b"stsd")
         if stsd is None:
             raise ValueError("sample table missing stsd")
-        # first sample entry: its own box header carries the codec
+        # first sample entry: its own box header carries the codec.
+        # VisualSampleEntry puts width/height at body+24; an
+        # AudioSampleEntry puts channelcount/samplesize at body+16 and
+        # the 16.16-fixed sample rate at body+24 (ISO 14496-12 §12).
         entry_off = stsd[0] + 8
         fourcc = b[entry_off + 4:entry_off + 8]
-        w, h = struct.unpack(">HH", b[entry_off + 32:entry_off + 36])
+        if handler == b"vide":
+            entry_fields = dict(
+                zip(("width", "height"),
+                    (int(v) for v in
+                     struct.unpack(">HH", b[entry_off + 32:entry_off + 36])))
+            )
+        else:
+            ch, bits = struct.unpack(">HH", b[entry_off + 24:entry_off + 28])
+            (rate_fx,) = struct.unpack(">I", b[entry_off + 32:entry_off + 36])
+            entry_fields = {
+                "channels": int(ch), "bits": int(bits),
+                "sample_rate": int(rate_fx >> 16),
+            }
 
         stsz = _child(b, *stbl, b"stsz")
         stsc = _child(b, *stbl, b"stsc")
@@ -521,14 +541,14 @@ def _parse_mp4_inner(b: bytes) -> dict:
             )
         return {
             "codec": fourcc.decode("latin1"),
-            "width": int(w),
-            "height": int(h),
             "n_samples": int(n_samples),
             "timescale": int(timescale),
             "duration": int(duration),
             "samples": samples,
+            **entry_fields,
         }
-    raise ValueError("MP4 has no video track")
+    kind = "video" if handler == b"vide" else "audio"
+    raise ValueError(f"MP4 has no {kind} track")
 
 
 def mp4_meta(b: bytes) -> dict:
@@ -564,6 +584,129 @@ def decode_mp4(b: bytes) -> np.ndarray:
     if not frames:
         raise ValueError("MP4 video track has zero samples")
     return np.stack(frames)
+
+
+#: audio sample-entry fourccs decodable as raw PCM16
+_MP4_PCM_FOURCC = {b"sowt": "<i2", b"twos": ">i2"}
+#: recognized-but-undecodable audio codecs
+_MP4_AUDIO_BITSTREAM = (b"mp4a", b"lpcm", b"alac", b"opus", b"ac-3")
+
+
+def encode_mp4_audio(
+    samples: np.ndarray,
+    rate: int = 16000,
+    frames_per_chunk: int = 4096,
+) -> bytes:
+    """Mono PCM16 audio in ISO BMFF: 'sowt' (little-endian PCM) sample
+    entry, UNIFORM stsz (sample_size = 2 bytes/frame — the layout
+    QuickTime PCM uses, and the parser's uniform-size branch), frames
+    grouped ``frames_per_chunk`` per chunk."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError("samples must be a 1-D int16 array (mono)")
+    if frames_per_chunk < 1:
+        raise ValueError("frames_per_chunk must be >= 1")
+    n = len(s)
+    data = s.tobytes()
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat = _box(b"mdat", data)
+    mdat_body = len(ftyp) + 8
+    chunk_offsets, chunk_sizes = [], []
+    for s0 in range(0, max(n, 1), frames_per_chunk):
+        chunk_offsets.append(mdat_body + 2 * s0)
+        chunk_sizes.append(min(frames_per_chunk, n - s0))
+    stsc_entries = []
+    for ci, spc in enumerate(chunk_sizes, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((ci, spc, 1))
+
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)       # reserved, dref index
+        + struct.pack(">HHI", 0, 0, 0)            # version, rev, vendor
+        + struct.pack(">HHHH", 1, 16, 0, 0)       # mono, 16-bit
+        + struct.pack(">I", rate << 16)           # 16.16 fixed rate
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"sowt", entry))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 2, n))  # uniform
+    stco = _fullbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _fullbox(b"url ", 0, 1, b"")
+    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"SoundHandler\x00",
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fullbox(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # volume 1.0
+        + _MP4_MATRIX
+        + struct.pack(">II", 0, 0),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, rate, n)
+        + struct.pack(">IH", 0x10000, 0x100)
+        + b"\x00" * 10
+        + _MP4_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_audio(b: bytes) -> tuple[int, np.ndarray]:
+    """→ (sample_rate, int16 samples) from an ISO BMFF audio track
+    carrying raw PCM16 ('sowt' little-endian / 'twos' big-endian).
+    Compressed codecs (AAC 'mp4a', ALAC, Opus, AC-3, v2 'lpcm') raise
+    NotImplementedError with the parsed metadata; mono 16-bit only
+    (loud error otherwise — honest contract, mirroring decode_wav)."""
+    m = _parse_mp4(b, handler=b"soun")
+    fourcc = m["codec"].encode("latin1")
+    if fourcc in _MP4_AUDIO_BITSTREAM:
+        raise NotImplementedError(
+            f"MP4 audio codec {m['codec']!r} needs a decoder (no codec "
+            f"libs in this container); parsed metadata: "
+            f"{m['channels']}ch {m['bits']}bit {m['sample_rate']}Hz, "
+            f"{m['n_samples']} samples"
+        )
+    dtype = _MP4_PCM_FOURCC.get(fourcc)
+    if dtype is None:
+        raise ValueError(f"unrecognized MP4 audio codec {m['codec']!r}")
+    if m["channels"] != 1 or m["bits"] != 16:
+        raise ValueError(
+            f"unsupported layout: {m['channels']}ch {m['bits']}bit "
+            "(mono 16 only)"
+        )
+    pcm = b"".join(b[o:o + s] for o, s in m["samples"])
+    # timescale is authoritative for timing; the sample-entry 16.16
+    # rate must agree — a mismatch means a malformed writer
+    rate = m["timescale"]
+    if m["sample_rate"] and m["sample_rate"] != rate:
+        raise ValueError(
+            f"sample-entry rate {m['sample_rate']} != mdhd timescale {rate}"
+        )
+    return rate, np.frombuffer(pcm, dtype=dtype).astype("<i2")
 
 
 # ----------------------------------------------------------- RIFF utils

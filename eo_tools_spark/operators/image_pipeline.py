@@ -197,13 +197,14 @@ def phash_neardup(
 AUDIO_VIDEO_NOTE = (
     "decode implemented for RIFF containers (uncompressed AVI '00db' "
     "DIB + MJPG video, PCM16 WAV audio) and ISO BMFF/MP4 with "
-    "JPEG-family samples (functions/media.py, pure numpy); "
-    "other formats raise until a codec is available."
+    "JPEG-family video samples / raw-PCM16 audio tracks "
+    "(functions/media.py, pure numpy); other formats raise until a "
+    "codec is available."
 )
 
 #: formats frame_sample can decode (fmt column values)
 DECODABLE_VIDEO = ("avi", "mp4")
-DECODABLE_AUDIO = ("wav",)
+DECODABLE_AUDIO = ("wav", "mp4")
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -279,7 +280,10 @@ def audio_stats(media: DataFrame) -> DataFrame:
     """PCM16 WAV decode + exact integer statistics per clip (sum and
     sum-of-squares as BIGINT — bit-stable at any partitioning, and
     SQL-recomputable by the oracle fixture)."""
-    from eo_tools_spark.functions.media import decode_wav
+    from eo_tools_spark.functions.media import decode_mp4_audio, decode_wav
+
+    decoders = {"wav": decode_wav, "mp4": decode_mp4_audio}
+    assert set(decoders) == set(DECODABLE_AUDIO)
 
     schema = StructType(
         [
@@ -296,11 +300,11 @@ def audio_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                if r.fmt not in DECODABLE_AUDIO:
+                if r.fmt not in decoders:
                     raise NotImplementedError(
                         f"audio fmt {r.fmt!r}: {AUDIO_VIDEO_NOTE}"
                     )
-                rate, s = decode_wav(bytes(r.bytes))
+                rate, s = decoders[r.fmt](bytes(r.bytes))
                 s64 = s.astype(np.int64)
                 out.append(
                     (

@@ -194,9 +194,11 @@ def make_video(i: int, seed: int = 42):
 
 
 def make_audio(i: int, seed: int = 42):
-    """One deterministic WAV row — pure in (i, seed): two tones +
-    noise, PCM16 mono."""
-    from eo_tools_spark.functions.media import encode_wav
+    """One deterministic audio row — pure in (i, seed): two tones +
+    noise, PCM16 mono. Container rotates by id: ``i % 3 == 2`` → ISO
+    BMFF/MP4 ('sowt' PCM track, round-6 codec breadth), else WAV.
+    PCM is lossless in both, so decode == source either way."""
+    from eo_tools_spark.functions.media import encode_mp4_audio, encode_wav
 
     rng = np.random.default_rng(
         np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i) * np.uint64(2)
@@ -211,10 +213,14 @@ def make_audio(i: int, seed: int = 42):
         + rng.normal(0, 400, n)
     )
     s = np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+    if i % 3 == 2:
+        fmt, payload = "mp4", encode_mp4_audio(s, rate)
+    else:
+        fmt, payload = "wav", encode_wav(s, rate)
     return (
         f"aud-{i:08d}",
-        "wav",
-        encode_wav(s, rate),
+        fmt,
+        payload,
         0,
         0,
         0,
@@ -225,8 +231,10 @@ def make_audio(i: int, seed: int = 42):
 
 
 def media_table(spark: SparkSession, n_video: int, n_audio: int, seed: int = 42) -> DataFrame:
-    """Distributed deterministic media table: ids < n_video → AVI rows,
-    the rest → WAV rows — identical bytes at any parallelism."""
+    """Distributed deterministic media table: ids < n_video → video
+    rows (DIB-AVI / MJPG-AVI / MP4 rotating by id — see make_video),
+    the rest → audio rows (WAV or MP4-PCM — see make_audio) —
+    identical bytes at any parallelism."""
     rng_df = spark.range(0, n_video + n_audio)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from eo_tools_spark.functions.media import (  # noqa: E402
     decode_avi,
     decode_mp4,
+    decode_mp4_audio,
     decode_wav,
 )
 from eo_tools_spark.sources.synthetic import make_audio, make_video  # noqa: E402
@@ -206,6 +207,51 @@ def independent_mp4(b: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
+def independent_mp4_audio(b: bytes) -> tuple[int, np.ndarray]:
+    """'sowt' PCM track: uniform-size samples, chunk-level slicing."""
+    moov = _descend(b, 0, len(b), ["moov"])
+    soun = None
+    for f, lo, hi in _boxes(b, *moov):
+        if f != "trak":
+            continue
+        mdia = _descend(b, lo, hi, ["mdia"])
+        h_lo, _ = _descend(b, *mdia, ["hdlr"])
+        if b[h_lo + 8:h_lo + 12] == b"soun":
+            soun = mdia
+    assert soun is not None, "no audio track"
+    md_lo, _ = _descend(b, *soun, ["mdhd"])
+    rate = int.from_bytes(b[md_lo + 12:md_lo + 16], "big")
+    stbl = _descend(b, *soun, ["minf", "stbl"])
+    sd_lo, _ = _descend(b, *stbl, ["stsd"])
+    entry = sd_lo + 8
+    assert b[entry + 4:entry + 8] == b"sowt"
+    sz_lo, _ = _descend(b, *stbl, ["stsz"])
+    fixed = int.from_bytes(b[sz_lo + 4:sz_lo + 8], "big")
+    n = int.from_bytes(b[sz_lo + 8:sz_lo + 12], "big")
+    assert fixed == 2, "uniform 2-byte PCM frames expected"
+    sc_lo, _ = _descend(b, *stbl, ["stsc"])
+    n_sc = int.from_bytes(b[sc_lo + 4:sc_lo + 8], "big")
+    runs = [
+        (
+            int.from_bytes(b[sc_lo + 8 + 12 * k:sc_lo + 12 + 12 * k], "big"),
+            int.from_bytes(b[sc_lo + 12 + 12 * k:sc_lo + 16 + 12 * k], "big"),
+        )
+        for k in range(n_sc)
+    ]
+    co_lo, _ = _descend(b, *stbl, ["stco"])
+    n_ch = int.from_bytes(b[co_lo + 4:co_lo + 8], "big")
+    pcm = bytearray()
+    done = 0
+    for ci in range(1, n_ch + 1):
+        per = [per for first, per in runs if first <= ci][-1]
+        per = min(per, n - done)
+        off = int.from_bytes(b[co_lo + 8 + 4 * (ci - 1):co_lo + 12 + 4 * (ci - 1)], "big")
+        pcm += b[off:off + 2 * per]
+        done += per
+    assert done == n, (done, n)
+    return rate, np.frombuffer(bytes(pcm), dtype="<i2")
+
+
 # ----------------------------------------------------------- fixtures
 
 def build_frame_sample() -> pd.DataFrame:
@@ -242,9 +288,13 @@ def build_audio_stats() -> pd.DataFrame:
     out = []
     for i in range(N_AUDIO):
         r = make_audio(i, SEED)
-        media_id, payload, src = r[0], r[2], r[-1]
-        rate_p, pkg = decode_wav(payload)
-        rate_i, ind = independent_wav(payload)
+        media_id, fmt, payload, src = r[0], r[1], r[2], r[-1]
+        if fmt == "mp4":
+            rate_p, pkg = decode_mp4_audio(payload)
+            rate_i, ind = independent_mp4_audio(payload)
+        else:
+            rate_p, pkg = decode_wav(payload)
+            rate_i, ind = independent_wav(payload)
         assert rate_p == rate_i == 8000
         assert np.array_equal(pkg, src) and np.array_equal(ind, src), media_id
         s = src.astype(np.int64)

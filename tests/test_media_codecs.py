@@ -320,3 +320,98 @@ class TestMp4:
             encode_mp4(np.zeros((1, 2, 2, 3), dtype=np.uint8), samples_per_chunk=0)
         with pytest.raises(ValueError, match="frames"):
             encode_mp4(np.zeros((2, 2, 3), dtype=np.uint8))
+
+class TestMp4Audio:
+    """PCM16 audio tracks in ISO BMFF (round-6): 'sowt'/'twos' raw PCM
+    via the same box walker, uniform-stsz sample table."""
+
+    def test_roundtrip_exact(self):
+        from eo_tools_spark.functions.media import (
+            decode_mp4_audio,
+            encode_mp4_audio,
+        )
+
+        rng = np.random.default_rng(13)
+        for n, fpc in [(1, 1), (800, 4096), (12000, 4096), (5000, 999)]:
+            s = rng.integers(-32768, 32767, n).astype(np.int16)
+            rate, t = decode_mp4_audio(encode_mp4_audio(s, 22050, fpc))
+            assert rate == 22050 and np.array_equal(s, t), (n, fpc)
+
+    def test_uniform_stsz_layout(self):
+        """PCM uses the uniform sample-size form (sample_size=2, no
+        per-sample table) — pin the bytes."""
+        from eo_tools_spark.functions.media import encode_mp4_audio
+
+        b = encode_mp4_audio(np.zeros(100, dtype=np.int16), 8000)
+        i = b.index(b"stsz") + 4
+        fixed, n = struct.unpack(">II", b[i + 4:i + 12])
+        assert fixed == 2 and n == 100
+
+    def test_big_endian_twos_supported(self):
+        from eo_tools_spark.functions.media import (
+            decode_mp4_audio,
+            encode_mp4_audio,
+        )
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(-32768, 32767, 500).astype(np.int16)
+        b = bytearray(encode_mp4_audio(s, 16000))
+        i = b.index(b"mdat") + 4
+        b[i:i + 1000] = (
+            np.frombuffer(bytes(b[i:i + 1000]), dtype="<i2")
+            .byteswap().tobytes()
+        )
+        j = bytes(b).index(b"sowt", bytes(b).index(b"stsd"))
+        b[j:j + 4] = b"twos"
+        rate, t = decode_mp4_audio(bytes(b))
+        assert rate == 16000 and np.array_equal(s, t)
+
+    def test_track_routing(self):
+        """A video-only file has no audio track and vice versa."""
+        from eo_tools_spark.functions.media import (
+            decode_mp4,
+            decode_mp4_audio,
+            encode_mp4,
+            encode_mp4_audio,
+        )
+
+        vb = encode_mp4(np.zeros((2, 4, 4, 3), dtype=np.uint8))
+        ab = encode_mp4_audio(np.zeros(64, dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="no audio track"):
+            decode_mp4_audio(vb)
+        with pytest.raises(ValueError, match="no video track"):
+            decode_mp4(ab)
+
+    def test_aac_raises_with_metadata(self):
+        from eo_tools_spark.functions.media import (
+            decode_mp4_audio,
+            encode_mp4_audio,
+        )
+
+        b = bytearray(encode_mp4_audio(np.zeros(64, dtype=np.int16), 8000))
+        j = bytes(b).index(b"sowt", bytes(b).index(b"stsd"))
+        b[j:j + 4] = b"mp4a"
+        with pytest.raises(NotImplementedError, match="1ch 16bit 8000Hz"):
+            decode_mp4_audio(bytes(b))
+
+    def test_stereo_rejected(self):
+        from eo_tools_spark.functions.media import (
+            decode_mp4_audio,
+            encode_mp4_audio,
+        )
+
+        b = bytearray(encode_mp4_audio(np.zeros(64, dtype=np.int16), 8000))
+        # channelcount lives at sample-entry body+16 (entry_off+24)
+        j = bytes(b).index(b"sowt", bytes(b).index(b"stsd")) - 4
+        b[j + 24:j + 26] = struct.pack(">H", 2)
+        with pytest.raises(ValueError, match="mono 16 only"):
+            decode_mp4_audio(bytes(b))
+
+    def test_encoder_contracts(self):
+        from eo_tools_spark.functions.media import encode_mp4_audio
+
+        with pytest.raises(ValueError, match="1-D"):
+            encode_mp4_audio(np.zeros((2, 2), dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="frames_per_chunk"):
+            encode_mp4_audio(np.zeros(4, dtype=np.int16), 8000,
+                             frames_per_chunk=0)
