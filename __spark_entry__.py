@@ -571,7 +571,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM16 WAV decode + exact integer per-clip statistics."""
+    """PCM16 decode (WAV + 'sowt'-in-MP4) + exact per-clip statistics."""
     from eo_tools_spark.operators.image_pipeline import audio_stats
     from eo_tools_spark.sources.synthetic import media_table
 

@@ -294,6 +294,93 @@ _MP4_MATRIX = struct.pack(
 )
 
 
+def _mp4_chunks(mdat_body: int, sizes: list, per_chunk: int):
+    """Absolute chunk offsets + stsc run-length entries for samples of
+    ``sizes`` grouped ``per_chunk`` per chunk."""
+    n = len(sizes)
+    offsets, runs = [], []
+    pos = mdat_body
+    ci = 0
+    for s0 in range(0, max(n, 1), per_chunk):
+        spc = min(per_chunk, n - s0)
+        offsets.append(pos)
+        pos += sum(sizes[s0:s0 + spc])
+        ci += 1
+        if not runs or runs[-1][1] != spc:
+            runs.append((ci, spc, 1))
+    return offsets, runs
+
+
+def _mp4_container(
+    payload: bytes,
+    sample_entry: bytes,
+    handler: bytes,
+    handler_name: bytes,
+    media_header: bytes,
+    timescale: int,
+    n: int,
+    stsz_body: bytes,
+    sizes: list,
+    per_chunk: int,
+    tkhd_dims: tuple,
+    volume: int,
+) -> bytes:
+    """Assemble ftyp + mdat + moov around one track — the scaffolding
+    shared by the video and audio encoders (single source of truth for
+    the byte layout; round-6 review finding)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat = _box(b"mdat", payload)
+    # chunk layout: absolute offsets into the file (mdat body starts
+    # right after ftyp + the 8-byte mdat header)
+    chunk_offsets, stsc_entries = _mp4_chunks(len(ftyp) + 8, sizes, per_chunk)
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _fullbox(b"stsz", 0, 0, stsz_body)
+    stco = _fullbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _fullbox(b"url ", 0, 1, b"")            # flag 1: self-contained
+    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    minf = _box(b"minf", media_header + dinf + stbl)
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + handler + b"\x00" * 12 + handler_name,
+    )
+    # media timescale with sample delta 1 → duration = n exactly
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, n, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fullbox(
+        b"tkhd", 0, 3,  # enabled + in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, volume, 0)
+        + _MP4_MATRIX
+        + struct.pack(">II", *tkhd_dims),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, n)
+        + struct.pack(">IH", 0x10000, 0x100)      # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + _MP4_MATRIX
+        + b"\x00" * 24                            # pre_defined[6]
+        + struct.pack(">I", 2),                   # next track id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def encode_mp4(
     frames: np.ndarray,
     fps: int = 10,
@@ -319,23 +406,6 @@ def encode_mp4(
     n, h, w, _ = f.shape
     payloads = [qjpg_encode(f[i]) for i in range(n)]
     sizes = [len(p) for p in payloads]
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
-    mdat = _box(b"mdat", b"".join(payloads))
-
-    # chunk layout: absolute offsets into the file (mdat body starts
-    # right after ftyp + the 8-byte mdat header)
-    mdat_body = len(ftyp) + 8
-    chunk_offsets, chunk_sizes = [], []
-    for s0 in range(0, n, samples_per_chunk):
-        chunk_offsets.append(mdat_body + sum(sizes[:s0]))
-        chunk_sizes.append(min(samples_per_chunk, n - s0))
-    # stsc run-length entries: (first_chunk, samples_per_chunk, desc_id)
-    stsc_entries = []
-    for ci, spc in enumerate(chunk_sizes, start=1):
-        if not stsc_entries or stsc_entries[-1][1] != spc:
-            stsc_entries.append((ci, spc, 1))
-
     entry = (
         b"\x00" * 6 + struct.pack(">H", 1)      # reserved, dref index
         + b"\x00" * 16                            # pre_defined/reserved
@@ -344,56 +414,20 @@ def encode_mp4(
         + b"\x00" * 32                            # compressorname
         + struct.pack(">Hh", 24, -1)              # depth, pre_defined
     )
-    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
-    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
-    stsc = _fullbox(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    return _mp4_container(
+        payload=b"".join(payloads),
+        sample_entry=_box(b"jpeg", entry),
+        handler=b"vide",
+        handler_name=b"VideoHandler\x00",
+        media_header=_fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        timescale=fps,
+        n=n,
+        stsz_body=struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+        sizes=sizes,
+        per_chunk=samples_per_chunk,
+        tkhd_dims=(w << 16, h << 16),
+        volume=0,
     )
-    stsz = _fullbox(
-        b"stsz", 0, 0,
-        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
-    )
-    stco = _fullbox(
-        b"stco", 0, 0,
-        struct.pack(">I", len(chunk_offsets))
-        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
-    )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    url = _fullbox(b"url ", 0, 1, b"")            # flag 1: self-contained
-    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
-    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    hdlr = _fullbox(
-        b"hdlr", 0, 0,
-        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
-    )
-    # media timescale = fps, sample delta = 1 → duration = n exactly
-    mdhd = _fullbox(
-        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
-    )
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _fullbox(
-        b"tkhd", 0, 3,  # enabled + in-movie
-        struct.pack(">IIIII", 0, 0, 1, 0, n)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0)
-        + _MP4_MATRIX
-        + struct.pack(">II", w << 16, h << 16),
-    )
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _fullbox(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, fps, n)
-        + struct.pack(">IH", 0x10000, 0x100)      # rate 1.0, volume 1.0
-        + b"\x00" * 10
-        + _MP4_MATRIX
-        + b"\x00" * 24                            # pre_defined[6]
-        + struct.pack(">I", 2),                   # next track id
-    )
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
 
 
 def _walk_boxes(b: bytes, off: int, end: int):
@@ -518,8 +552,13 @@ def _parse_mp4_inner(b: bytes, handler: bytes = b"vide") -> dict:
             )
 
         # expand stsc runs: entry i applies from its first_chunk until
-        # the next entry's first_chunk (1-based, per the spec)
-        samples = []
+        # the next entry's first_chunk (1-based, per the spec).
+        # Uniform-size tables (stsz sample_size != 0, e.g. PCM audio)
+        # take the O(n_chunks) path — per-sample tuples for millions of
+        # 2-byte PCM frames would be pure Python-object overhead; the
+        # variable-size path still materializes per-sample offsets.
+        samples = [] if not uniform else None
+        chunks = []  # (offset, nbytes) per chunk, decode-order
         si = 0
         for ci in range(1, n_ch + 1):
             spc = 0
@@ -528,13 +567,17 @@ def _parse_mp4_inner(b: bytes, handler: bytes = b"vide") -> dict:
                     spc = per
                 else:
                     break
+            spc = min(spc, n_samples - si)
+            if uniform:
+                chunks.append((offs[ci - 1], spc * uniform))
+                si += spc
+                continue
             within = 0
             for _ in range(spc):
-                if si >= n_samples:
-                    break
                 samples.append((offs[ci - 1] + within, sizes[si]))
                 within += sizes[si]
                 si += 1
+            chunks.append((offs[ci - 1], within))
         if si != n_samples:
             raise ValueError(
                 f"sample table inconsistent: located {si} of {n_samples}"
@@ -544,7 +587,10 @@ def _parse_mp4_inner(b: bytes, handler: bytes = b"vide") -> dict:
             "n_samples": int(n_samples),
             "timescale": int(timescale),
             "duration": int(duration),
+            "uniform_size": int(uniform),
             "samples": samples,
+            "chunks": chunks,
+            "total_bytes": int(sum(sizes)),
             **entry_fields,
         }
     kind = "video" if handler == b"vide" else "audio"
@@ -578,9 +624,17 @@ def decode_mp4(b: bytes) -> np.ndarray:
     if fourcc not in _MP4_JPEG_FOURCC:
         raise ValueError(f"unrecognized MP4 video codec {m['codec']!r}")
     w, h = m["width"], m["height"]
-    frames = [
-        _decode_mjpg_frame(b[o:o + s], w, h) for o, s in m["samples"]
-    ]
+    samples = m["samples"]
+    if samples is None:
+        # foreign writer using uniform stsz for video: expand per-chunk
+        # extents into per-sample offsets (frame counts are small)
+        u = m["uniform_size"]
+        samples = [
+            (off + k * u, u)
+            for off, nbytes in m["chunks"]
+            for k in range(nbytes // u)
+        ]
+    frames = [_decode_mjpg_frame(b[o:o + s], w, h) for o, s in samples]
     if not frames:
         raise ValueError("MP4 video track has zero samples")
     return np.stack(frames)
@@ -607,72 +661,30 @@ def encode_mp4_audio(
     if frames_per_chunk < 1:
         raise ValueError("frames_per_chunk must be >= 1")
     n = len(s)
-    data = s.tobytes()
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
-    mdat = _box(b"mdat", data)
-    mdat_body = len(ftyp) + 8
-    chunk_offsets, chunk_sizes = [], []
-    for s0 in range(0, max(n, 1), frames_per_chunk):
-        chunk_offsets.append(mdat_body + 2 * s0)
-        chunk_sizes.append(min(frames_per_chunk, n - s0))
-    stsc_entries = []
-    for ci, spc in enumerate(chunk_sizes, start=1):
-        if not stsc_entries or stsc_entries[-1][1] != spc:
-            stsc_entries.append((ci, spc, 1))
-
+    # the sample-entry rate is 16.16 fixed (max 65535 Hz); hi-res rates
+    # store 0 there per convention — the mdhd timescale (full 32-bit)
+    # is authoritative and is what decode_mp4_audio returns
+    rate_fx = (rate << 16) if rate <= 0xFFFF else 0
     entry = (
         b"\x00" * 6 + struct.pack(">H", 1)       # reserved, dref index
         + struct.pack(">HHI", 0, 0, 0)            # version, rev, vendor
         + struct.pack(">HHHH", 1, 16, 0, 0)       # mono, 16-bit
-        + struct.pack(">I", rate << 16)           # 16.16 fixed rate
+        + struct.pack(">I", rate_fx)
     )
-    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"sowt", entry))
-    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
-    stsc = _fullbox(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    return _mp4_container(
+        payload=s.tobytes(),
+        sample_entry=_box(b"sowt", entry),
+        handler=b"soun",
+        handler_name=b"SoundHandler\x00",
+        media_header=_fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0)),
+        timescale=rate,
+        n=n,
+        stsz_body=struct.pack(">II", 2, n),       # uniform 2-byte frames
+        sizes=[2] * n,
+        per_chunk=frames_per_chunk,
+        tkhd_dims=(0, 0),
+        volume=0x0100,
     )
-    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 2, n))  # uniform
-    stco = _fullbox(
-        b"stco", 0, 0,
-        struct.pack(">I", len(chunk_offsets))
-        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
-    )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    url = _fullbox(b"url ", 0, 1, b"")
-    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
-    smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
-    minf = _box(b"minf", smhd + dinf + stbl)
-    hdlr = _fullbox(
-        b"hdlr", 0, 0,
-        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"SoundHandler\x00",
-    )
-    mdhd = _fullbox(
-        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0)
-    )
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _fullbox(
-        b"tkhd", 0, 3,
-        struct.pack(">IIIII", 0, 0, 1, 0, n)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # volume 1.0
-        + _MP4_MATRIX
-        + struct.pack(">II", 0, 0),
-    )
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _fullbox(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, rate, n)
-        + struct.pack(">IH", 0x10000, 0x100)
-        + b"\x00" * 10
-        + _MP4_MATRIX
-        + b"\x00" * 24
-        + struct.pack(">I", 2),
-    )
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
 
 
 def decode_mp4_audio(b: bytes) -> tuple[int, np.ndarray]:
@@ -698,9 +710,19 @@ def decode_mp4_audio(b: bytes) -> tuple[int, np.ndarray]:
             f"unsupported layout: {m['channels']}ch {m['bits']}bit "
             "(mono 16 only)"
         )
-    pcm = b"".join(b[o:o + s] for o, s in m["samples"])
+    # chunk-level slicing: O(n_chunks) bytes objects, not one 2-byte
+    # slice per PCM frame (round-6 review finding)
+    pcm = b"".join(b[o:o + nb] for o, nb in m["chunks"])
+    if len(pcm) != m["total_bytes"]:
+        # a chunk offset pointing past EOF (truncated mdat, corrupt
+        # stco) yields short slices — silent wrong stats otherwise
+        raise ValueError(
+            f"truncated MP4 audio data: {len(pcm)} of "
+            f"{m['total_bytes']} bytes reachable"
+        )
     # timescale is authoritative for timing; the sample-entry 16.16
-    # rate must agree — a mismatch means a malformed writer
+    # rate must agree when present (writers store 0 for rates ≥ 65536,
+    # which the field cannot represent)
     rate = m["timescale"]
     if m["sample_rate"] and m["sample_rate"] != rate:
         raise ValueError(

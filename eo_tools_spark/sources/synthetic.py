@@ -137,6 +137,10 @@ MEDIA_SCHEMA = StructType(
         StructField("fw", IntegerType()),
         StructField("rate", IntegerType()),
         StructField("caption", StringType()),
+        # routing column: fmt alone is ambiguous since MP4 carries both
+        # media kinds — callers split mixed tables on media_kind before
+        # frame_sample/audio_stats (round-6 review finding)
+        StructField("media_kind", StringType()),
     ]
 )
 
@@ -189,6 +193,7 @@ def make_video(i: int, seed: int = 42):
         w,
         10,
         f"clip {i} of {n} frames",
+        "video",
         truth,
     )
 
@@ -226,6 +231,7 @@ def make_audio(i: int, seed: int = 42):
         0,
         rate,
         f"tone {i} at {f0}hz",
+        "audio",
         s,
     )
 

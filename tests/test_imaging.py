@@ -241,3 +241,40 @@ class TestImageTable:
         )
         with pytest.raises(Exception, match="ISO BMFF"):
             frame_sample(bad_mp4).collect()
+
+
+class TestMixedMediaRouting:
+    def test_media_kind_routes_a_mixed_table(self, spark):
+        """fmt alone is ambiguous (MP4 carries both kinds) — media_kind
+        splits a mixed table so both operators decode every row of
+        their kind, including the MP4 ones."""
+        from eo_tools_spark.operators.image_pipeline import (
+            audio_stats,
+            frame_sample,
+        )
+        from eo_tools_spark.sources.synthetic import media_table
+
+        media = media_table(spark, n_video=8, n_audio=6)
+        vids = frame_sample(media.where("media_kind = 'video'")).toPandas()
+        auds = audio_stats(media.where("media_kind = 'audio'")).toPandas()
+        assert set(vids.media_id.str[:4]) == {"vid-"} and len(vids) > 0
+        assert set(auds.media_id.str[:4]) == {"aud-"} and len(auds) == 6
+
+    def test_wrong_kind_mp4_fails_loudly(self, spark):
+        """An MP4 audio row through frame_sample (and vice versa) must
+        raise the track-routing error, never return wrong rows."""
+        from eo_tools_spark.operators.image_pipeline import (
+            audio_stats,
+            frame_sample,
+        )
+        from eo_tools_spark.sources.synthetic import media_table
+
+        media = media_table(spark, n_video=8, n_audio=6)
+        mp4_audio = media.where("media_kind = 'audio' AND fmt = 'mp4'")
+        assert mp4_audio.count() > 0
+        with pytest.raises(Exception, match="no video track"):
+            frame_sample(mp4_audio).collect()
+        mp4_video = media.where("media_kind = 'video' AND fmt = 'mp4'")
+        assert mp4_video.count() > 0
+        with pytest.raises(Exception, match="no audio track"):
+            audio_stats(mp4_video).collect()
