@@ -811,6 +811,32 @@ def _ann_topk_ivf_oracle() -> str:
     return f"SELECT query_id, vec_id, rank FROM ({duck}) t"
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantization path under the exact-oracle gate:
+    pq_train (per-subspace k-means on the deterministic hash-ordered
+    sample) → pq_encode (m-byte codes, 16× smaller than the fp32
+    vectors here) → pq_topk with rerank ≥ corpus size, so every row is
+    an exact-rerank candidate and the output equals brute force —
+    identical (query_id, vec_id, rank) to the same oracle as
+    ann_topk_ivf (the nprobe=ncells trick, PQ edition). The approximate
+    regime (rerank=50, recall ≥ 0.9) is pytest-pinned instead
+    (tests/test_dedup_similarity.py::TestProductQuantization)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    books = pq_train(emb, m=8, k=256)
+    codes = pq_encode(emb, books)
+    out = pq_topk(codes, q, books, k=10, rerank=10**9, emb_df=emb)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def q_ann_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED IVF index under the exact-oracle gate (round-4
     verdict task 1): build_ivf_index materializes (cell, vec_id,
@@ -1038,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["neardup_clusters"] = q_neardup_clusters
     out["ann_topk_ivf"] = q_ann_topk_ivf
     out["ann_topk_ivf_pruned"] = q_ann_topk_ivf_pruned
+    out["ann_topk_pq"] = q_ann_topk_pq
     out["simhash_pairs"] = q_simhash_pairs
     out["decontaminate"] = q_decontaminate
     out["stratified_split"] = q_stratified_split
@@ -1149,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
     out["neardup_clusters"] = _neardup_clusters_oracle()
     out["ann_topk_ivf"] = _ann_topk_ivf_oracle()
     out["ann_topk_ivf_pruned"] = _ann_topk_ivf_oracle()
+    out["ann_topk_pq"] = _ann_topk_ivf_oracle()
     out["simhash_pairs"] = _simhash_pairs_oracle()
     out["decontaminate"] = _decontaminate_oracle()
     out["stratified_split"] = _stratified_split_oracle()

@@ -15,6 +15,10 @@
   scan ONLY the probed cells' partitions — `.where(cell IN probes)` is
   a partition filter, so non-probed cells' bytes are never read
   (I/O pruning, asserted by tests + scripts/plan_audit.py q15).
+- pq_train / pq_encode / pq_topk: product quantization (Jégou 2011) —
+  m-byte codes per vector (64× smaller than fp32 at m=8/d=128), ADC
+  scoring, exact rerank. The memory leg of the ANN story: IVF prunes
+  WHICH vectors are scanned, PQ shrinks WHAT a scan reads.
 """
 
 from __future__ import annotations
@@ -576,3 +580,219 @@ def ivf_topk_pruned(
     cand = scan.select("cell", id_col, emb_col).mapInPandas(local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------- PQ
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011, the public PQ paper): each
+# L2-normalized vector is split into m subvectors, each quantized to
+# one of k codewords learned per subspace, so a d-dim float vector
+# compresses to m bytes (d=128 float32 → 8 bytes at m=8: 64×). Queries
+# score codes via ADC (asymmetric distance computation): one (m, k)
+# table of query-subvector · codeword dot products per query, then a
+# per-row table lookup-sum — no decompression. At 100 TB this is the
+# memory leg of the ANN story the IVF index does not cover: IVF prunes
+# WHICH vectors are scanned, PQ shrinks WHAT a scan reads.
+
+
+def pq_train(
+    emb_df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """→ (m, k, d/m) float64 codebooks: per-subspace Euclidean k-means
+    over the deterministic hash-ordered sample (same sampling law as
+    IVF training — identical across sessions/partitionings/resumes).
+    Vectors are L2-normalized first so ADC sums approximate cosine."""
+    if k > 256:
+        raise ValueError(f"k={k} > 256 cannot fit uint8 codes")
+    sample = _deterministic_sample(emb_df, sample_rows, id_col, emb_col)
+    if sample is None:
+        raise ValueError("cannot train PQ codebooks over an empty corpus")
+    X = _normalize(sample.astype(np.float64))
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, ds))
+    for j in range(m):
+        S = X[:, j * ds:(j + 1) * ds]
+        kk = min(k, len(S))
+        C = S[rng.choice(len(S), size=kk, replace=False)]
+        for _ in range(iters):
+            # nearest codeword by L2: argmin ||s-c||² = argmin ||c||²-2s·c
+            a = np.argmin(
+                (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T), axis=1
+            )
+            for c in range(kk):
+                sel = a == c
+                if sel.any():
+                    C[c] = S[sel].mean(axis=0)
+        if kk < k:  # tiny corpus: pad with repeats so codes stay valid
+            C = np.vstack([C, np.repeat(C[:1], k - kk, axis=0)])
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, code: binary, m bytes/row) — one Arrow pass, nearest
+    codeword per subspace by L2 on the normalized vector. The code
+    column is what a 100 TB deployment persists (64× smaller than the
+    float32 vectors it replaces)."""
+    from pyspark.sql.types import BinaryType
+
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = StructType(
+        [emb_df.schema[id_col], StructField("code", BinaryType())]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        m, k, ds = B.shape
+        norms = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(V), m), dtype=np.uint8)
+            for j in range(m):
+                S = V[:, j * ds:(j + 1) * ds]
+                codes[:, j] = np.argmin(
+                    norms[j][None, :] - 2.0 * (S @ B[j].T), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return emb_df.select(id_col, emb_col).mapInPandas(enc, schema=schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: pd.DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int = 0,
+    emb_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes → (query_id, vec_id, cosine, rank).
+
+    ``rerank = 0``: pure ADC — scores are the quantized approximation
+    (fast, in-code-only; the ``cosine`` column is the ADC estimate).
+    ``rerank = R > 0``: per-partition top-R candidates by ADC, then the
+    TRUE cosine is recomputed on the original vectors (``emb_df``
+    required) and the final top-k re-ranked exactly — the standard
+    PQ + exact-rerank recipe. The candidate frame is q×R rows, so the
+    rerank join broadcasts candidate ids against the corpus and only
+    those rows' vectors are read. With R ≥ the corpus size every row
+    is a candidate and the output is EXACTLY brute_topk — the
+    degenerate mode the driver oracle gates the whole code path with
+    (same trick as ann_topk_ivf's nprobe = ncells)."""
+    spark = codes_df.sparkSession
+    Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
+    qids = queries["query_id"].to_numpy()
+    m, kcode, ds = codebooks.shape
+    # per-query ADC tables: LUT[q][j, c] = q_sub_j · codeword_{j,c}
+    luts = np.stack(
+        [
+            np.stack([Q[i, j * ds:(j + 1) * ds] @ codebooks[j].T for j in range(m)])
+            for i in range(len(Q))
+        ]
+    )  # (q, m, kcode)
+    bc = spark.sparkContext.broadcast((qids, luts))
+    per_part = max(k, rerank) if rerank else k
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            codes_df.schema[id_col],
+            StructField("adc", DoubleType()),
+        ]
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, luts_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            ids = pdf[id_col].to_numpy()
+            kk = min(per_part, len(ids))
+            out = []
+            for qi in range(len(qids_)):
+                # ADC: sum the per-subspace LUT entries each code selects
+                s = luts_[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids_[qi], id_col: ids[top], "adc": s[top]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = codes_df.select(id_col, "code").mapInPandas(local, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col(id_col))
+    if not rerank:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumnRenamed("adc", "cosine")
+        )
+    if emb_df is None:
+        raise ValueError("rerank > 0 requires emb_df (the original vectors)")
+    short = cand.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= rerank
+    )
+    bcq = spark.sparkContext.broadcast((qids, Q))
+
+    exact_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            codes_df.schema[id_col],
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bcq.value
+        pos = {int(q): i for i, q in enumerate(qids_)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            qidx = np.array([pos[int(q)] for q in pdf["query_id"]])
+            cos = (V * Q_[qidx]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    joined = short.select("query_id", id_col).join(
+        emb_df.select(id_col, emb_col), id_col
+    )
+    rer = joined.mapInPandas(exact, schema=exact_schema)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

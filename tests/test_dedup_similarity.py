@@ -1027,3 +1027,124 @@ class TestRepetitionStats:
         con.register("documents", pdf)
         du = con.sql(dsql).df().set_index("doc_id")
         assert (du.top_bigram_ratio == 0.0).all()
+
+class TestProductQuantization:
+    """PQ compression + ADC search (similarity.pq_train/encode/topk):
+    64x smaller codes, recall measured against brute force, and the
+    exact-rerank degenerate mode equal to brute_topk row for row."""
+
+    @staticmethod
+    def _clustered(spark, n=600, dim=32, ncl=6, seed=21):
+        """Cluster-structured corpus (ANN is meaningless on isotropic
+        noise): ncl Gaussian blobs around random unit centers."""
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(ncl, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        V = centers[np.arange(n) % ncl] + 0.15 * rng.normal(size=(n, dim))
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n),
+             "embedding": [v.astype(np.float32).tolist() for v in V]}
+        )
+        return spark.createDataFrame(pdf).repartition(4), V
+
+    @staticmethod
+    def _queries(V, nq=8):
+        return pd.DataFrame(
+            {"query_id": np.arange(nq),
+             "embedding": [V[i * 7].tolist() for i in range(nq)]}
+        )
+
+    def test_codes_are_m_bytes(self, spark):
+        from eo_tools_spark.operators.similarity import pq_encode, pq_train
+
+        df, V = self._clustered(spark)
+        books = pq_train(df, m=8, k=64)
+        codes = pq_encode(df, books).toPandas()
+        assert len(codes) == 600
+        assert all(len(c) == 8 for c in codes.code)  # 128B fp32 -> 8B
+
+    def test_exact_rerank_degenerate_equals_brute(self, spark):
+        """rerank >= corpus size => every row is an exact-rerank
+        candidate => output must equal brute_topk exactly (the mode the
+        driver oracle gates)."""
+        from eo_tools_spark.operators.similarity import (
+            brute_topk,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        df, V = self._clustered(spark)
+        books = pq_train(df, m=4, k=32)
+        codes = pq_encode(df, books)
+        q = self._queries(V)
+        got = pq_topk(
+            codes, q, books, k=10, rerank=10**9, emb_df=df
+        ).toPandas()
+        exp = brute_topk(df, q, k=10).toPandas()
+        key = ["query_id", "rank"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert list(g.vec_id) == list(e.vec_id)
+        assert np.allclose(g.cosine, e.cosine)
+
+    def test_adc_recall_and_rerank_improvement(self, spark):
+        from eo_tools_spark.operators.similarity import (
+            brute_topk,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        df, V = self._clustered(spark)
+        # k=256 codewords: measured adc recall 0.763 / rerank50 1.0 on
+        # this corpus (k=64 drops ADC to 0.55 — in-cluster near-ties
+        # are exactly where quantization noise reshuffles ranks, which
+        # is why the rerank recipe exists)
+        books = pq_train(df, m=8, k=256)
+        codes = pq_encode(df, books)
+        q = self._queries(V)
+        truth = brute_topk(df, q, k=10).toPandas()
+        truth_sets = truth.groupby("query_id").vec_id.apply(set)
+
+        def recall(res):
+            r = res.groupby("query_id").vec_id.apply(set)
+            return np.mean([
+                len(r[qid] & truth_sets[qid]) / 10 for qid in truth_sets.index
+            ])
+
+        adc = pq_topk(codes, q, books, k=10).toPandas()
+        r_adc = recall(adc)
+        rer = pq_topk(codes, q, books, k=10, rerank=50, emb_df=df).toPandas()
+        r_rer = recall(rer)
+        assert r_adc >= 0.6, r_adc          # quantized-only floor
+        assert r_rer >= 0.9, (r_adc, r_rer)  # exact rerank recovers
+        assert r_rer >= r_adc
+
+    def test_train_deterministic_across_partitioning(self, spark):
+        from eo_tools_spark.operators.similarity import pq_train
+
+        df, _ = self._clustered(spark)
+        b1 = pq_train(df.repartition(2), m=4, k=16)
+        b2 = pq_train(df.repartition(8), m=4, k=16)
+        assert np.array_equal(b1, b2)
+
+    def test_contracts(self, spark):
+        from eo_tools_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        df, V = self._clustered(spark, dim=30)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, m=8)
+        with pytest.raises(ValueError, match="256"):
+            pq_train(df, m=5, k=512)
+        empty = df.where("vec_id < 0")
+        with pytest.raises(ValueError, match="empty"):
+            pq_train(empty, m=5)
+        books = pq_train(df, m=5, k=16)
+        codes = pq_encode(df, books)
+        with pytest.raises(ValueError, match="emb_df"):
+            pq_topk(codes, self._queries(V), books, rerank=5)
