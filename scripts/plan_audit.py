@@ -641,6 +641,48 @@ def main() -> int:
     c.expect("bigram explode is JVM-side Generate", c.has(r"Generate"))
     checks.append(c)
 
+    # ---- q22 PQ ADC search: corpus-width data never shuffles — only
+    # the q×per_part candidate frame crosses an exchange
+    import numpy as np
+    import pandas as pd
+
+    from eo_tools_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb22 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books22 = pq_train(emb22, m=8, k=256)
+    codes22 = pq_encode(emb22, books22)
+    q22q = (
+        emb22.where("vec_id < 5")
+        .selectExpr("vec_id AS query_id", "embedding")
+        .toPandas()
+    )
+    q22 = pq_topk(codes22, q22q, books22, k=10, rerank=50, emb_df=emb22)
+    c = Check(
+        "q22 pq_topk ADC + exact rerank",
+        q22,
+        "codes (m bytes/vec) are scored map-side via ADC lookup tables; "
+        "only per-partition top-R candidate rows reach an exchange "
+        "(q×R, never the corpus), and the rerank join fetches original "
+        "vectors for candidates only.",
+    )
+    c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
+    c.expect(
+        "no corpus-width column in any exchange (code/embedding stay "
+        "map-side until candidate pruning)",
+        not re.search(r"hashpartitioning\([^)]*(code|embedding)", c.plan),
+    )
+    c.expect(
+        "bounded number of exchanges (candidate window + rerank join + "
+        "final window)",
+        c.count(r"Exchange") <= 6,
+        f"exchanges = {c.count(r'Exchange')}",
+    )
+    checks.append(c)
+
     # ---------------------------------------------------------- report
     lines = [
         "# Physical-plan audit — headline queries",
