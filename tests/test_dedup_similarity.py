@@ -1148,3 +1148,48 @@ class TestProductQuantization:
         codes = pq_encode(df, books)
         with pytest.raises(ValueError, match="emb_df"):
             pq_topk(codes, self._queries(V), books, rerank=5)
+
+    def test_residual_mode_beats_flat_and_degenerates_exactly(self, spark):
+        """IVF-PQ residual coding: recall at equal code budget must be
+        >= flat PQ on the clustered corpus, the degenerate rerank mode
+        must still equal brute force exactly, and a codes frame without
+        the cell column must be refused."""
+        from eo_tools_spark.operators.similarity import (
+            _deterministic_sample,
+            brute_topk,
+            pq_encode,
+            pq_topk,
+            pq_train,
+            train_centroids,
+        )
+
+        df, V = self._clustered(spark)
+        q = self._queries(V)
+        truth = brute_topk(df, q, k=10).toPandas()
+        truth_sets = truth.groupby("query_id").vec_id.apply(set)
+
+        def recall(res):
+            r = res.groupby("query_id").vec_id.apply(set)
+            return np.mean([
+                len(r[x] & truth_sets[x]) / 10 for x in truth_sets.index
+            ])
+
+        C = train_centroids(
+            _deterministic_sample(df, 2048, "vec_id", "embedding"), 6
+        )
+        fb = pq_train(df, m=8, k=64)
+        fc = pq_encode(df, fb)
+        rb = pq_train(df, m=8, k=64, centroids=C)
+        rc = pq_encode(df, rb, centroids=C)
+        r_flat = recall(pq_topk(fc, q, fb, k=10).toPandas())
+        r_res = recall(pq_topk(rc, q, rb, k=10, centroids=C).toPandas())
+        assert r_res >= r_flat, (r_flat, r_res)
+        got = pq_topk(
+            rc, q, rb, k=10, rerank=10**9, emb_df=df, centroids=C
+        ).toPandas()
+        key = ["query_id", "rank"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = truth.sort_values(key).reset_index(drop=True)
+        assert list(g.vec_id) == list(e.vec_id)
+        with pytest.raises(ValueError, match="cell"):
+            pq_topk(fc, q, rb, centroids=C)
