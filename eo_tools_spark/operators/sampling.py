@@ -128,8 +128,13 @@ def split_assign(
     n = F.count(F.lit(1)).over(wn)
     # integer arithmetic: rn*1e6 <= ub*n — the float form (ub/1e6)*n
     # loses exactness at boundaries (e.g. 580000/1e6*50 = 28.999…,
-    # assigning 28 of the promised 29 rows)
+    # assigning 28 of the promised 29 rows). The row_number side is
+    # promoted to LONG before multiplying: IntegerType×IntegerType
+    # overflows int32 for any stratum > 2147 rows (ANSI crash /
+    # non-ANSI silent mis-assignment).
     return df.withColumn(
         split_col,
-        fold_case(rn, lambda r, ub: r * _BUCKETS <= F.lit(ub) * n),
+        fold_case(
+            rn, lambda r, ub: r.cast("long") * _BUCKETS <= F.lit(ub) * n
+        ),
     )

@@ -763,31 +763,68 @@ def pq_topk(
     )
 
     def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PER-TASK top-per_part accumulation (guide §2.3 "aggregate
+        # before you shuffle"): emitting per-ARROW-BATCH tops shipped
+        # n_batches × q × per_part candidate rows into the global
+        # window — at 4M codes / 4096-row batches / rerank=2000 that is
+        # ~31M rows for a 32k-row shortlist (measured 14-15 s for the
+        # bench rerank leg, ~10 s of it this shuffle+sort). A running
+        # per-query merge inside the task emits tasks × q × per_part
+        # rows instead (~1000× fewer here), identical shortlist
+        # semantics (same top-per_part by adc; global window unchanged).
         qids_, luts_, coarse_ = bc.value
+        nq, m_, _ = luts_.shape
+        # (kcode, q) per subspace: scoring ALL queries per batch via m
+        # contiguous row-gathers instead of nq × per-row m-column
+        # gathers — same float64 adds, far fewer numpy dispatches.
+        lut_t = [np.ascontiguousarray(luts_[:, j, :].T) for j in range(m_)]
+        coarse_t = (
+            None if coarse_ is None else np.ascontiguousarray(coarse_.T)
+        )  # (ncells, q)
+        best_i: list = [None] * nq
+        best_s: list = [None] * nq
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             codes = np.frombuffer(
                 b"".join(pdf["code"].to_numpy()), dtype=np.uint8
-            ).reshape(len(pdf), -1)
+            ).reshape(n, -1)
             ids = pdf[id_col].to_numpy()
-            cells = (
-                pdf["cell"].to_numpy() if coarse_ is not None else None
+            acc = lut_t[0][codes[:, 0]]  # fancy-index copy — safe to +=
+            for j in range(1, m_):
+                acc += lut_t[j][codes[:, j]]
+            if coarse_t is not None:
+                acc += coarse_t[pdf["cell"].to_numpy()]
+            kk = min(per_part, n)
+            sel = (
+                np.argpartition(-acc, kk - 1, axis=0)[:kk]
+                if kk < n
+                else None
+            )  # (kk, q) column-wise top
+            for qi in range(nq):
+                i = ids[sel[:, qi]] if sel is not None else ids
+                s = acc[sel[:, qi], qi] if sel is not None else acc[:, qi]
+                if best_s[qi] is None:
+                    best_i[qi], best_s[qi] = i, s
+                else:
+                    ci = np.concatenate([best_i[qi], i])
+                    cs = np.concatenate([best_s[qi], s])
+                    if len(cs) > per_part:
+                        s2 = np.argpartition(-cs, per_part - 1)[:per_part]
+                        ci, cs = ci[s2], cs[s2]
+                    best_i[qi], best_s[qi] = ci, cs
+        live = [qi for qi in range(nq) if best_s[qi] is not None]
+        if live:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(
+                        [np.full(len(best_i[qi]), qids_[qi]) for qi in live]
+                    ),
+                    id_col: np.concatenate([best_i[qi] for qi in live]),
+                    "adc": np.concatenate([best_s[qi] for qi in live]),
+                }
             )
-            kk = min(per_part, len(ids))
-            out = []
-            for qi in range(len(qids_)):
-                # ADC: sum the per-subspace LUT entries each code selects
-                s = luts_[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
-                if coarse_ is not None:
-                    s = s + coarse_[qi][cells]
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": qids_[qi], id_col: ids[top], "adc": s[top]}
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
 
     proj = [id_col, "code"] + (["cell"] if centroids is not None else [])
     cand = codes_df.select(*proj).mapInPandas(local, schema=schema)
@@ -800,8 +837,11 @@ def pq_topk(
         )
     if emb_df is None:
         raise ValueError("rerank > 0 requires emb_df (the original vectors)")
+    # filter at per_part, not rerank: with 0 < rerank < k the per-task
+    # candidates use max(k, rerank) but an `r <= rerank` filter silently
+    # returned fewer than k rows per query (round-6 ADVICE)
     short = cand.withColumn("r", F.row_number().over(w)).where(
-        F.col("r") <= rerank
+        F.col("r") <= per_part
     )
     bcq = spark.sparkContext.broadcast((qids, Q))
 
@@ -830,9 +870,15 @@ def pq_topk(
                 }
             )
 
-    joined = short.select("query_id", id_col).join(
-        emb_df.select(id_col, emb_col), id_col
-    )
+    short_ids = short.select("query_id", id_col)
+    # the shortlist is ≤ per_part × n_queries (query_id, id) rows; when
+    # that bound is provably small, force the broadcast build side so
+    # the corpus is never shuffled by this join (guide §3.1 — Spark's
+    # size estimate of a window-over-mapInPandas subplan is unreliable;
+    # degenerate rerank ≥ corpus keeps planner choice)
+    if per_part * max(len(qids), 1) <= 4_000_000:
+        short_ids = F.broadcast(short_ids)
+    joined = short_ids.join(emb_df.select(id_col, emb_col), id_col)
     rer = joined.mapInPandas(exact, schema=exact_schema)
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (

@@ -91,6 +91,21 @@ class TestExactSplit:
         with pytest.raises(ValueError, match="strata_col"):
             split_assign(docs(spark), FRACS, method="exact")
 
+    def test_exact_large_stratum_no_int32_overflow(self, spark):
+        """Regression (round-6 ADVICE): rn * 1e6 as int×int overflows
+        int32 for any stratum > 2147 rows — ANSI crash, or silent
+        wrong assignment under non-ANSI. The row_number side must be
+        promoted to long. 5000-row stratum → exactly 4000/500/500."""
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.arange(5000), "stratum": 0})
+        )
+        out = split_assign(
+            d, FRACS, strata_col="stratum", method="exact"
+        ).toPandas()
+        counts = out.split.value_counts()
+        assert counts["train"] == 4000
+        assert counts["val"] == 500 and counts["test"] == 500
+
 
 class TestValidation:
     def test_fraction_contracts(self):
