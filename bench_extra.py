@@ -122,6 +122,44 @@ def pq_section(write_plans: bool, tag: str) -> dict:
     return out
 
 
+def pairs_section(write_plans: bool, tag: str) -> dict:
+    """q9 phash near-dup + q13 CC isolation (same inputs as bench.py:
+    the 60k demo slice of the cached image table)."""
+    from pyspark.sql import functions as F
+
+    from eo_tools_spark.operators.cluster import connected_components
+    from eo_tools_spark.operators.image_pipeline import phash_neardup
+    from eo_tools_spark.session import get_spark, read_binary_parquet
+
+    spark = get_spark(
+        "bench_extra-pairs", cores=CPUS, shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    images = read_binary_parquet(spark, "/tmp/eo_bench_images_p_n60000")
+    demo_slice = images.where(F.col("image_id") < f"img-{60000:012d}")
+    out = {"section": "pairs", "tag": tag}
+
+    q9_df = phash_neardup(demo_slice, max_hamming=2)
+    if write_plans:
+        write_plan(q9_df, f"q9_phash_neardup_{tag}.txt")
+    out["q9_phash"], out["q9_reps"] = timed(
+        "bench_extra: q9 phash",
+        lambda: phash_neardup(demo_slice, max_hamming=2).count(), spark)
+
+    pairs = phash_neardup(demo_slice, max_hamming=2).persist()
+    out["n_pairs"] = pairs.count()
+
+    def q13():
+        comp = connected_components(pairs, algorithm="star")
+        return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]
+
+    out["q13_cc"], out["q13_reps"] = timed("bench_extra: q13 cc", q13, spark)
+    pairs.unpersist()
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     write_plans = "--plans" in sys.argv
     tag = "after"
@@ -130,3 +168,5 @@ if __name__ == "__main__":
             tag = a.split("=", 1)[1]
     if "pq" in sys.argv:
         print(json.dumps(pq_section(write_plans, tag)))
+    if "pairs" in sys.argv:
+        print(json.dumps(pairs_section(write_plans, tag)))

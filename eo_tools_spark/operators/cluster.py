@@ -245,7 +245,13 @@ def _finish_locally(edges: DataFrame, verts: DataFrame, rounds: int) -> DataFram
             F.col("id").alias("doc_id"),
             F.coalesce("cluster_id", "id").alias("cluster_id"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the loop's plan-growth problem is over once
+        # the finish is local, so an EAGER materialization here was one
+        # whole extra Spark job per call (~1 s of fixed cost at any
+        # scale); eager=False keeps the repeat-action durability (first
+        # caller action materializes the checkpoint, later actions
+        # reuse it) without the standalone job.
+        .localCheckpoint(eager=False)
     )
     _free_local_checkpoint(edges)
     out._eo_cc_rounds = rounds

@@ -911,7 +911,11 @@ def simhash_pairs(
     # one-sided cap; probe-side strategy by measured size (lsh_pairs)
     a = capped.alias("a")
     b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
-    cand = (
+    # popcount verify BEFORE the distinct (guide §2.3: filter before the
+    # exchange): failed candidates never enter the distinct's shuffle,
+    # and deduped rows carry a 4-byte hamming instead of two simhashes.
+    # Identical pair set — hamming is a pure function of the pair.
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -921,15 +925,12 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.expr("a.simhash ^ b.simhash")
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    out = (
-        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     out._eo_drop_report = drop_report(capped)
     return out

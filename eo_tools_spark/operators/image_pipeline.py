@@ -177,16 +177,21 @@ def phash_neardup(
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.image_id") < F.col("b.image_id")),
         )
+        # popcount verify BEFORE the distinct (guide §2.3: filter before
+        # the exchange): candidates failing the hamming test never enter
+        # the distinct's shuffle, and the deduped rows carry a 4-byte
+        # hamming instead of two 8-byte phashes. Identical pair set —
+        # hamming is a pure function of the pair, so filter∘distinct ≡
+        # distinct∘filter.
         .select(
             F.col("a.image_id").alias("id_a"),
             F.col("b.image_id").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
+            F.bit_count(
+                F.expr("a.phash ^ b.phash")
+            ).alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     out._eo_drop_report = drop_report(capped)
     return out

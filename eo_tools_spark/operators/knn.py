@@ -270,7 +270,11 @@ def knn_join_distributed(
 
     out = None
     pinned: list = []  # per-round materialized parts, released at the end
-    r = 1
+    # start at r=2 (round-6 ADVICE): the strict kth_d2 < guaranteed²
+    # bound makes r=1 unresolvable by construction (guaranteed =
+    # (r-1)·unit = 0), so an r=1 round was a guaranteed-useless
+    # explode+join+window pass every scene paid before escalating.
+    r = 2
     while True:
         full_pass = (2 * r + 1) > explode_cap or (2 * r + 1) >= n
         if full_pass:

@@ -171,10 +171,13 @@ def _train_and_anchor(
             "(emb_df has no rows)"
         )
     train, anchor = both[:sample_rows], both[sample_rows:]
-    if len(anchor) == 0:
-        # corpus smaller than sample_rows: nothing held out — anchor on
-        # the training rows (the drift metric is then optimistic, which
-        # only ever recommends rebuilds EARLIER, never misses one)
+    if len(anchor) < max(1, sample_rows // 4):
+        # corpus smaller than ~1.25×sample_rows: the held-out half is
+        # empty or a handful of rows — too few for a stable
+        # train_mean_top_cos baseline (a 1-row anchor made the drift
+        # metric a coin flip, round-6 ADVICE). Anchor on the training
+        # rows instead (optimistic: only ever recommends rebuilds
+        # EARLIER, never misses one).
         anchor = train
     return train_centroids(train, ncells), anchor
 
