@@ -160,6 +160,126 @@ def pairs_section(write_plans: bool, tag: str) -> dict:
     return out
 
 
+def text_section(write_plans: bool, tag: str) -> dict:
+    """q8/q11/q14/q18 stage isolation — same corpora as bench.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from eo_tools_spark.operators.dedup import (
+        decontaminate,
+        lsh_pairs,
+        minhash_signatures,
+        verify_jaccard,
+        winnow_candidates,
+        winnow_fingerprints_fast,
+    )
+    from eo_tools_spark.session import get_spark, read_binary_parquet
+
+    spark = get_spark(
+        "bench_extra-text", cores=CPUS, shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"section": "text", "tag": tag}
+
+    # q8 corpus: demo-slice captions
+    images = read_binary_parquet(spark, "/tmp/eo_bench_images_p_n60000")
+    docs = images.where(F.col("image_id") < f"img-{60000:012d}").select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+
+    def q8_sig_only():
+        return minhash_signatures(docs, num_hashes=64, shingle=2).count()
+
+    out["q8_sig_only"], out["q8_sig_reps"] = timed(
+        "bench_extra: q8 sig", q8_sig_only, spark)
+
+    def q8_full():
+        sig = minhash_signatures(docs, num_hashes=64, shingle=2).persist()
+        try:
+            pairs = lsh_pairs(sig, bands=16)
+            return verify_jaccard(pairs, docs, threshold=0.8).count()
+        finally:
+            sig.unpersist()
+
+    def q8_pairs_only():
+        sig = minhash_signatures(docs, num_hashes=64, shingle=2).persist()
+        try:
+            return lsh_pairs(sig, bands=16).count()
+        finally:
+            sig.unpersist()
+
+    out["q8_pairs_only"], out["q8_pairs_reps"] = timed(
+        "bench_extra: q8 pairs", q8_pairs_only, spark)
+    out["q8_full"], out["q8_full_reps"] = timed(
+        "bench_extra: q8 full", q8_full, spark)
+
+    # q11/q14/q18 corpora (identical generators to bench.py)
+    _ld_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    _vocab = np.array([f"tok{v:06d}" for v in range(100000)])
+
+    def _ld_gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(int(i))
+                words = _vocab[rng.integers(0, len(_vocab), 400)]
+                rows.append((int(i), " ".join(words)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    longdocs = spark.range(24000).mapInPandas(_ld_gen, schema=_ld_schema).persist()
+    longdocs.count()
+    longdocs.createOrReplaceTempView("_winnow_docs")
+    windocs = spark.sql(
+        "SELECT doc_id, text FROM _winnow_docs UNION ALL "
+        "SELECT doc_id + 1000000, regexp_replace(text, '^([^ ]+ ){3}', '') "
+        "FROM _winnow_docs WHERE doc_id % 8 = 0"
+    ).persist()
+    windocs.count()
+
+    out["q11_sig"], out["q11_reps"] = timed(
+        "bench_extra: q11 sig",
+        lambda: minhash_signatures(
+            longdocs, num_hashes=64, shingle=2, token_hash="fast"
+        ).count(),
+        spark, repeats=3, max_repeats=6)
+
+    out["q14_fp_only"], out["q14_fp_reps"] = timed(
+        "bench_extra: q14 fingerprints",
+        lambda: winnow_fingerprints_fast(windocs, k=4, w=5).count(), spark)
+
+    def q14():
+        cand = winnow_candidates(windocs, k=4, w=5, min_shared=1, max_bucket=4096)
+        try:
+            return cand.count()
+        finally:
+            if cand._eo_persisted is not None:
+                cand._eo_persisted.unpersist()
+
+    out["q14_full"], out["q14_full_reps"] = timed(
+        "bench_extra: q14 full", q14, spark)
+
+    def q18():
+        bench = spark.sql(
+            "SELECT doc_id AS bench_id, "
+            "regexp_replace(text, '^([^ ]+ ){2}', '') AS text "
+            "FROM _winnow_docs WHERE doc_id % 101 = 0"
+        )
+        return decontaminate(
+            windocs, bench, k=4, w=5, min_shared=1, token_hash="fast"
+        ).count()
+
+    out["q18_full"], out["q18_reps"] = timed("bench_extra: q18", q18, spark)
+    longdocs.unpersist()
+    windocs.unpersist()
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     write_plans = "--plans" in sys.argv
     tag = "after"
@@ -170,3 +290,5 @@ if __name__ == "__main__":
         print(json.dumps(pq_section(write_plans, tag)))
     if "pairs" in sys.argv:
         print(json.dumps(pairs_section(write_plans, tag)))
+    if "text" in sys.argv:
+        print(json.dumps(text_section(write_plans, tag)))

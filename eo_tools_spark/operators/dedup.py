@@ -261,7 +261,10 @@ def _row_bytes_expr(df: DataFrame):
 
 
 def self_join_probe_side(
-    banded: DataFrame, report: dict | None, banded_broadcast_bytes: int = 128 << 20
+    banded: DataFrame,
+    report: dict | None,
+    banded_broadcast_bytes: int = 128 << 20,
+    banded_broadcast_rows: int = 250_000,
 ) -> DataFrame:
     """Pick the un-capped side's join strategy for the banded SELF-join
     by MEASURED size. Spark's own size estimate of an exploded
@@ -269,16 +272,23 @@ def self_join_probe_side(
     64 MB threshold (measured OOM at 2M rows) — so the estimate is
     never trusted. The cap's counting pass measured the exact row count
     AND a schema-derived byte total (report["n_bytes"]): frames
-    provably small (≤ ``banded_broadcast_bytes``) are broadcast
-    (recovers the round-2 sort-merge insurance cost on small inputs);
-    everything else — bigger, un-counted (cap disabled), or
-    un-measurable (a schema type _row_bytes_expr can't bound) — takes
-    the spill-safe sort-merge path. Bytes, not rows: a row count says
-    nothing when the id column is a 100-byte URL."""
+    provably small BOTH ways (≤ ``banded_broadcast_bytes`` AND
+    ≤ ``banded_broadcast_rows``) are broadcast (recovers the round-2
+    sort-merge insurance cost on small inputs); everything else —
+    bigger, un-counted (cap disabled), or un-measurable (a schema type
+    _row_bytes_expr can't bound) — takes the spill-safe sort-merge
+    path. Bytes bound a URL-sized id; the ROW bound caps the
+    driver-collect + per-task hash-build cost a byte bound cannot see
+    (measured at local[32]: broadcasting a 2.8M-row / 70 MB fingerprint
+    frame cost ~1.5 s over the cached-input sort-merge join — the
+    round-2 broadcast win only holds for genuinely small banded
+    frames)."""
     if (
         report is not None
         and report.get("n_bytes") is not None
         and report["n_bytes"] <= banded_broadcast_bytes
+        and report.get("n_rows") is not None
+        and report["n_rows"] <= banded_broadcast_rows
     ):
         return F.broadcast(banded)
     return banded.hint("merge")

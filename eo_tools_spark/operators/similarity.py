@@ -67,28 +67,44 @@ def brute_topk(
         ]
     )
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local_topk(batches) -> Iterator:
+        # mapInArrow (guide §4.2): the embedding column is ONE
+        # contiguous Arrow values buffer per batch — reshape it directly
+        # instead of materializing 4096 per-row numpy objects and
+        # vstacking them (the Arrow-list→pandas conversion floored this
+        # kernel at ~1 s on the 4M-vector bench regardless of GEMM
+        # cost). Values and GEMM are bit-identical: same float32 data,
+        # same float64 cast.
+        import pyarrow as pa
+
         qids_, Q_ = bc.value
-        for pdf in batches:
-            V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            V = _normalize(flat.reshape(n, -1).astype(np.float64))
             sims = V @ Q_.T  # (n, q)
-            ids = pdf[id_col].to_numpy()
-            kk = min(k, len(ids))
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            kk = min(k, n)
             out_q, out_id, out_s = [], [], []
             for j in range(Q_.shape[0]):
                 top = np.argpartition(-sims[:, j], kk - 1)[:kk]
                 out_q.append(np.full(kk, qids_[j]))
                 out_id.append(ids[top])
                 out_s.append(sims[top, j])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    id_col: np.concatenate(out_id),
-                    "cosine": np.concatenate(out_s),
-                }
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_id),
+                        "cosine": np.concatenate(out_s),
+                    }
+                ),
+                preserve_index=False,
             )
 
-    cand = emb_df.select(id_col, emb_col).mapInPandas(local_topk, schema=schema)
+    cand = emb_df.select(id_col, emb_col).mapInArrow(local_topk, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
         cand.withColumn("rank", F.row_number().over(w))
