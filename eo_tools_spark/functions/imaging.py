@@ -112,6 +112,14 @@ def png_decode(data: bytes) -> np.ndarray:
     mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = mat[:, 0]
     rows = mat[:, 1:].copy()
+    if np.all(ftypes == 2):
+        # all-rows "up" filter (what png_encode writes): the sequential
+        # cur += prev recurrence is exactly a column-wise uint8
+        # cumulative sum — one vectorized accumulate instead of h
+        # per-row numpy calls, identical mod-256 arithmetic.
+        rows = np.add.accumulate(rows, axis=0, dtype=np.uint8)
+        img = rows.reshape(h, w, nch)
+        return img[:, :, 0] if nch == 1 else img
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         f = ftypes[y]

@@ -220,6 +220,100 @@ def connected_components(
         edges.unpersist()
 
 
+def _finish_locally_round0(
+    pairs: DataFrame, id_a: str, id_b: str, edges: DataFrame
+) -> DataFrame:
+    """Round-0 local finish: the collected edge set IS the canonical
+    input edge set, so the output vertex set is derivable LOCALLY —
+    every vertex of a non-self pair is an edge endpoint, and the only
+    others are self-pair-only ids (one cheap filter scan). That removes
+    the distributed verts union+distinct (an O(2E) exchange) and the
+    label join entirely; the result is a driver-local frame (measured:
+    the verts+join leg was ~2.3 s of the bench q13 at 2.5M edges).
+
+    Collection goes through Arrow (``toArrow`` + ``dictionary_encode``)
+    instead of toPandas + pandas object factorize — string ids never
+    materialize as 5M Python objects. Labels are bit-identical to
+    ``_local_components`` (same rank mapping, same numeric core)."""
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    spark = pairs.sparkSession
+    tab = edges.toArrow()
+    combo = pa.chunked_array(
+        tab.column(0).chunks + tab.column(1).chunks
+    ).combine_chunks()
+    ne = len(tab)
+    _free_local_checkpoint(edges)
+    id_type = pairs.schema[id_a].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    if ne == 0:
+        uniq = np.empty(0, dtype=object)
+        doc = clu = uniq
+    else:
+        enc = combo.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+        parent = _uf_core(codes[:ne], codes[ne:], uniq)
+        doc, clu = uniq[np.arange(len(uniq))], uniq[parent]
+    # self-pair-only vertices label themselves (same as the defensive
+    # left-join of the general path)
+    self_ids = (
+        pairs.where(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("id"))
+        .distinct()
+        .toPandas()["id"]
+        .to_numpy()
+    )
+    if len(self_ids):
+        seen = set(uniq.tolist())
+        extra = np.array(
+            [s for s in self_ids if s not in seen], dtype=uniq.dtype
+        )
+        if len(extra):
+            doc = np.concatenate([doc, extra])
+            clu = np.concatenate([clu, extra])
+    out = spark.createDataFrame(
+        pd.DataFrame({"doc_id": doc, "cluster_id": clu}), schema=schema
+    )
+    out._eo_cc_rounds = 0
+    out._eo_cc_local_finish = True
+    return out
+
+
+def _uf_core(a: np.ndarray, b: np.ndarray, uniq: np.ndarray) -> np.ndarray:
+    """The numeric union-find shared by _local_components and the
+    round-0 finish: takes first-appearance codes + the dictionary,
+    returns per-code parent as RANK-MAPPED-BACK first-appearance codes'
+    parents in first-appearance space... (see _local_components for the
+    rank-mapping rationale). Returns ``parent`` indexed like ``uniq``."""
+    n = len(uniq)
+    order = pd.Series(uniq).rank(method="dense").to_numpy(np.int64) - 1
+    a, b = order[a], order[b]
+    by_rank_idx = np.empty(n, dtype=np.int64)
+    by_rank_idx[order] = np.arange(n)
+    parent = np.arange(n, dtype=np.int64)
+    for _ in range(2 * max(n.bit_length(), 1) + 4):
+        pa_, pb_ = parent[a], parent[b]
+        hi, lo = np.maximum(pa_, pb_), np.minimum(pa_, pb_)
+        live = hi != lo
+        if not live.any():
+            break
+        np.minimum.at(parent, hi[live], lo[live])
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    else:  # pragma: no cover — O(log n) bound is a theorem
+        raise RuntimeError("_uf_core: hooking did not converge")
+    # map rank-space parents back to uniq (first-appearance) indices,
+    # per ORIGINAL code position
+    return by_rank_idx[parent[order]]
+
+
 def _finish_locally(edges: DataFrame, verts: DataFrame, rounds: int) -> DataFrame:
     """Collect the (budget-checked) edge set and label every vertex via
     the driver-side vectorized union-find. Mid-loop this is exact: star
@@ -294,12 +388,6 @@ def _star_components(
     """
     from eo_tools_spark.operators.dedup import _row_bytes_expr
 
-    verts = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionByName(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-        .persist()
-    )
     canon = (
         pairs.select(
             F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
@@ -326,10 +414,17 @@ def _star_components(
     edges, got = _checkpoint_observed(canon, *_stats())
     n_edges, fp_edges = got["n"], got["fp"]
     if fits_driver(got):
-        try:
-            return _finish_locally(edges, verts, rounds=0)
-        finally:
-            verts.unpersist()
+        # round 0: the collected edge set is the canonical input —
+        # vertex totality is derivable locally, no verts frame at all
+        return _finish_locally_round0(pairs, id_a, id_b, edges)
+    # verts is only needed by the distributed paths (mid-loop finish /
+    # converged-star labeling)
+    verts = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
     try:
         for rnd in range(max_iters):
             sym = edges.select(

@@ -67,6 +67,10 @@ def build_aoi_cover(
     """
     rows = _cover_rows(aois, res)
     cover_df = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+    # the distinct cover resolutions are known right here — ride them on
+    # the frame so every aoi_point_join over this cover skips its
+    # metadata collect job (one small but real Spark job per call)
+    cover_df._eo_res_set = sorted({int(c) >> 58 for _, c, _ in rows})
     res_by_id = {aoi_id: (res if res is not None else pick_res(ring)) for aoi_id, ring in aois.items()}
     return cover_df, res_by_id
 
@@ -128,10 +132,13 @@ def aoi_point_join(
     cover_df, _res_by_id = cover
 
     # resolutions present in the (possibly mixed-res, adaptively split)
-    # cover — the cover is tiny, this is a driver-side metadata read
-    res_set = sorted(
-        {r.res for r in cover_df.select((F.col("cell") / (1 << 58)).cast("int").alias("res")).distinct().collect()}
-    )
+    # cover — known at build time and carried on the frame; the collect
+    # fallback covers externally-built cover frames only
+    res_set = getattr(cover_df, "_eo_res_set", None)
+    if res_set is None:
+        res_set = sorted(
+            {r.res for r in cover_df.select((F.col("cell") / (1 << 58)).cast("int").alias("res")).distinct().collect()}
+        )
     if len(res_set) == 1:
         with_cell = scenes.withColumn("_cell", S.cell_col(lon, lat, res_set[0]))
     else:
@@ -266,6 +273,7 @@ def adaptive_cover(
             break
 
     cover_out = spark.createDataFrame(rows, "aoi_id string, cell long, boundary boolean")
+    cover_out._eo_res_set = sorted({int(c) >> 58 for _, c, _ in rows})
     res_by_id = {
         aoi_id: (base_res if base_res is not None else pick_res(ring))
         for aoi_id, ring in aois.items()
