@@ -845,12 +845,34 @@ def verify_jaccard(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    docs_broadcast_rows: int = 250_000,
+    docs_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Exact distinct-token jaccard on candidate pairs; keeps ≥ threshold.
-    Token-set ops are native Catalyst array functions (JVM-side)."""
+    Token-set ops are native Catalyst array functions (JVM-side).
+
+    EAGER BUILD: the docs side is measured here (one count+bytes agg
+    over the pruned (id, text) projection) and, when provably small
+    BOTH ways, broadcast into the two token joins — the planner has no
+    usable size estimate for either side and picked sort-merge joins
+    that shuffled the tokenized docs twice plus the pair frame
+    (measured: 2.0 s → 1.1 s on the 60k-doc bench corpus). Oversized
+    docs keep the spill-safe planner choice; thresholds follow
+    self_join_probe_side's row/byte bounds."""
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.octet_length(F.col(text_col))), F.lit(0)
+        ).alias("b"),
+    ).collect()[0]
     t = docs.select(
         F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
     )
+    if (
+        int(stats["n"]) <= docs_broadcast_rows
+        and int(stats["b"]) <= docs_broadcast_bytes
+    ):
+        t = F.broadcast(t)
     out = (
         pairs.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
         .join(t.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
