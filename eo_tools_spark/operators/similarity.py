@@ -45,6 +45,19 @@ def _normalize(V: np.ndarray) -> np.ndarray:
     return V / n
 
 
+def _arrow_binary_rows(col) -> np.ndarray:
+    """Fixed-stride binary Arrow column → (n, stride) uint8 matrix with
+    NO per-row bytes objects (guide §4.2: a binary column is one
+    contiguous data buffer + offsets; re-slicing beats materializing n
+    Python objects and b''.join-ing them back together)."""
+    n = len(col)
+    offs = np.frombuffer(
+        col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+    )
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]].reshape(n, -1)
+
+
 def brute_topk(
     emb_df: DataFrame,
     queries: pd.DataFrame,
@@ -562,20 +575,30 @@ def ivf_topk_pruned(
         ]
     )
 
-    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local(batches) -> Iterator:
+        # mapInArrow (guide §4.2): packed vectors decode as ONE
+        # contiguous-buffer view per batch (_arrow_binary_rows) instead
+        # of b''.join over thousands of per-row bytes objects; the
+        # legacy array format reshapes the list column's flat values
+        # buffer. Same float64 math downstream — identical results.
+        import pyarrow as pa
+
         qids_, Q_, probe_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
+            # projection order below: cell, id, emb
             if vec_dtype is not None:
-                raw = np.frombuffer(
-                    b"".join(pdf[emb_col]), dtype=np.dtype(vec_dtype)
-                ).reshape(len(pdf), -1)
+                raw = _arrow_binary_rows(rb.column(2)).view(
+                    np.dtype(vec_dtype)
+                ).reshape(n, -1)
                 V = _normalize(raw.astype(np.float64))
             else:
-                V = _normalize(np.vstack(pdf[emb_col].to_numpy()).astype(np.float64))
-            cells = pdf["cell"].to_numpy()  # from the partition layout
-            ids = pdf[id_col].to_numpy()
+                flat = rb.column(2).flatten().to_numpy(zero_copy_only=False)
+                V = _normalize(flat.reshape(n, -1).astype(np.float64))
+            cells = rb.column(0).to_numpy(zero_copy_only=False)
+            ids = rb.column(1).to_numpy(zero_copy_only=False)
             out_q, out_id, out_s = [], [], []
             for j in range(Q_.shape[0]):
                 m = np.isin(cells, probe_[j])
@@ -588,15 +611,18 @@ def ivf_topk_pruned(
                 out_id.append(ids[m][top])
                 out_s.append(sims[top])
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_id),
-                        "cosine": np.concatenate(out_s),
-                    }
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            id_col: np.concatenate(out_id),
+                            "cosine": np.concatenate(out_s),
+                        }
+                    ),
+                    preserve_index=False,
                 )
 
-    cand = scan.select("cell", id_col, emb_col).mapInPandas(local, schema=schema)
+    cand = scan.select("cell", id_col, emb_col).mapInArrow(local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -781,7 +807,7 @@ def pq_topk(
         ]
     )
 
-    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local(batches) -> Iterator:
         # PER-TASK top-per_part accumulation (guide §2.3 "aggregate
         # before you shuffle"): emitting per-ARROW-BATCH tops shipped
         # n_batches × q × per_part candidate rows into the global
@@ -791,6 +817,11 @@ def pq_topk(
         # per-query merge inside the task emits tasks × q × per_part
         # rows instead (~1000× fewer here), identical shortlist
         # semantics (same top-per_part by adc; global window unchanged).
+        # mapInArrow: the code column decodes per batch as one
+        # contiguous-buffer reshape (_arrow_binary_rows), never n
+        # per-row bytes objects.
+        import pyarrow as pa
+
         qids_, luts_, coarse_ = bc.value
         nq, m_, _ = luts_.shape
         # (kcode, q) per subspace: scoring ALL queries per batch via m
@@ -802,19 +833,22 @@ def pq_topk(
         )  # (ncells, q)
         best_i: list = [None] * nq
         best_s: list = [None] * nq
-        for pdf in batches:
-            n = len(pdf)
+        col_of = None
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            codes = np.frombuffer(
-                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
-            ).reshape(n, -1)
-            ids = pdf[id_col].to_numpy()
+            if col_of is None:
+                col_of = {name: i for i, name in enumerate(rb.schema.names)}
+            codes = _arrow_binary_rows(rb.column(col_of["code"]))
+            ids = rb.column(col_of[id_col]).to_numpy(zero_copy_only=False)
             acc = lut_t[0][codes[:, 0]]  # fancy-index copy — safe to +=
             for j in range(1, m_):
                 acc += lut_t[j][codes[:, j]]
             if coarse_t is not None:
-                acc += coarse_t[pdf["cell"].to_numpy()]
+                acc += coarse_t[
+                    rb.column(col_of["cell"]).to_numpy(zero_copy_only=False)
+                ]
             kk = min(per_part, n)
             sel = (
                 np.argpartition(-acc, kk - 1, axis=0)[:kk]
@@ -835,18 +869,21 @@ def pq_topk(
                     best_i[qi], best_s[qi] = ci, cs
         live = [qi for qi in range(nq) if best_s[qi] is not None]
         if live:
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(
-                        [np.full(len(best_i[qi]), qids_[qi]) for qi in live]
-                    ),
-                    id_col: np.concatenate([best_i[qi] for qi in live]),
-                    "adc": np.concatenate([best_s[qi] for qi in live]),
-                }
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(
+                            [np.full(len(best_i[qi]), qids_[qi]) for qi in live]
+                        ),
+                        id_col: np.concatenate([best_i[qi] for qi in live]),
+                        "adc": np.concatenate([best_s[qi] for qi in live]),
+                    }
+                ),
+                preserve_index=False,
             )
 
     proj = [id_col, "code"] + (["cell"] if centroids is not None else [])
-    cand = codes_df.select(*proj).mapInPandas(local, schema=schema)
+    cand = codes_df.select(*proj).mapInArrow(local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col(id_col))
     if not rerank:
         return (
