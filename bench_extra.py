@@ -103,6 +103,15 @@ def pq_section(write_plans: bool, tag: str) -> dict:
     if write_plans:
         write_plan(adc_df, f"q15_pq_adc_{tag}.txt")
         write_plan(rer_df, f"q15_pq_rerank_{tag}.txt")
+        write_plan(brute_topk(emb, ann_queries, k=10), f"q15_brute_{tag}.txt")
+        from eo_tools_spark.operators.similarity import ivf_topk_pruned
+
+        ivf_path = f"/tmp/eo_bench_ivf_n{n_vecs}_c64pk"
+        if os.path.exists(os.path.join(ivf_path, "_ivf_centroids.json")):
+            write_plan(
+                ivf_topk_pruned(spark, ivf_path, ann_queries, k=10, nprobe=4),
+                f"q15_ivf_pruned_{tag}.txt",
+            )
     out["pq_adc"], out["pq_adc_reps"] = timed(
         "bench_extra: pq adc", lambda: adc_df.count(), spark)
     out["pq_rerank"], out["pq_rerank_reps"] = timed(
@@ -204,6 +213,13 @@ def text_section(write_plans: bool, tag: str) -> dict:
         finally:
             sig.unpersist()
 
+    if write_plans:
+        sig_p = minhash_signatures(docs, num_hashes=64, shingle=2)
+        write_plan(
+            verify_jaccard(lsh_pairs(sig_p, bands=16), docs, threshold=0.8),
+            f"q8_minhash_verify_{tag}.txt",
+        )
+
     def q8_pairs_only():
         sig = minhash_signatures(docs, num_hashes=64, shingle=2).persist()
         try:
@@ -259,6 +275,12 @@ def text_section(write_plans: bool, tag: str) -> dict:
         finally:
             if cand._eo_persisted is not None:
                 cand._eo_persisted.unpersist()
+
+    if write_plans:
+        c14 = winnow_candidates(windocs, k=4, w=5, min_shared=1, max_bucket=4096)
+        write_plan(c14, f"q14_winnow_pairs_{tag}.txt")
+        if c14._eo_persisted is not None:
+            c14._eo_persisted.unpersist()
 
     out["q14_full"], out["q14_full_reps"] = timed(
         "bench_extra: q14 full", q14, spark)

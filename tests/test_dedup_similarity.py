@@ -1129,6 +1129,27 @@ class TestProductQuantization:
         b2 = pq_train(df.repartition(8), m=4, k=16)
         assert np.array_equal(b1, b2)
 
+    def test_rerank_below_k_still_returns_k_rows(self, spark):
+        """Round-6 ADVICE: 0 < rerank < k used per-partition candidates
+        of max(k, rerank) but filtered the global shortlist at rerank,
+        silently returning at most rerank rows per query. The shortlist
+        now filters at max(k, rerank) — every query gets k rows."""
+        from eo_tools_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        df, V = self._clustered(spark)
+        books = pq_train(df, m=8, k=64)
+        codes = pq_encode(df, books)
+        q = self._queries(V)
+        out = pq_topk(
+            codes, q, books, k=10, rerank=5, emb_df=df
+        ).toPandas()
+        per_q = out.groupby("query_id").size()
+        assert (per_q == 10).all(), per_q.to_dict()
+
     def test_contracts(self, spark):
         from eo_tools_spark.operators.similarity import (
             pq_encode,

@@ -68,6 +68,45 @@ class TestKNN:
         exp_d2 = np.min((cx[None] - qx[:, None]) ** 2 + (cy[None] - qy[:, None]) ** 2, axis=1)
         np.testing.assert_allclose(out["dist2"].to_numpy(), exp_d2)
 
+    def test_ring_path_above_brute_threshold_matches_numpy(self, spark):
+        """Catalogs above _BRUTE_CATALOG_N keep the cell-ring search;
+        catalogs at or below it take the new full-matrix kernel. Both
+        must match the numpy brute force exactly (rows, order, dist2) —
+        this pins the ring path now that small catalogs bypass it."""
+        from eo_tools_spark.operators.knn import _BRUTE_CATALOG_N
+
+        nx, ny = 60, 50
+        assert nx * ny > _BRUTE_CATALOG_N
+        xs = np.linspace(-170, 170, nx)
+        ys = np.linspace(-80, 80, ny)
+        gx, gy = np.meshgrid(xs, ys)
+        tiles = pd.DataFrame(
+            {"dem_tile_id": np.arange(nx * ny),
+             "cx": gx.ravel(), "cy": gy.ravel()}
+        )
+        rng = np.random.default_rng(5)
+        n = 300
+        qx = rng.uniform(-179, 179, n)
+        qy = rng.uniform(-85, 85, n)
+        scenes = spark.createDataFrame(
+            pd.DataFrame({"scene_id": np.arange(n), "lon": qx, "lat": qy})
+        )
+        k = 3
+        out = knn_join(scenes, tiles, k=k).toPandas()
+        assert len(out) == n * k
+        cx, cy = tiles["cx"].to_numpy(), tiles["cy"].to_numpy()
+        for sid in [0, 42, 199, 299]:
+            d2 = (cx - qx[sid]) ** 2 + (cy - qy[sid]) ** 2
+            exp = tiles["dem_tile_id"].to_numpy()[
+                np.argsort(d2, kind="stable")[:k]
+            ]
+            got = (
+                out[out.scene_id == sid]
+                .sort_values("knn_rank")["dem_tile_id"]
+                .to_numpy()
+            )
+            np.testing.assert_array_equal(got, exp)
+
     def test_catalog_byte_guard_forces_distributed_fallback(self, spark):
         """Round-4 verdict task 7: an over-budget catalog must route to
         the distributed ring join and return IDENTICAL rows (incl.
