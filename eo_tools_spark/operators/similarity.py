@@ -49,10 +49,21 @@ def _arrow_binary_rows(col) -> np.ndarray:
     """Fixed-stride binary Arrow column → (n, stride) uint8 matrix with
     NO per-row bytes objects (guide §4.2: a binary column is one
     contiguous data buffer + offsets; re-slicing beats materializing n
-    Python objects and b''.join-ing them back together)."""
+    Python objects and b''.join-ing them back together). NULL rows are
+    refused loudly — a silent skip would misalign values against the
+    id column (the old vstack path crashed on NULLs too)."""
+    import pyarrow as pa
+
+    if col.null_count:
+        raise ValueError("packed vector/code column contains NULLs")
     n = len(col)
+    # large_binary carries 64-bit offsets (spark.sql.execution.arrow.
+    # useLargeVarTypes) — reading them as int32 would garble the slice
+    wide = pa.types.is_large_binary(col.type)
+    off_dt = np.int64 if wide else np.int32
     offs = np.frombuffer(
-        col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+        col.buffers()[1], dtype=off_dt,
+        count=n + 1, offset=col.offset * off_dt().itemsize,
     )
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     return data[offs[0]:offs[-1]].reshape(n, -1)
@@ -95,6 +106,8 @@ def brute_topk(
             n = rb.num_rows
             if n == 0:
                 continue
+            if rb.column(1).null_count:  # flatten() would silently
+                raise ValueError("NULL embedding row")  # misalign ids
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
             V = _normalize(flat.reshape(n, -1).astype(np.float64))
             sims = V @ Q_.T  # (n, q)
@@ -595,6 +608,8 @@ def ivf_topk_pruned(
                 ).reshape(n, -1)
                 V = _normalize(raw.astype(np.float64))
             else:
+                if rb.column(2).null_count:  # flatten() would silently
+                    raise ValueError("NULL embedding row")  # misalign
                 flat = rb.column(2).flatten().to_numpy(zero_copy_only=False)
                 V = _normalize(flat.reshape(n, -1).astype(np.float64))
             cells = rb.column(0).to_numpy(zero_copy_only=False)
