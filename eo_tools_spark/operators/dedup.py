@@ -979,16 +979,25 @@ def simhash_pairs(
     b = self_join_probe_side(chunks, drop_report(capped)).alias("b")
     # classic banding: first-match emission replaces the candidate
     # distinct (first_match_band_pred — each pair leaves the join
-    # exactly once); chunk-pair banding keeps the distinct. Popcount
-    # verify runs BEFORE whichever dedup applies (guide §2.3: filter
-    # before the exchange). Identical pair set either way.
+    # exactly once); chunk-pair banding keeps the distinct. ONLY SOUND
+    # WHEN NO BUCKET WAS DROPPED: with hot buckets capped, a pair whose
+    # earliest matching band sat in a dropped bucket must still be
+    # emitted by a later intact band, which the first-match predicate
+    # would kill (see phash_neardup — found at sf1). Popcount verify
+    # runs BEFORE whichever dedup applies (guide §2.3). Identical pair
+    # set either way.
     cand = a.join(
         b,
         (F.col("a.chunk") == F.col("b.chunk"))
         & (F.col("a.ckey") == F.col("b.ckey"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    fm = first_match_band_pred("a.simhash ^ b.simhash", "a.chunk", max_hamming)
+    rep = drop_report(capped)
+    fm = (
+        first_match_band_pred("a.simhash ^ b.simhash", "a.chunk", max_hamming)
+        if rep is None or rep["n_hot_buckets"] == 0
+        else None
+    )
     if fm is not None:
         cand = cand.where(fm)
     out = cand.select(

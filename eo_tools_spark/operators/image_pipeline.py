@@ -180,10 +180,20 @@ def phash_neardup(
     # classic banding: first-match emission replaces the candidate
     # distinct — each pair leaves the join exactly once, so no dedup
     # exchange at all (dedup.first_match_band_pred). Chunk-pair banding
-    # (None) keeps the distinct. Popcount verify runs BEFORE whichever
-    # dedup applies (guide §2.3: filter before the exchange); identical
-    # pair set either way — hamming is a pure function of the pair.
-    fm = first_match_band_pred("a.phash ^ b.phash", "a.chunk", max_hamming)
+    # (None) keeps the distinct. ONLY SOUND WHEN NO BUCKET WAS DROPPED:
+    # with hot buckets capped, a pair whose earliest matching band sat
+    # in a dropped bucket must still be emitted by a later intact band,
+    # but the first-match predicate would kill that emission (found at
+    # sf1: 184.5M -> 140.8M pairs). The eager drop report tells us at
+    # build time whether any bucket was dropped. Popcount verify runs
+    # BEFORE whichever dedup applies (guide §2.3); identical pair set
+    # either way — hamming is a pure function of the pair.
+    rep = drop_report(capped)
+    fm = (
+        first_match_band_pred("a.phash ^ b.phash", "a.chunk", max_hamming)
+        if rep is None or rep["n_hot_buckets"] == 0
+        else None
+    )
     if fm is not None:
         cand = cand.where(fm)
     out = cand.select(

@@ -1129,6 +1129,32 @@ class TestProductQuantization:
         b2 = pq_train(df.repartition(8), m=4, k=16)
         assert np.array_equal(b1, b2)
 
+    def test_first_match_disabled_when_cap_drops_buckets(self, spark):
+        """Regression (round-7, found at sf1): under the hot-bucket cap,
+        a pair whose EARLIEST matching band sits in a dropped bucket
+        must still be emitted by a later intact band — the first-match
+        optimization (which replaces the candidate distinct) is only
+        sound when no bucket was dropped, and must fall back to the
+        distinct otherwise. 20 rows share chunk0 (hot, cap 10 → band-0
+        bucket dropped); rows 0 and 1 additionally share chunk1 and
+        differ by one bit in chunk2 → the (0, 1) pair's first matching
+        band is the dropped band 0, and it must survive via band 1."""
+        from eo_tools_spark.operators.dedup import simhash_pairs
+
+        rows = []
+        for i in range(20):
+            c0, c1, c2, c3 = 0x1111, 0x2000 + i, 0x3000 + i, 0x4000 + i
+            if i == 1:
+                c1, c2, c3 = 0x2000, 0x3000 ^ 1, 0x4000
+            rows.append((i, (c3 << 48) | (c2 << 32) | (c1 << 16) | c0))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "simhash"])
+        )
+        out = simhash_pairs(df, max_hamming=3, max_bucket=10).toPandas()
+        got = set(zip(out.id_a, out.id_b))
+        assert (0, 1) in got, got
+        assert out[(out.id_a == 0) & (out.id_b == 1)].hamming.iloc[0] == 1
+
     def test_rerank_below_k_still_returns_k_rows(self, spark):
         """Round-6 ADVICE: 0 < rerank < k used per-partition candidates
         of max(k, rerank) but filtered the global shortlist at rerank,
