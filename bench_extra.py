@@ -159,6 +159,18 @@ def pairs_section(write_plans: bool, tag: str) -> dict:
     pairs = phash_neardup(demo_slice, max_hamming=2).persist()
     out["n_pairs"] = pairs.count()
 
+    if write_plans:
+        # the round-0 edge-collect subtree: "before" = the canonical
+        # distinct the loop state needs (still the big-graph path),
+        # "after" = the raw lo<hi projection the persisted-input
+        # round-0 finish now collects (no exchange at all)
+        canon_raw = pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        ).where(F.col("lo") != F.col("hi"))
+        write_plan(canon_raw.distinct(), "q13_cc_edges_before.txt")
+        write_plan(canon_raw, "q13_cc_edges_after.txt")
+
     def q13():
         comp = connected_components(pairs, algorithm="star")
         return comp.agg(F.countDistinct("cluster_id")).collect()[0][0]

@@ -223,11 +223,14 @@ def connected_components(
 def _finish_locally_round0(
     pairs: DataFrame, id_a: str, id_b: str, edges: DataFrame
 ) -> DataFrame:
-    """Round-0 local finish: the collected edge set IS the canonical
-    input edge set, so the output vertex set is derivable LOCALLY —
-    every vertex of a non-self pair is an edge endpoint, and the only
-    others are self-pair-only ids (one cheap filter scan). That removes
-    the distributed verts union+distinct (an O(2E) exchange) and the
+    """Round-0 local finish: the collected edge set covers the input
+    pairs (``edges`` may be the RAW, possibly-duplicated lo<hi frame —
+    duplicate edges re-union the same pair, a no-op, and labels are
+    rank-mapped by VALUE, so no canonicalizing distinct is required),
+    so the output vertex set is derivable LOCALLY — every vertex of a
+    non-self pair is an edge endpoint, and the only others are
+    self-pair-only ids (one cheap filter scan). That removes the
+    distributed verts union+distinct (an O(2E) exchange) and the
     label join entirely; the result is a driver-local frame (measured:
     the verts+join leg was ~2.3 s of the bench q13 at 2.5M edges).
 
@@ -388,18 +391,39 @@ def _star_components(
     """
     from eo_tools_spark.operators.dedup import _row_bytes_expr
 
-    canon = (
-        pairs.select(
-            F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-    # measured size of the (shrinking) edge set, riding the checkpoint
-    # job — None for un-measurable id types (then no local finish)
+    canon_raw = pairs.select(
+        F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
+    ).where(F.col("lo") != F.col("hi"))
+    # measured size of the (shrinking) edge set — None for
+    # un-measurable id types (then no local finish)
     bexpr = (
-        _row_bytes_expr(canon) if local_finish_bytes is not None else None
+        _row_bytes_expr(canon_raw) if local_finish_bytes is not None else None
     )
+    _persisted_input = bool(
+        pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    )
+    if bexpr is not None and _persisted_input:
+        # Round-0 pre-measure on the RAW (un-deduped) edge set: one
+        # map-side-combinable scalar agg — no wide exchange. When even
+        # the raw set fits the driver budget, collect it as-is: the
+        # union-find is idempotent under duplicate edges and rank-maps
+        # labels by VALUE, so the canonicalizing ``.distinct()`` — a
+        # full exchange of every edge — is dropped outright from the
+        # hot path (guide §2.4). Raw bytes ≥ canonical bytes, so the
+        # gate is conservative; bigger graphs fall through to the
+        # distinct + measured-checkpoint loop exactly as before (the
+        # pre-measure then costs one extra scan). Gated on the input
+        # being PERSISTED: only then is the extra pass a cache read —
+        # on a lazy 100 TB pair plan it would re-run the whole
+        # upstream join, so those inputs keep the single-pass
+        # distinct+checkpoint measurement.
+        got0 = canon_raw.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(bexpr), F.lit(0)).alias("bytes"),
+        ).collect()[0]
+        if int(got0["bytes"]) <= local_finish_bytes:
+            return _finish_locally_round0(pairs, id_a, id_b, canon_raw)
+    canon = canon_raw.distinct()
     # bit_xor, not sum: an order-independent set fingerprint that cannot
     # overflow under ANSI mode (elements are distinct, so XOR
     # self-cancellation never applies)

@@ -589,6 +589,7 @@ def lsh_pairs(
     """
     banded = sig_df.select(id_col, band_key_cols(bands))
     banded = filter_null_keys(banded, ["band", "key"])
+    banded, persisted = _persist_if_eager(banded, max_bucket)
     capped = cap_hot_buckets(banded, ["band", "key"], max_bucket, "lsh_pairs")
     # one-sided cap (see cap_hot_buckets); probe-side strategy by
     # MEASURED size (see self_join_probe_side — never Spark's estimate)
@@ -607,7 +608,30 @@ def lsh_pairs(
         .distinct()
     )
     out._eo_drop_report = drop_report(capped)
+    out._eo_persisted = persisted
     return out
+
+
+def _persist_if_eager(
+    frame: DataFrame, max_bucket: int | None
+) -> tuple[DataFrame, "DataFrame | None"]:
+    """Persist the exploded banded/chunk frame when an eager hot-bucket
+    cap will materialize it anyway (``max_bucket`` set): the counting
+    pass populates the cache and the two self-join sides then REUSE the
+    computed rows instead of re-running the explode (and whatever scan
+    feeds it) twice more — the same pattern winnow_candidates measured
+    at 7.3 s → ~4 s on its fingerprint frame. The frame is (id, band,
+    key) — three numeric/short columns, compact at any scale, and
+    MEMORY_AND_DISK is LRU-evictable so a leaked entry degrades, never
+    OOMs. Returned as the second element so callers can expose it as
+    ``out._eo_persisted`` for unpersist-after-action; ``max_bucket=
+    None`` (fully lazy plan) persists nothing."""
+    if max_bucket is None:
+        return frame, None
+    from pyspark import StorageLevel
+
+    p = frame.persist(StorageLevel.MEMORY_AND_DISK)
+    return p, p
 
 
 def winnow_fingerprints_fast(
@@ -973,6 +997,7 @@ def simhash_pairs(
         hamming_band_cols("simhash", max_hamming).alias("chunk", "ckey"),
     )
     chunks = filter_null_keys(chunks, ["chunk", "ckey"])
+    chunks, persisted = _persist_if_eager(chunks, max_bucket)
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
     # one-sided cap; probe-side strategy by measured size (lsh_pairs)
     a = capped.alias("a")
@@ -1008,6 +1033,7 @@ def simhash_pairs(
     if fm is None:
         out = out.distinct()
     out._eo_drop_report = drop_report(capped)
+    out._eo_persisted = persisted
     return out
 
 

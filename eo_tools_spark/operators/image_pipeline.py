@@ -152,6 +152,7 @@ def phash_neardup(
     the counting job and snapshots the hot-key set as of build time
     (see dedup.lsh_pairs); ``max_bucket=None`` keeps the plan lazy."""
     from eo_tools_spark.operators.dedup import (
+        _persist_if_eager,
         cap_hot_buckets,
         drop_report,
         filter_null_keys,
@@ -166,6 +167,7 @@ def phash_neardup(
         hamming_band_cols("phash", max_hamming).alias("chunk", "ckey"),
     )
     chunks = filter_null_keys(chunks, ["chunk", "ckey"])
+    chunks, persisted = _persist_if_eager(chunks, max_bucket)
     capped = cap_hot_buckets(chunks, ["chunk", "ckey"], max_bucket, "phash_neardup")
     # one-sided cap; probe-side strategy by measured size (never Spark's
     # exploded-frame estimate — see dedup.self_join_probe_side)
@@ -204,6 +206,7 @@ def phash_neardup(
     if fm is None:
         out = out.distinct()
     out._eo_drop_report = drop_report(capped)
+    out._eo_persisted = persisted
     return out
 
 

@@ -244,6 +244,35 @@ class TestLocalFinish:
         # the self-pair-only vertex labels itself in both paths
         assert as_map(loc)["img-0040"] == "img-0040"
 
+    def test_persisted_input_raw_round0_skips_distinct(self, spark):
+        """A PERSISTED pair frame takes the raw round-0 pre-measure
+        path (no canonicalizing distinct before the driver collect).
+        Duplicate pairs, reversed duplicates and self-pairs must all
+        yield labels identical to the distributed run — the union-find
+        is idempotent under duplicates and rank-maps by value."""
+        pairs = [
+            ("img-0003", "img-0001"),
+            ("img-0001", "img-0003"),  # reversed duplicate
+            ("img-0003", "img-0001"),  # exact duplicate
+            ("img-0001", "img-0007"),
+            ("img-0020", "img-0021"),
+            ("img-0040", "img-0040"),  # self-pair-only vertex
+        ]
+        df = spark.createDataFrame(pairs, "id_a string, id_b string").persist()
+        df.count()
+        try:
+            loc = connected_components(df, algorithm="star")
+            dist = connected_components(
+                df, algorithm="star", local_finish_bytes=None
+            )
+            assert loc._eo_cc_local_finish and loc._eo_cc_rounds == 0
+            as_map = lambda d: {r.doc_id: r.cluster_id for r in d.collect()}  # noqa: E731
+            assert as_map(loc) == as_map(dist)
+            assert as_map(loc)["img-0007"] == "img-0001"
+            assert as_map(loc)["img-0040"] == "img-0040"
+        finally:
+            df.unpersist()
+
     def test_midloop_trigger_after_contraction(self, spark):
         """A blob-heavy graph whose edge count collapses under
         contraction: with a budget between the initial and contracted

@@ -103,6 +103,25 @@ class TestMinhashLSH:
             out[fam] = {(r.id_a, r.id_b) for r in pairs.collect()}
         assert out["fast"] == out["md5"]
 
+    def test_eager_band_frame_persisted_and_results_identical(self, spark):
+        """The eager-cap path persists the exploded banded frame (one
+        compute, three consumers: counting pass + both self-join sides)
+        and exposes it as ``_eo_persisted`` for callers to unpersist;
+        the lazy path (max_bucket=None) must persist nothing. The pair
+        set is identical either way — the persist is a pure reuse."""
+        df, _ = corpus(spark, n=100)
+        sig = minhash_signatures(df, num_hashes=64)
+        eager = lsh_pairs(sig, bands=16)
+        lazy = lsh_pairs(sig, bands=16, max_bucket=None)
+        assert eager._eo_persisted is not None
+        assert eager._eo_persisted.storageLevel.useMemory
+        assert lazy._eo_persisted is None
+        got_e = {(r.id_a, r.id_b) for r in eager.collect()}
+        got_l = {(r.id_a, r.id_b) for r in lazy.collect()}
+        assert got_e == got_l
+        eager._eo_persisted.unpersist()
+        assert not eager._eo_persisted.storageLevel.useMemory
+
     def test_lsh_finds_planted_dups(self, spark):
         df, texts = corpus(spark)
         sig = minhash_signatures(df, num_hashes=64)
