@@ -348,7 +348,14 @@ def main() -> int:
             len(probe_union) < 16,
             f"{len(probe_union)}/16 cells probed",
         )
-        c.expect("GEMM kernel is Arrow-batched", c.has(r"MapInPandas"))
+        # the GEMM kernel reads Arrow record batches directly since the
+        # mapInArrow conversion (PythonMapInArrow node) — accept the
+        # older MapInPandas shape too so the assertion states the
+        # property (Arrow-batched) rather than one node name
+        c.expect(
+            "GEMM kernel is Arrow-batched",
+            c.has(r"MapInPandas|MapInArrow"),
+        )
         c.expect("no per-row Python UDF", not c.has(r"BatchEvalPython"))
         c.expect(
             "only the global top-k shuffles (k×partitions candidate rows)",
