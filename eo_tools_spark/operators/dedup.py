@@ -192,6 +192,11 @@ def cap_hot_buckets(
                 .select(*key_cols)
                 .toPandas()
             )
+            # expose the collected hot set: callers that can express
+            # "this band was dropped" as a predicate (hot-aware
+            # first-match emission, see first_match_band_pred) reuse
+            # it instead of paying a candidate-dedup exchange
+            report["hot_keys"] = hot_pdf
             spark = banded.sparkSession
             hot = F.broadcast(
                 spark.createDataFrame(hot_pdf, banded.select(*key_cols).schema)
@@ -346,12 +351,39 @@ def hamming_band_cols(hash_col: str, max_hamming: int, min_width: int = 12) -> C
     )
     return F.posexplode(F.expr(f"array({keys})"))
 
+def hot_keys_by_band(
+    report: "dict | None", max_literal: int = 65536
+) -> "dict[int, list[int]] | None":
+    """Per-band hot-key lists for the hot-aware first-match predicate,
+    from a cap_hot_buckets drop report — or None when the predicate
+    cannot be used (hot set not collected because the anti-join took
+    the merge path, or bigger than ``max_literal``: the keys become
+    plan literals, so an unbounded set would bloat the physical plan —
+    those callers keep the candidate ``.distinct()``). Zero drops is
+    the caller's own fast path (plain first-match, no hot set)."""
+    if report is None:
+        return None
+    hk = report.get("hot_keys")
+    if hk is None or len(hk) > max_literal:
+        return None
+    band_col, key_col = list(hk.columns)[:2]
+    return {
+        int(band): [int(k) for k in grp[key_col]]
+        for band, grp in hk.groupby(band_col)
+    }
+
+
 def first_match_band_pred(
-    xor_expr: str, chunk_col: str, max_hamming: int, min_width: int = 12
+    xor_expr: str,
+    chunk_col: str,
+    max_hamming: int,
+    min_width: int = 12,
+    hash_expr: str | None = None,
+    hot_by_band: "dict[int, list[int]] | None" = None,
 ) -> Column | None:
-    """Predicate TRUE iff ``chunk_col`` is the FIRST band index where
-    the two hashes agree — CLASSIC pigeonhole banding only (returns
-    None for the chunk-pair scheme; those callers keep ``.distinct()``).
+    """Predicate TRUE iff ``chunk_col`` is the FIRST band index that
+    EMITS this pair — CLASSIC pigeonhole banding only (returns None for
+    the chunk-pair scheme; those callers keep ``.distinct()``).
 
     Replaces the candidate ``.distinct()`` outright: a pair matching in
     several bands is emitted by exactly the lowest-index one, so the
@@ -360,7 +392,21 @@ def first_match_band_pred(
     shuffles outright") disappears. Pure bit ops on the hash xor, fully
     codegen; must mirror ``hamming_band_cols``'s classic chunking
     (band j key = (hash >> j·width) & mask, so xor chunk j == 0 ⇔ the
-    band-j keys are equal)."""
+    band-j keys are equal).
+
+    ``hot_by_band`` (+ ``hash_expr``, the CAPPED side's hash column):
+    hot-bucket awareness. With the one-sided cap, band j emits a pair
+    only when the keys match AND the capped side's (band j, key) bucket
+    survived — so under drops "an earlier band already emitted this
+    pair" is ``xor chunk j == 0 AND key_j ∉ hot_j``. The plain
+    predicate (no hot set) would KILL a pair whose earliest matching
+    band was dropped (the sf1 bug the cap gate fixed); with the
+    collected hot set the kill condition gains ``OR key_j IN hot_j`` —
+    an O(1) InSet probe per row once the list passes Spark's
+    inSetConversionThreshold — and first-match emission stays exactly
+    equal to the distinct's pair set. Callers bound the literal size
+    (the hot set rides the physical plan) and fall back to
+    ``.distinct()`` beyond it."""
     c = max_hamming + 1
     width = 64 // c
     if width < min_width:
@@ -370,9 +416,19 @@ def first_match_band_pred(
     def differs(j: int) -> str:
         return f"(shiftright({xor_expr}, {j * width}) & {mask}) != 0"
 
+    def emitted_earlier_negated(j: int) -> str:
+        hot = (hot_by_band or {}).get(j)
+        if not hot:
+            return differs(j)
+        if hash_expr is None:
+            raise ValueError("hot_by_band requires hash_expr")
+        key_j = f"(shiftright({hash_expr}, {j * width}) & {mask})"
+        in_list = ", ".join(str(int(k)) for k in hot)
+        return f"({differs(j)} OR {key_j} IN ({in_list}))"
+
     conds = [
         f"WHEN {chunk_col} = {ch} THEN "
-        f"({' AND '.join(differs(j) for j in range(ch))})"
+        f"({' AND '.join(emitted_earlier_negated(j) for j in range(ch))})"
         for ch in range(1, c)
     ]
     if not conds:  # c == 1: a single band cannot duplicate
@@ -1018,11 +1074,22 @@ def simhash_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     rep = drop_report(capped)
-    fm = (
-        first_match_band_pred("a.simhash ^ b.simhash", "a.chunk", max_hamming)
-        if rep is None or rep["n_hot_buckets"] == 0
-        else None
-    )
+    if rep is None or rep["n_hot_buckets"] == 0:
+        fm = first_match_band_pred("a.simhash ^ b.simhash", "a.chunk", max_hamming)
+    else:
+        # drops occurred: first-match is only sound with the hot set in
+        # the predicate (a pair whose earliest matching band was dropped
+        # must still emit from a later band); falls back to the
+        # candidate distinct when the hot set was not collected/too big
+        hot = hot_keys_by_band(rep)
+        fm = (
+            first_match_band_pred(
+                "a.simhash ^ b.simhash", "a.chunk", max_hamming,
+                hash_expr="a.simhash", hot_by_band=hot,
+            )
+            if hot is not None
+            else None
+        )
     if fm is not None:
         cand = cand.where(fm)
     out = cand.select(

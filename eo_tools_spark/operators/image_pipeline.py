@@ -158,6 +158,7 @@ def phash_neardup(
         filter_null_keys,
         first_match_band_pred,
         hamming_band_cols,
+        hot_keys_by_band,
         self_join_probe_side,
     )
 
@@ -182,20 +183,30 @@ def phash_neardup(
     # classic banding: first-match emission replaces the candidate
     # distinct — each pair leaves the join exactly once, so no dedup
     # exchange at all (dedup.first_match_band_pred). Chunk-pair banding
-    # (None) keeps the distinct. ONLY SOUND WHEN NO BUCKET WAS DROPPED:
-    # with hot buckets capped, a pair whose earliest matching band sat
-    # in a dropped bucket must still be emitted by a later intact band,
-    # but the first-match predicate would kill that emission (found at
-    # sf1: 184.5M -> 140.8M pairs). The eager drop report tells us at
-    # build time whether any bucket was dropped. Popcount verify runs
-    # BEFORE whichever dedup applies (guide §2.3); identical pair set
-    # either way — hamming is a pure function of the pair.
+    # (None) keeps the distinct. Under hot-bucket DROPS the plain
+    # predicate is unsound — a pair whose earliest matching band sat in
+    # a dropped bucket must still be emitted by a later intact band
+    # (found at sf1: 184.5M -> 140.8M pairs) — so when the anti-join's
+    # broadcast path has already COLLECTED the hot set, the predicate
+    # gains per-band "OR key ∈ hot" membership (an InSet probe) and
+    # stays exactly equal to the distinct's pair set; an uncollected or
+    # oversized hot set falls back to the candidate distinct. Popcount
+    # verify runs BEFORE whichever dedup applies (guide §2.3);
+    # identical pair set either way — hamming is a pure function of
+    # the pair.
     rep = drop_report(capped)
-    fm = (
-        first_match_band_pred("a.phash ^ b.phash", "a.chunk", max_hamming)
-        if rep is None or rep["n_hot_buckets"] == 0
-        else None
-    )
+    if rep is None or rep["n_hot_buckets"] == 0:
+        fm = first_match_band_pred("a.phash ^ b.phash", "a.chunk", max_hamming)
+    else:
+        hot = hot_keys_by_band(rep)
+        fm = (
+            first_match_band_pred(
+                "a.phash ^ b.phash", "a.chunk", max_hamming,
+                hash_expr="a.phash", hot_by_band=hot,
+            )
+            if hot is not None
+            else None
+        )
     if fm is not None:
         cand = cand.where(fm)
     out = cand.select(

@@ -1174,6 +1174,46 @@ class TestProductQuantization:
         assert (0, 1) in got, got
         assert out[(out.id_a == 0) & (out.id_b == 1)].hamming.iloc[0] == 1
 
+    def test_hot_aware_first_match_equals_distinct_under_drops(
+        self, spark, monkeypatch
+    ):
+        """Under hot-bucket drops the collected hot set lets first-match
+        emission replace the candidate distinct (per-band
+        "OR key IN hot" — dedup.first_match_band_pred): the pair set
+        must equal the distinct fallback EXACTLY, with no duplicate
+        emissions; an uncollectable hot set must fall back to the
+        distinct. Random multi-band-collision corpus plus a planted
+        hot chunk so several pairs match in >1 band."""
+        import eo_tools_spark.operators.dedup as D
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(200):
+            c0 = 0x1111 if i < 60 else int(rng.integers(0, 1 << 16))
+            c1 = int(rng.integers(0, 8))  # tiny keyspace → multi-match
+            c2 = int(rng.integers(0, 8))
+            c3 = int(rng.integers(0, 4))
+            rows.append((i, (c3 << 48) | (c2 << 32) | (c1 << 16) | c0))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "simhash"])
+        )
+        hot = D.simhash_pairs(df, max_hamming=3, max_bucket=50)
+        rep = D.drop_report(hot)
+        assert rep["n_hot_buckets"] >= 1  # the cap really dropped
+        hot_pdf = hot.toPandas()
+        # no duplicate emissions from the predicate path
+        assert not hot_pdf.duplicated(["id_a", "id_b"]).any()
+        # force the distinct fallback and compare exactly
+        monkeypatch.setattr(D, "hot_keys_by_band", lambda *_a, **_k: None)
+        dist_pdf = D.simhash_pairs(
+            df, max_hamming=3, max_bucket=50
+        ).toPandas()
+        key = lambda p: set(map(tuple, p[["id_a", "id_b", "hamming"]].values))  # noqa: E731
+        assert key(hot_pdf) == key(dist_pdf)
+        # oversized hot set → helper refuses (callers keep the distinct)
+        assert D.hot_keys_by_band(rep, max_literal=0) is None
+        assert D.hot_keys_by_band(None) is None
+
     def test_rerank_below_k_still_returns_k_rows(self, spark):
         """Round-6 ADVICE: 0 < rerank < k used per-partition candidates
         of max(k, rerank) but filtered the global shortlist at rerank,
